@@ -427,45 +427,52 @@ def classify_line(line: str, heap_stats: bool) -> str:
         return "close"
     if GC_START_RE.match(line) or APPSTOP_START_RE.match(line):
         return "start"
-    if CONTINUATION_RE.match(line) or (heap_stats and line[:1] == " "):
+    if CONTINUATION_RE.match(line) or (
+        heap_stats and (line[:1] == " " or _HEAP_HDR_RE.match(line))
+    ):
         return "cont"
     return "filler"
 
 
-def split_blocks(text: str, heap_stats: bool):
+def split_blocks_pos(text: str, heap_stats: bool):
     """Group lines into candidate event blocks.
 
     GcLine mode: a block starts at each start-shaped line.  Heap-stats
     mode: '{Heap before' opens a brace block that runs to the matching
     '}' line; start-shaped lines outside a brace block are their own
-    blocks.  Yields stitched block strings.
+    blocks.  Returns [(start_line_no, block_string)].
     """
     blocks = []
     current: list[str] | None = None
+    start_no = 0
     depth = 0
-    for line in text.split("\n"):
+    for no, line in enumerate(text.split("\n")):
         cls = classify_line(line, heap_stats)
         if depth > 0:
             current.append(line)
             if cls == "close":
                 depth = 0
-                blocks.append("\n".join(current))
+                blocks.append((start_no, "\n".join(current)))
                 current = None
             continue
         if cls == "open":
             if current is not None:
-                blocks.append("\n".join(current))
-            current = [line]
+                blocks.append((start_no, "\n".join(current)))
+            current, start_no = [line], no
             depth = 1
         elif cls == "start":
             if current is not None:
-                blocks.append("\n".join(current))
-            current = [line]
+                blocks.append((start_no, "\n".join(current)))
+            current, start_no = [line], no
         elif current is not None:
             current.append(line)
     if current is not None:
-        blocks.append("\n".join(current))
+        blocks.append((start_no, "\n".join(current)))
     return blocks
+
+
+def split_blocks(text: str, heap_stats: bool):
+    return [b for _, b in split_blocks_pos(text, heap_stats)]
 
 
 def parse_log(text: str):

@@ -1,0 +1,74 @@
+"""GC-log payload corpus for the deterministic pages generator.
+
+Ten content classes (FIXTURES.md §3): the nine reference fixture files
+(embedded verbatim — the per-row invariant is byte-identical extracted
+text per url) plus one inline class composed from the reference's inline
+test lines (CMS full cycle, promotion failures, plumbr.eu handbook
+examples; ParserTest.scala:428-519).
+
+Expected per-class event counts are pinned by the reference tests and
+re-checked in tests/test_datagen.py; the driver-facing aggregate oracles
+derive from them.
+"""
+
+from __future__ import annotations
+
+from importlib.resources import files
+
+_RES = files("gclog_parser_spark") / "resources"
+
+#: inline class: full CMS cycle + GC-- + java8 '--' promotion failure +
+#: CMS Full GC + plumbr serial/parallel examples (15 GcLine events).
+CMSFULL = "\n".join(
+    [
+        "2015-05-26T16:23:07.321-0200: 64.425: [GC (CMS Initial Mark) [1 CMS-initial-mark: 10812086K(11901376K)] 10887844K(12514816K), 0.0001997 secs] [Times: user=0.00 sys=0.00, real=0.00 secs]",
+        "2015-05-26T16:23:07.321-0200: 64.425: [CMS-concurrent-mark-start]",
+        "2015-05-26T16:23:07.357-0200: 64.460: [CMS-concurrent-mark: 0.035/0.035 secs] [Times: user=0.07 sys=0.00, real=0.03 secs]",
+        "2015-05-26T16:23:07.357-0200: 64.460: [CMS-concurrent-preclean-start]",
+        "2015-05-26T16:23:07.373-0200: 64.476: [CMS-concurrent-preclean: 0.016/0.016 secs] [Times: user=0.02 sys=0.00, real=0.02 secs]",
+        "2015-05-26T16:23:07.373-0200: 64.476: [CMS-concurrent-abortable-preclean-start]",
+        "2015-05-26T16:23:08.446-0200: 65.550: [CMS-concurrent-abortable-preclean: 0.167/1.074 secs] [Times: user=0.20 sys=0.00, real=1.07 secs]",
+        "2015-05-26T16:23:08.447-0200: 65.550: [GC (CMS Final Remark) [YG occupancy: 387920 K (613440 K)]65.550: [Rescan (parallel) , 0.0085125 secs]65.559: [weak refs processing, 0.0000243 secs]65.559: [class unloading, 0.0013120 secs]65.560: [scrub symbol table, 0.0008345 secs]65.561: [scrub string table, 0.0001759 secs][1 CMS-remark: 10812086K(11901376K)] 11200006K(12514816K), 0.0110730 secs] [Times: user=0.06 sys=0.00, real=0.01 secs]",
+        "2015-05-26T16:23:08.458-0200: 65.561: [CMS-concurrent-sweep-start]",
+        "2015-05-26T16:23:08.485-0200: 65.588: [CMS-concurrent-sweep: 0.027/0.027 secs] [Times: user=0.03 sys=0.00, real=0.03 secs]",
+        "2015-05-26T16:23:08.485-0200: 65.589: [CMS-concurrent-reset-start]",
+        "2015-05-26T16:23:08.497-0200: 65.601: [CMS-concurrent-reset: 0.012/0.012 secs] [Times: user=0.01 sys=0.00, real=0.01 secs]",
+        "2015-12-10T15:42:08.076+1100: 523890.136: [GC-- [PSYoungGen: 1275256K->1275256K(1275264K)] 4007798K->4071477K(4071488K), 0.3913740 secs] [Times: user=0.54 sys=0.00, real=0.39 secs]",
+        "2016-01-28T16:20:24.390+1100: 94045.178: [GC (Allocation Failure) --[PSYoungGen: 1256250K->1256250K(1256448K)] 4037337K->4052791K(4052992K), 0.4414726 secs] [Times: user=0.51 sys=0.00, real=0.45 secs]",
+        "29517.100: [Full GC (Allocation Failure) 29517.100: [CMS: 819199K->819199K(819200K), 3.2809595 secs] 1762879K->1762879K(1762880K), [Metaspace: 21995K->21995K(1069056K)], 3.2810538 secs] [Times: user=3.28 sys=0.00, real=3.28 secs]",
+    ]
+)
+
+#: class_id → (class_name, resource file or None for inline,
+#:             events in GcLine mode, events in heap-stats mode)
+#: GcLine-mode counts: ParserTest.scala:128-168,104-111,527-537;
+#: heap-stats counts: ParserTest.scala:261-321,539-547.
+CLASSES = [
+    (0, "basic7", "basic-java7-gc.log", 7, 0),
+    (1, "basic8", "basic-java8-gc.log", 7, 0),
+    (2, "details7", "details-java7-gc.log", 7, 0),
+    (3, "details8", "details-java8-gc.log", 7, 0),
+    (4, "heap7", "heap-java7-gc.log", 7, 7),
+    (5, "heap8", "heap-java8-gc.log", 7, 7),
+    (6, "fragment", "fragment.txt", 2, 2),
+    (7, "cms", "cms-fragment.txt", 1, 1),
+    (8, "waits", "fragment-with-wait-times.txt", 16, 16),
+    (9, "cmsfull", None, 15, 0),
+]
+
+
+def fixture_text(name_or_id) -> str:
+    for cid, name, resource, _, _ in CLASSES:
+        if name_or_id in (cid, name):
+            if resource is None:
+                return CMSFULL
+            return (_RES / resource).read_text()
+    raise KeyError(name_or_id)
+
+
+def all_classes():
+    """[(class_id, class_name, text, gcline_events, heap_events)]"""
+    return [
+        (cid, name, fixture_text(cid), n_line, n_heap)
+        for cid, name, _, n_line, n_heap in CLASSES
+    ]

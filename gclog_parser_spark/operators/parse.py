@@ -1,0 +1,316 @@
+"""parse stage: pages → events DataFrame (SURVEY.md §2.2, §3.4).
+
+Two physical strategies with identical semantics and output schema:
+
+``stitch='narrow'`` (default) — **zero-shuffle**.  One page row holds one
+complete log, so line grouping + event stitching run inside a single
+``mapInPandas`` pass (Arrow-batched).  At the 100 TB design point this is
+the plan of choice: throughput scales linearly with executors because
+there is no exchange at all between the columnar scan and the event rows.
+
+``stitch='window'`` — the north-rule **window-based line grouping**
+(replaces the reference's recursive descent, Parser.scala:117-145):
+``posexplode`` the lines, classify them with *native* Spark predicates,
+**drop web filler before the shuffle** (the shuffle then carries only GC
+candidate lines — a small fraction of the corpus), assign
+``event_seq = sum(is_start) over (partition by url order by line_no)``,
+re-assemble blocks with a hash aggregate that *reuses the window's
+hash(url) partitioning* (no second exchange), and parse the stitched
+blocks in ``mapInPandas``.  Use this when a single log is too large for
+one task or when logs arrive pre-split in line-oriented chunks.
+
+Both plans keep all heavy lifting either in WholeStageCodegen (classify,
+group, re-assemble) or in Arrow-vectorized Python (block parse); there is
+no row-at-a-time Python UDF anywhere (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from datetime import timezone
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from gclog_parser_spark import core
+from gclog_parser_spark.datagen import CLOSE_MARK, OPEN_MARK
+from gclog_parser_spark.schema import EVENTS_SCHEMA
+
+# Native-Spark (Java regex) versions of the core classifier anchors — keep
+# in lockstep with core.classify_line.
+_TS = r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}[+-]\d{4}"
+_AGE = r"\d+\.\d+"
+GC_START_RLIKE = rf"^(?:{_TS}: )?{_AGE}: \["
+APPSTOP_START_RLIKE = (
+    rf"^(?:{_TS}: )?{_AGE}: Total time for which application threads "
+    rf"were stopped: {_AGE} seconds, Stopping threads took:"
+)
+CONT_RLIKE = (
+    r"^(?:Desired survivor size \d+ bytes,|- age |: \d+[KMG]->"
+    r"| ?\[[A-Za-z0-9 \-]+: )"
+)
+
+
+def extract_gc_text(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Columnar extraction of the embedded log: the bytes strictly between
+    OPEN_MARK and CLOSE_MARK (datagen layout).  ``substring_index`` stays
+    in WholeStageCodegen; the contains() pre-filter is pushed into the
+    scan so pages without logs are skipped before any string surgery."""
+    c = F.col(text_col)
+    gc_text = F.substring_index(
+        F.substring_index(c, OPEN_MARK + "\n", -1), CLOSE_MARK, 1
+    )
+    return pages.where(c.contains(OPEN_MARK)).select(
+        "url", "warc_ts", gc_text.alias("gc_text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-dict → schema record
+# ---------------------------------------------------------------------------
+
+def _event_record(url, warc_ts, event_idx, line_no, ev):
+    heap = ev["heap"]
+    t = ev["time"]
+    promoted = core.promoted_bytes(ev)
+    tenuring = ev["tenuring"]
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "event_idx": event_idx,
+        "line_no": line_no,
+        "event_time": (
+            t.astimezone(timezone.utc).replace(tzinfo=None)
+            if t is not None
+            else None
+        ),
+        "tz_offset": core.tz_offset_str(t),
+        "jvm_age_seconds": ev["age"],
+        "gc_class": (
+            "detailed" if ev["regions"] else ev["gc_class"]
+        ),
+        "gc_type": ev["gc_type"],
+        "gc_cause": ev["gc_cause"],
+        "heap_before_bytes": core.to_bytes(heap[0]) if heap else None,
+        "heap_after_bytes": core.to_bytes(heap[1]) if heap else None,
+        "heap_max_bytes": core.to_bytes(heap[2]) if heap else None,
+        "heap_reclaimed_bytes": (
+            core.reclaimed_bytes(heap) if heap else None
+        ),
+        "pause_seconds": ev["pause"],
+        "generations": [
+            {
+                "name": g[0],
+                "before_bytes": core.to_bytes(g[1]),
+                "after_bytes": core.to_bytes(g[2]),
+                "capacity_bytes": core.to_bytes(g[3]),
+            }
+            for g in ev["generations"]
+        ],
+        "regions": [
+            {
+                "name": r[0],
+                "used_before": r[1],
+                "used_after": r[2],
+                "capacity_before": r[3],
+                "capacity_after": r[4],
+            }
+            for r in ev["regions"]
+        ],
+        "promoted_bytes": promoted,
+        "desired_survivor_size": int(tenuring[0]) if tenuring else None,
+        "new_threshold": int(tenuring[1]) if tenuring else None,
+        "stopped_seconds": ev.get("stopped"),
+        "seconds_to_stop": ev.get("to_stop"),
+    }
+
+
+_COLUMNS = [f.name for f in EVENTS_SCHEMA.fields]
+
+
+def _records_to_pdf(records) -> pd.DataFrame:
+    if not records:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in _COLUMNS})
+    return pd.DataFrame.from_records(records, columns=_COLUMNS)
+
+
+def _parse_block(block: str, heap_stats: bool):
+    """Parse one stitched block; malformed blocks vanish like the
+    reference's IgnoredLine (Parser.scala:75)."""
+    try:
+        if heap_stats:
+            if block.startswith("{"):
+                return core.parse_heap_block(block)
+            ev = core.parse_gc_line(block)
+            return ev if ev and ev["gc_class"] == "app_stopped" else None
+        return core.parse_gc_line(block)
+    except ValueError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# narrow path
+# ---------------------------------------------------------------------------
+
+def _parse_pages_fn(heap_stats: bool):
+    def fn(iterator):
+        for pdf in iterator:
+            records = []
+            for url, wts, text in zip(
+                pdf["url"], pdf["warc_ts"], pdf["gc_text"]
+            ):
+                idx = 0
+                for line_no, block in core.split_blocks_pos(
+                    text, heap_stats
+                ):
+                    ev = _parse_block(block, heap_stats)
+                    if ev is not None:
+                        records.append(
+                            _event_record(url, wts, idx, line_no, ev)
+                        )
+                        idx += 1
+            yield _records_to_pdf(records)
+
+    return fn
+
+
+def parse_events_narrow(
+    pages: DataFrame, mode: str = "gc_line"
+) -> DataFrame:
+    src = extract_gc_text(pages)
+    return src.mapInPandas(
+        _parse_pages_fn(mode == "heap_stats"), EVENTS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# window path
+# ---------------------------------------------------------------------------
+
+def _parse_blocks_fn(heap_stats: bool):
+    def fn(iterator):
+        for pdf in iterator:
+            records = []
+            for url, wts, line_no, block in zip(
+                pdf["url"], pdf["warc_ts"], pdf["line_no"], pdf["block"]
+            ):
+                ev = _parse_block(block, heap_stats)
+                if ev is not None:
+                    # event_idx re-derived below by a row_number window
+                    records.append(
+                        _event_record(url, wts, -1, int(line_no), ev)
+                    )
+            yield _records_to_pdf(records)
+
+    return fn
+
+
+def parse_events_window(
+    pages: DataFrame, mode: str = "gc_line"
+) -> DataFrame:
+    heap_stats = mode == "heap_stats"
+    src = extract_gc_text(pages)
+
+    line = F.col("line")
+    lines = src.select(
+        "url",
+        "warc_ts",
+        F.posexplode(F.split("gc_text", "\n")).alias("line_no", "line"),
+    )
+    is_start = line.rlike(GC_START_RLIKE) | line.rlike(
+        APPSTOP_START_RLIKE
+    )
+    is_cont = line.rlike(CONT_RLIKE)
+    if heap_stats:
+        is_open = line.startswith("{Heap before")
+        is_close = F.rtrim(line) == "}"
+        # region lines are space-prefixed; the bare 'Heap after ...'
+        # header must survive the pre-shuffle filter too
+        is_cont = (
+            is_cont
+            | line.startswith(" ")
+            | line.rlike(r"^\{?Heap (before|after)")
+        )
+        keep = is_start | is_cont | is_open | is_close
+    else:
+        is_open = F.lit(False)
+        is_close = F.lit(False)
+        keep = is_start | is_cont
+
+    # Filler is dropped HERE, map-side, before the one shuffle: the
+    # exchange carries only GC-candidate lines.
+    lines = lines.where(keep).select(
+        "url",
+        "warc_ts",
+        "line_no",
+        "line",
+        is_start.alias("is_start"),
+        is_open.cast("int").alias("opens"),
+        is_close.cast("int").alias("closes"),
+    )
+
+    w_prev = (
+        Window.partitionBy("url")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cur = (
+        Window.partitionBy("url")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    depth = (
+        F.coalesce(F.sum("opens").over(w_prev), F.lit(0))
+        - F.coalesce(F.sum("closes").over(w_prev), F.lit(0))
+    )
+    eff_start = (
+        ((F.col("opens") == 1) | F.col("is_start")) & (depth == 0)
+        if heap_stats
+        else F.col("is_start")
+    )
+    lines = lines.withColumn(
+        "event_seq", F.sum(eff_start.cast("int")).over(w_cur)
+    ).where(F.col("event_seq") > 0)
+
+    # Re-assemble blocks natively.  The hash aggregate's clustering on
+    # (url, event_seq) is satisfied by the window's hash(url) exchange,
+    # so this does NOT shuffle again.
+    blocks = lines.groupBy("url", "warc_ts", "event_seq").agg(
+        F.min("line_no").alias("line_no"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("line_no", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("block"),
+    )
+
+    events = blocks.select(
+        "url", "warc_ts", "line_no", "block"
+    ).mapInPandas(_parse_blocks_fn(heap_stats), EVENTS_SCHEMA)
+
+    # Gap-free per-url event index (events DF is tiny vs the line stream).
+    w_idx = Window.partitionBy("url").orderBy("line_no")
+    return events.withColumn(
+        "event_idx", (F.row_number().over(w_idx) - 1).cast("int")
+    )
+
+
+def parse_events(
+    pages: DataFrame, mode: str = "gc_line", stitch: str = "narrow"
+) -> DataFrame:
+    """Public API (reference ``Parser.parseLog`` /
+    ``parseWithHeapStats``, Parser.scala:119-132; JavaParser.java:7-11).
+
+    mode: 'gc_line' | 'heap_stats'; stitch: 'narrow' | 'window'.
+    """
+    if mode not in ("gc_line", "heap_stats"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if stitch == "narrow":
+        return parse_events_narrow(pages, mode)
+    if stitch == "window":
+        return parse_events_window(pages, mode)
+    raise ValueError(f"unknown stitch {stitch!r}")

@@ -23,7 +23,7 @@ from gclog_parser_spark.functions.export import (
     tsv_lines,
 )
 
-RES = Path(__file__).parent / "resources"
+RES = Path(__file__).parent.parent / "gclog_parser_spark" / "resources"
 
 PLUS11 = timezone(timedelta(hours=11))
 
