@@ -1,38 +1,354 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship parse → enrich → route → aggregate pipeline
+at sf0.001.  ``queries()`` / ``oracle_sql()`` — per-operator Spark
+callables and their DuckDB-SQL equivalents (run by the driver at sf0.01,
+compared row-count + schema + order-insensitive value-hash).
+
+The GC oracles are a genuinely independent second implementation: the
+whole pipeline (deterministic page synthesis, line explode, window event
+grouping, regex extraction, rates, region pairing) re-expressed in pure
+DuckDB SQL (gclog_parser_spark/oracle.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from gclog_parser_spark import oracle
+from gclog_parser_spark.datagen import pages_from_documents
+from gclog_parser_spark.operators.aggregate import per_sink_hourly
+from gclog_parser_spark.operators.enrich import explode_region_deltas
+from gclog_parser_spark.operators.parse import parse_events
+from gclog_parser_spark.operators.rates import with_rates
+from gclog_parser_spark.operators.route import with_sink
+
+
+def _events(spark: SparkSession, sf_dir: str, mode: str = "gc_line"):
+    pages = pages_from_documents(spark, sf_dir)
+    return parse_events(pages, mode=mode, stitch="narrow")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse GC events out of Common-Crawl-style pages, enrich
+    with the collector-family dim, route, aggregate per (sink, hour)."""
+    events = _events(spark, "/root/testdata/sf0.001")
+    return per_sink_hourly(with_sink(events))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+_MICROS = 10_000_000  # pause seconds → 0.1µs ticks (exact in BIGINT)
+
+
+def _pause_ticks(col):
+    return F.round(F.col(col) * _MICROS).cast("long")
+
+
+def q_gc_event_counts(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("gc_class", "gc_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.countDistinct("url").alias("urls"),
+        )
+    )
+
+
+def q_gc_events_full(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "url",
+        "event_idx",
+        F.unix_millis("event_time").alias("event_epoch_ms"),
+        "tz_offset",
+        "jvm_age_seconds",
+        "gc_class",
+        "gc_type",
+        "gc_cause",
+        "heap_before_bytes",
+        "heap_after_bytes",
+        "heap_max_bytes",
+        "heap_reclaimed_bytes",
+        "pause_seconds",
+        F.size("generations").alias("gen_count"),
+        "promoted_bytes",
+        "desired_survivor_size",
+        "new_threshold",
+        "stopped_seconds",
+        "seconds_to_stop",
+    )
+
+
+def q_gc_rates(spark, sf_dir):
+    return with_rates(_events(spark, sf_dir)).select(
+        "url",
+        "event_idx",
+        "bytes_allocated_since_last",
+        "millis_since_last",
+        "heap_allocation_rate",
+        "promotion_rate",
+    )
+
+
+def q_gc_pause_by_family(spark, sf_dir):
+    return (
+        with_sink(_events(spark, sf_dir))
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(_pause_ticks("pause_seconds")).alias("pause_ticks_sum"),
+        )
+    )
+
+
+def q_gc_per_sink_hourly(spark, sf_dir):
+    agg = per_sink_hourly(with_sink(_events(spark, sf_dir)), exact=True)
+    return agg.select(
+        "sink",
+        F.unix_seconds("hour").alias("hour_epoch"),
+        "events",
+        "heap_reclaimed_sum",
+        F.round("pause_p50", 6).alias("pause_p50"),
+        F.round("pause_p99", 6).alias("pause_p99"),
+    )
+
+
+def q_gc_appstopped(spark, sf_dir):
+    ev = _events(spark, sf_dir).where(F.col("gc_class") == "app_stopped")
+    return ev.agg(
+        F.count("*").alias("events"),
+        F.sum(_pause_ticks("stopped_seconds")).alias("stopped_ticks_sum"),
+        F.sum(_pause_ticks("seconds_to_stop")).alias("to_stop_ticks_sum"),
+    )
+
+
+def q_gc_region_deltas(spark, sf_dir):
+    detailed = _events(spark, sf_dir, mode="heap_stats").where(
+        F.col("gc_class") == "detailed"
+    )
+    w = Window.partitionBy("url").orderBy("line_no")
+    detailed = detailed.withColumn(
+        "block_idx", (F.row_number().over(w) - 1).cast("int")
+    )
+    flat = detailed.select(
+        "url", "block_idx", F.posexplode("regions").alias("region_pos", "r")
+    )
+    return flat.select(
+        "url",
+        "block_idx",
+        "region_pos",
+        F.col("r.name").alias("region_name"),
+        F.col("r.used_before").alias("used_before"),
+        F.col("r.used_after").alias("used_after"),
+        F.col("r.capacity_before").alias("capacity_before"),
+        F.col("r.capacity_after").alias("capacity_after"),
+    )
+
+
+def q_gc_region_kind_rollup(spark, sf_dir):
+    flat = explode_region_deltas(_events(spark, sf_dir, mode="heap_stats"))
+    to_b = (
+        F.regexp_extract("used_before", r"(\d+)", 1).cast("long")
+        * F.when(F.col("used_before").endswith("K"), 1024)
+        .when(F.col("used_before").endswith("M"), 1024 * 1024)
+        .when(F.col("used_before").endswith("G"), 1024**3)
+        .otherwise(1)
+    )
+    return flat.groupBy("kind").agg(
+        F.count("*").alias("regions"),
+        F.sum(to_b).alias("used_before_bytes_sum"),
+    )
+
+
+def q_gc_heap_mode_counts(spark, sf_dir):
+    return (
+        _events(spark, sf_dir, mode="heap_stats")
+        .groupBy("gc_class")
+        .agg(F.count("*").alias("events"))
+    )
+
+
+# --- relational operators over the TPC-H-ish tables (SURVEY.md §2.5) --------
+
+
+def q_rel_agg_lineitem(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation (group + multi-agg, exact sums as
+    scaled BIGINT)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .alias("sum_price_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_rel_topk_orders(spark, sf_dir):
+    """Top-3 orders per customer (window + rank; deterministic
+    tie-break)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+def q_rel_join_agg(spark, sf_dir):
+    """Broadcast join orders→customer + rollup by market segment."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(
+            F.broadcast(cust),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("revenue_cents"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "gc_event_counts": q_gc_event_counts,
+        "gc_events_full": q_gc_events_full,
+        "gc_rates": q_gc_rates,
+        "gc_pause_by_family": q_gc_pause_by_family,
+        "gc_per_sink_hourly": q_gc_per_sink_hourly,
+        "gc_appstopped": q_gc_appstopped,
+        "gc_region_deltas": q_gc_region_deltas,
+        "gc_region_kind_rollup": q_gc_region_kind_rollup,
+        "gc_heap_mode_counts": q_gc_heap_mode_counts,
+        "rel_agg_lineitem": q_rel_agg_lineitem,
+        "rel_topk_orders": q_rel_topk_orders,
+        "rel_join_agg": q_rel_join_agg,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    g = oracle.gcline_prefix
+    h = oracle.heap_prefix
+    fam = oracle.family_values()
+    kind = oracle.kind_values()
+    ticks = "CAST(round({} * 10000000) AS BIGINT)"
+    out = {}
+
+    out["gc_event_counts"] = g() + (
+        "SELECT gc_class, gc_type, count(*) AS events,"
+        " count(DISTINCT url) AS urls FROM gc_events GROUP BY 1, 2"
+    )
+
+    out["gc_events_full"] = g() + (
+        "SELECT url, event_idx, event_epoch_ms, tz_offset,"
+        " jvm_age_seconds, gc_class, gc_type, gc_cause,"
+        " heap_before_bytes, heap_after_bytes, heap_max_bytes,"
+        " heap_reclaimed_bytes, pause_seconds, gen_count,"
+        " promoted_bytes, desired_survivor_size, new_threshold,"
+        " stopped_seconds, seconds_to_stop FROM gc_events"
+    )
+
+    out["gc_rates"] = g(oracle.RATED_CTE) + (
+        "SELECT url, event_idx, bytes_allocated_since_last,"
+        " millis_since_last, heap_allocation_rate, promotion_rate"
+        " FROM rates"
+    )
+
+    out["gc_pause_by_family"] = g(fam) + (
+        "SELECT coalesce(f.family, CASE WHEN e.gc_type LIKE 'CMS%'"
+        " THEN 'cms_concurrent' ELSE 'other' END) AS family,"
+        " count(*) AS events, CAST(sum("
+        + ticks.format("e.pause_seconds")
+        + ") AS BIGINT) AS pause_ticks_sum"
+        " FROM gc_events e LEFT JOIN family_dim f USING (gc_type)"
+        " GROUP BY 1"
+    )
+
+    out["gc_per_sink_hourly"] = g(fam) + (
+        "SELECT coalesce(f.family, CASE WHEN e.gc_type LIKE 'CMS%'"
+        " THEN 'cms_concurrent' ELSE 'other' END) AS sink,"
+        " CAST(epoch(date_trunc('hour', e.warc_ts)) AS BIGINT)"
+        "   AS hour_epoch,"
+        " count(*) AS events,"
+        " CAST(sum(e.heap_reclaimed_bytes) AS BIGINT) AS heap_reclaimed_sum,"
+        " round(quantile_cont(e.pause_seconds, 0.5), 6) AS pause_p50,"
+        " round(quantile_cont(e.pause_seconds, 0.99), 6) AS pause_p99"
+        " FROM gc_events e LEFT JOIN family_dim f USING (gc_type)"
+        " GROUP BY 1, 2"
+    )
+
+    out["gc_appstopped"] = g() + (
+        "SELECT count(*) AS events,"
+        " CAST(sum(" + ticks.format("stopped_seconds") + ") AS BIGINT) AS stopped_ticks_sum,"
+        " CAST(sum(" + ticks.format("seconds_to_stop") + ") AS BIGINT) AS to_stop_ticks_sum"
+        " FROM gc_events WHERE gc_class = 'app_stopped'"
+    )
+
+    out["gc_region_deltas"] = h() + (
+        "SELECT url, block_idx, region_pos, region_name, used_before,"
+        " used_after, capacity_before, capacity_after FROM region_deltas"
+    )
+
+    out["gc_region_kind_rollup"] = h(kind) + (
+        "SELECT coalesce(k.kind, 'other') AS kind, count(*) AS regions,"
+        " CAST(sum(" + oracle._b("r.used_before") + ") AS BIGINT) AS used_before_bytes_sum"
+        " FROM region_deltas r LEFT JOIN kind_dim k USING (region_name)"
+        " GROUP BY 1"
+    )
+
+    out["gc_heap_mode_counts"] = h() + oracle._expand(
+        "SELECT 'detailed' AS gc_class, count(*) AS events FROM"
+        " (SELECT DISTINCT url, event_seq FROM region_lines)"
+        " UNION ALL "
+        "SELECT 'app_stopped' AS gc_class, count(*) AS events FROM hdepth2"
+        " WHERE depth = 0 AND regexp_matches(line,"
+        " '^(@TS@: )?@AGE@: " + oracle.APPSTOP_BODY + "')"
+    )
+
+    out["rel_agg_lineitem"] = (
+        "SELECT l_returnflag, l_linestatus,"
+        " round(sum(l_quantity), 2) AS sum_qty,"
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+        "   AS BIGINT) AS sum_price_cents,"
+        " count(*) AS count_order"
+        " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+        " GROUP BY 1, 2"
+    )
+
+    out["rel_topk_orders"] = (
+        "SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey FROM ("
+        " SELECT o_custkey, o_orderkey, row_number() OVER ("
+        "  PARTITION BY o_custkey"
+        "  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk"
+        " FROM orders) WHERE rnk <= 3"
+    )
+
+    out["rel_join_agg"] = (
+        "SELECT c.c_mktsegment, count(*) AS orders,"
+        " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))"
+        "   AS BIGINT) AS revenue_cents"
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        " GROUP BY 1"
+    )
+    return out

@@ -1,0 +1,91 @@
+"""Per-sink aggregates (north rule; FIXTURES.md §5).
+
+Per ``(sink, hour(warc_ts))``: exact event counts, exact heap-reclaimed
+sums, pause p50/p99.
+
+Skew note (SURVEY.md §4): the datagen puts ~70 % of pages in one hot
+hour.  For *algebraic* aggregates (count/sum) Spark's hash aggregate
+already does map-side partial aggregation — each map task emits one
+partial row per (sink, hour), so the hot key arrives at the reducer
+pre-collapsed and salting adds nothing but a second shuffle.  The
+explicit two-stage salted variant is still provided
+(``per_sink_hourly_salted``) for the pattern's sake and for future
+non-collapsible aggregates; benchmarks compare both.  Percentiles use
+``percentile_approx`` (a partially-mergeable sketch, so it too
+pre-aggregates map-side).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from gclog_parser_spark.operators.route import with_sink
+
+ACCURACY = 10000
+
+
+def per_sink_hourly(events: DataFrame, exact: bool = False) -> DataFrame:
+    """count / heap-reclaimed sum / pause p50+p99 per (sink, hour).
+
+    ``exact=True`` swaps approx percentiles for exact ``percentile`` —
+    used when matching the DuckDB oracle at small scale; production uses
+    the sketch.
+    """
+    routed = events if "sink" in events.columns else with_sink(events)
+    pct = (
+        F.expr("percentile(pause_seconds, array(0.5, 0.99))")
+        if exact
+        else F.percentile_approx(
+            "pause_seconds", F.array(F.lit(0.5), F.lit(0.99)), F.lit(ACCURACY)
+        )
+    )
+    return (
+        routed.groupBy(
+            "sink", F.date_trunc("hour", "warc_ts").alias("hour")
+        )
+        .agg(
+            F.count("*").alias("events"),
+            F.sum("heap_reclaimed_bytes").alias("heap_reclaimed_sum"),
+            pct.alias("pause_pcts"),
+        )
+        .select(
+            "sink",
+            "hour",
+            "events",
+            "heap_reclaimed_sum",
+            F.col("pause_pcts")[0].alias("pause_p50"),
+            F.col("pause_pcts")[1].alias("pause_p99"),
+        )
+    )
+
+
+def per_sink_hourly_salted(
+    events: DataFrame, salt_buckets: int = 16
+) -> DataFrame:
+    """Explicit two-stage salted aggregation for the algebraic measures:
+    stage 1 groups by (sink, hour, hash(url) % salt) — the hot hour fans
+    out over `salt_buckets` reducers — stage 2 merges the partials."""
+    routed = events if "sink" in events.columns else with_sink(events)
+    salted = routed.withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(
+        "sink", F.date_trunc("hour", "warc_ts").alias("hour"), "salt"
+    ).agg(
+        F.count("*").alias("pc"),
+        F.sum("heap_reclaimed_bytes").alias("ps"),
+    )
+    return partial.groupBy("sink", "hour").agg(
+        F.sum("pc").alias("events"),
+        F.sum("ps").alias("heap_reclaimed_sum"),
+    )
+
+
+def events_per_collector(events: DataFrame) -> DataFrame:
+    """Counts per broadcast-joined collector family (FIXTURES.md §5)."""
+    routed = events if "family" in events.columns else with_sink(events)
+    return routed.groupBy("family").agg(
+        F.count("*").alias("events"),
+        F.sum("heap_reclaimed_bytes").alias("heap_reclaimed_sum"),
+    )

@@ -1,0 +1,376 @@
+"""DuckDB oracle SQL for the driver correctness gate.
+
+Each Spark query in ``__spark_entry__.queries()`` has an equivalent ANSI
+SQL here that DuckDB runs against the same parquet tables.  The oracle
+re-implements the whole pipeline — deterministic page synthesis, line
+explode, window-based event grouping, regex field extraction, rates,
+heap-region pairing — **in pure SQL**, so the comparison is a genuinely
+independent second implementation, not a copy of expected numbers.
+
+Everything is generated from the same single sources of truth the Spark
+side uses: fixture bytes (fixtures.py), dim rows (schema.py) and the
+datagen arithmetic (datagen.py), so the two sides cannot drift.
+
+Dialect notes (verified against duckdb 1.0):
+* ``strptime %g`` = milliseconds; ``//`` = integer division truncating
+  toward zero (JVM/Spark ``div`` parity);
+* ``regexp_*`` is RE2 — no lookbehind, so the 'bare heap delta' (the
+  first ``A->B(C)`` not belonging to a ``[Name: ...`` generation,
+  Parser.scala:37) is matched by requiring a non-colon before the
+  preceding space;
+* ``CAST(double AS BIGINT)`` rounds — ``trunc()`` first for the
+  reference's ``(seconds*1000).toLong`` truncation.
+"""
+
+from __future__ import annotations
+
+from gclog_parser_spark.fixtures import all_classes
+from gclog_parser_spark.schema import COLLECTOR_FAMILY_ROWS, HEAP_REGION_ROWS
+
+# ---------------------------------------------------------------------------
+# lexical pieces (kept in lockstep with core.py)
+# ---------------------------------------------------------------------------
+
+TS = r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}[+-]\d{4}"
+AGE = r"\d+\.\d+"
+SIZE = r"\d+[KMG]"
+
+APPSTOP_BODY = (
+    "Total time for which application threads were stopped: @AGE@ "
+    "seconds, Stopping threads took:"
+)
+GEN_PATTERN = (
+    r"\[([A-Za-z0-9 \-]+)"
+    r"(\nDesired survivor size \d+ bytes, new threshold \d+ "
+    r"\([^\n]*(\n- age[^\n]*)*\n)?"
+    r": (@SIZE@)->(@SIZE@)\((@SIZE@)\)"
+)
+
+
+def _expand(sql: str) -> str:
+    return (
+        sql.replace("@TS@", TS).replace("@AGE@", AGE).replace("@SIZE@", SIZE)
+    )
+
+
+def _q(s: str) -> str:
+    """SQL string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _b(expr: str) -> str:
+    """to_bytes(expr) as SQL (SuffixExpander semantics + K/M/G ladder,
+    '%' → ×1)."""
+    return (
+        f"(CAST(rtrim({expr}, 'KMG%') AS BIGINT) * "
+        f"CASE right({expr}, 1) WHEN 'K' THEN 1024 "
+        f"WHEN 'M' THEN 1048576 WHEN 'G' THEN 1073741824 ELSE 1 END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared CTE prefix
+# ---------------------------------------------------------------------------
+
+def fixtures_values() -> str:
+    rows = ",\n    ".join(
+        f"({cid}, {_q(name)}, {_q(text)})"
+        for cid, name, text, _, _ in all_classes()
+    )
+    return f"fixtures(class_id, class_name, fixture_text) AS (VALUES\n    {rows})"
+
+
+def family_values() -> str:
+    rows = ", ".join(f"({_q(t)}, {_q(f)})" for t, f in COLLECTOR_FAMILY_ROWS)
+    return f"family_dim(gc_type, family) AS (VALUES {rows})"
+
+
+def kind_values() -> str:
+    rows = ", ".join(f"({_q(t)}, {_q(f)})" for t, f in HEAP_REGION_ROWS)
+    return f"kind_dim(region_name, kind) AS (VALUES {rows})"
+
+
+#: pages synthesis — mirrors datagen._page_cols arithmetic exactly
+PAGES_CTE = """pages AS (
+  SELECT
+    'https://logs.example/' || f.class_name || '/' ||
+      CAST(d.doc_id AS VARCHAR) AS url,
+    TIMESTAMP '2016-11-10 00:00:00'
+      + to_hours(CASE WHEN d.doc_id % 100 < 70 THEN 4
+                      ELSE CAST(d.doc_id % 24 AS INT) END)
+      + to_minutes(CAST(d.doc_id % 60 AS INT)) AS warc_ts,
+    f.fixture_text AS gc_text
+  FROM documents d
+  JOIN fixtures f ON f.class_id = CAST(d.doc_id % 10 AS INT)
+)"""
+
+LINES_CTE = """lines AS (
+  SELECT url, warc_ts,
+         generate_subscripts(string_split(gc_text, chr(10)), 1) - 1
+           AS line_no,
+         unnest(string_split(gc_text, chr(10))) AS line
+  FROM pages
+)"""
+
+FLAGGED_CTE = _expand(
+    """flagged AS (
+  SELECT *,
+    (regexp_matches(line, '^(@TS@: )?@AGE@: \\[')
+     OR regexp_matches(line, '^(@TS@: )?@AGE@: """
+    + APPSTOP_BODY
+    + """')) AS is_start
+  FROM lines
+)"""
+)
+
+# GcLine-mode grouping: block per start line (Parser.scala:75 semantics)
+BLOCKS_CTE = """grp AS (
+  SELECT *,
+         sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY url ORDER BY line_no) AS event_seq
+  FROM flagged
+),
+blocks AS (
+  SELECT url, warc_ts, event_seq, min(line_no) AS line_no,
+         string_agg(line, chr(10) ORDER BY line_no) AS block
+  FROM grp WHERE event_seq > 0
+  GROUP BY url, warc_ts, event_seq
+)"""
+
+PARSED_CTE = _expand(
+    """parsed AS (
+  SELECT url, warc_ts, line_no,
+    nullif(regexp_extract(block, '^(@TS@): ', 1), '') AS ts_str,
+    CAST(regexp_extract(block, '^(?:@TS@: )?(@AGE@): ', 1) AS DOUBLE)
+      AS age,
+    regexp_matches(block,
+      '^(?:@TS@: )?@AGE@: """
+    + APPSTOP_BODY
+    + """') AS is_app,
+    trim(regexp_extract(block,
+      '^(?:@TS@: )?@AGE@: \\[([A-Za-z\\- ]*)', 1)) AS type0,
+    nullif(regexp_extract(block,
+      '^(?:@TS@: )?@AGE@: \\[[A-Za-z\\- ]*\\(([A-Za-z ]+)\\)', 1), '')
+      AS cause,
+    regexp_matches(block,
+      '^(?:@TS@: )?@AGE@: \\[[A-Za-z\\- ]*\\([A-Za-z ]+\\) *--')
+      AS flag2,
+    regexp_matches(block, '^(?:@TS@: )?@AGE@: \\[[A-Za-z\\- ]*\\]')
+      AS cms_immediate,
+    regexp_extract(block,
+      '(?:^|[^:]) (@SIZE@)->(@SIZE@)\\((@SIZE@)\\)', ['hb','ha','hc'])
+      AS heap,
+    CAST(list_extract(regexp_extract_all(block,
+      ', (@AGE@) secs\\]', 1), -1) AS DOUBLE) AS basic_pause,
+    CAST(nullif(regexp_extract(block,
+      ' real=(@AGE@) secs\\]', 1), '') AS DOUBLE) AS real_pause,
+    regexp_extract(block, '"""
+    + GEN_PATTERN
+    + """',
+      ['g_name','g_tn','g_agei','g_b','g_a','g_c']) AS gen1,
+    CAST(length(regexp_extract_all(block, '"""
+    + GEN_PATTERN
+    + """')) AS INT) AS gen_count,
+    nullif(regexp_extract(block,
+      'Desired survivor size (\\d+) bytes, new threshold (\\d+)',
+      ['d','t']).d, '') AS tenuring_desired,
+    nullif(regexp_extract(block,
+      'Desired survivor size (\\d+) bytes, new threshold (\\d+)',
+      ['d','t']).t, '') AS tenuring_threshold,
+    CAST(nullif(regexp_extract(block,
+      'stopped: (@AGE@) seconds, Stopping', 1), '') AS DOUBLE) AS stopped,
+    CAST(nullif(regexp_extract(block,
+      'Stopping threads took: (@AGE@) seconds', 1), '') AS DOUBLE)
+      AS to_stop
+  FROM blocks
+)"""
+)
+
+TYPED_CTE = """typed AS (
+  SELECT *,
+    CASE WHEN is_app THEN 'AppStopped'
+         ELSE type0 || CASE WHEN flag2 THEN '--' ELSE '' END END
+      AS gc_type,
+    CASE WHEN is_app THEN 'app_stopped'
+         WHEN (cause IS NULL AND type0 LIKE 'CMS%')
+           OR (cause LIKE 'CMS%') THEN 'cms'
+         ELSE 'basic' END AS gc_class
+  FROM parsed
+)"""
+
+EVENTS_ALL_CTE = f"""events_all AS (
+  SELECT url, warc_ts, line_no,
+    CASE WHEN ts_str IS NOT NULL THEN
+      epoch_ms(strptime(ts_str, '%Y-%m-%dT%H:%M:%S.%g%z')) END
+      AS event_epoch_ms,
+    CASE WHEN ts_str IS NOT NULL THEN right(ts_str, 5) END AS tz_offset,
+    age AS jvm_age_seconds, gc_class, gc_type, cause AS gc_cause,
+    CASE WHEN gc_class = 'basic' AND heap.hb <> ''
+         THEN {_b("heap.hb")} END AS heap_before_bytes,
+    CASE WHEN gc_class = 'basic' AND heap.hb <> ''
+         THEN {_b("heap.ha")} END AS heap_after_bytes,
+    CASE WHEN gc_class = 'basic' AND heap.hb <> ''
+         THEN {_b("heap.hc")} END AS heap_max_bytes,
+    CASE WHEN gc_class = 'basic' AND heap.hb <> ''
+         THEN {_b("heap.hb")} - {_b("heap.ha")} END
+      AS heap_reclaimed_bytes,
+    CASE gc_class
+      WHEN 'cms' THEN CASE WHEN cms_immediate THEN 0.0 ELSE real_pause END
+      WHEN 'basic' THEN basic_pause END AS pause_seconds,
+    CASE WHEN gc_class = 'basic' THEN gen_count ELSE 0 END AS gen_count,
+    CASE WHEN gc_class = 'basic' AND gc_type = 'GC' AND heap.hb <> ''
+              AND gen1.g_name <> '' AND lower(gen1.g_name) <> 'young'
+         THEN ({_b("gen1.g_b")} - {_b("gen1.g_a")})
+              - ({_b("heap.hb")} - {_b("heap.ha")}) END AS promoted_bytes,
+    CASE WHEN gc_class = 'basic'
+         THEN CAST(tenuring_desired AS BIGINT) END
+      AS desired_survivor_size,
+    CASE WHEN gc_class = 'basic'
+         THEN CAST(tenuring_threshold AS INT) END AS new_threshold,
+    CASE WHEN gc_class = 'app_stopped' THEN stopped END
+      AS stopped_seconds,
+    CASE WHEN gc_class = 'app_stopped' THEN to_stop END
+      AS seconds_to_stop
+  FROM typed
+)"""
+
+GC_EVENTS_CTE = """gc_events AS (
+  SELECT *,
+    CAST(row_number() OVER (PARTITION BY url ORDER BY line_no) - 1
+         AS INT) AS event_idx
+  FROM events_all
+  WHERE gc_class = 'app_stopped'
+     OR (gc_class = 'cms' AND pause_seconds IS NOT NULL)
+     OR (gc_class = 'basic' AND heap_before_bytes IS NOT NULL
+         AND pause_seconds IS NOT NULL)
+)"""
+
+RATED_CTE = """rated AS (
+  SELECT *,
+    CASE WHEN gc_class = 'app_stopped' THEN 0
+         WHEN prev IS NULL THEN coalesce(heap_before_bytes, 0)
+         WHEN heap_before_bytes IS NOT NULL
+              AND prev.heap_after IS NOT NULL
+           THEN heap_before_bytes - prev.heap_after
+         ELSE 0 END AS bytes_allocated_since_last,
+    CASE WHEN gc_class = 'app_stopped' THEN 0
+         WHEN prev IS NULL THEN age_ms
+         ELSE age_ms - prev.age_ms END AS millis_since_last
+  FROM (
+    SELECT *,
+      CAST(trunc(jvm_age_seconds * 1000) AS BIGINT) AS age_ms,
+      last_value(CASE WHEN gc_class <> 'app_stopped' THEN
+          struct_pack(
+            age_ms := CAST(trunc(jvm_age_seconds * 1000) AS BIGINT),
+            heap_after := heap_after_bytes)
+        END IGNORE NULLS) OVER (
+          PARTITION BY url ORDER BY event_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+    FROM gc_events)
+),
+rates AS (
+  SELECT *,
+    CASE WHEN millis_since_last = 0 THEN 0
+         ELSE bytes_allocated_since_last // millis_since_last END
+      AS heap_allocation_rate,
+    CASE WHEN promoted_bytes IS NOT NULL AND millis_since_last <> 0
+         THEN promoted_bytes // millis_since_last ELSE 0 END
+      AS promotion_rate
+  FROM rated
+)"""
+
+# --- heap-stats (-XX:+PrintHeapAtGC) mode ----------------------------------
+
+HEAP_GRP_CTE = _expand(
+    """hdepth AS (
+  SELECT *,
+    CASE WHEN line LIKE '{Heap before%' THEN 1 ELSE 0 END AS opens,
+    CASE WHEN trim(line) = '}' THEN 1 ELSE 0 END AS closes
+  FROM flagged
+),
+hdepth2 AS (
+  SELECT *,
+    coalesce(sum(opens - closes) OVER (
+      PARTITION BY url ORDER BY line_no
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS depth
+  FROM hdepth
+),
+hgrp AS (
+  SELECT *,
+    sum(CASE WHEN depth = 0 AND (opens = 1 OR is_start) THEN 1 ELSE 0 END)
+      OVER (PARTITION BY url ORDER BY line_no) AS event_seq
+  FROM hdepth2
+)"""
+)
+
+REGION_LINES_CTE = _expand(
+    """halves AS (
+  SELECT *,
+    max(CASE WHEN regexp_matches(line, '^.?Heap after') THEN 1 ELSE 0 END)
+      OVER (PARTITION BY url, event_seq ORDER BY line_no) AS after_half
+  FROM hgrp WHERE event_seq > 0
+),
+rl_raw AS (
+  SELECT url, warc_ts, event_seq, after_half, line_no,
+    regexp_extract(line,
+      '^ *([A-Za-z][A-Za-z\\- ]*?) +total (@SIZE@), used (@SIZE@)',
+      ['name','cap','used']) AS hs,
+    regexp_extract(line,
+      '^ *([a-zA-Z]+) +space +(@SIZE@), +(\\d+%) used',
+      ['name','cap','used']) AS ss,
+    regexp_extract(line,
+      '^ *([A-Za-z][A-Za-z\\- ]*?) +used (@SIZE@), capacity (@SIZE@)',
+      ['name','used','cap']) AS ms
+  FROM halves WHERE depth > 0
+),
+region_lines AS (
+  SELECT url, warc_ts, event_seq, after_half, line_no,
+    CASE WHEN hs.name <> '' THEN trim(hs.name)
+         WHEN ss.name <> '' THEN ss.name
+         ELSE trim(ms.name) END AS region_name,
+    CASE WHEN hs.name <> '' THEN hs.used
+         WHEN ss.name <> '' THEN ss.used
+         ELSE ms.used END AS used,
+    CASE WHEN hs.name <> '' THEN hs.cap
+         WHEN ss.name <> '' THEN ss.cap
+         ELSE ms.cap END AS cap
+  FROM rl_raw
+  WHERE (hs.name <> '' OR ms.name <> ''
+         OR (ss.name <> '' AND ss.name <> 'object'))
+),
+numbered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY url, event_seq, after_half ORDER BY line_no) AS rn
+  FROM region_lines
+),
+region_deltas AS (
+  SELECT b.url, b.warc_ts,
+    CAST(dense_rank() OVER (PARTITION BY b.url ORDER BY b.event_seq) - 1
+         AS INT) AS block_idx,
+    CAST(b.rn - 1 AS INT) AS region_pos,
+    b.region_name,
+    b.used AS used_before, a.used AS used_after,
+    b.cap AS capacity_before, a.cap AS capacity_after
+  FROM numbered b
+  JOIN numbered a ON a.url = b.url AND a.event_seq = b.event_seq
+                 AND a.rn = b.rn AND a.after_half = 1
+  WHERE b.after_half = 0
+)"""
+)
+
+
+def with_prefix(*ctes: str) -> str:
+    parts = [fixtures_values(), PAGES_CTE, LINES_CTE, FLAGGED_CTE]
+    parts.extend(ctes)
+    return "WITH " + ",\n".join(parts) + "\n"
+
+
+def gcline_prefix(*extra: str) -> str:
+    return with_prefix(
+        BLOCKS_CTE, PARSED_CTE, TYPED_CTE, EVENTS_ALL_CTE, GC_EVENTS_CTE,
+        *extra,
+    )
+
+
+def heap_prefix(*extra: str) -> str:
+    return with_prefix(HEAP_GRP_CTE, REGION_LINES_CTE, *extra)

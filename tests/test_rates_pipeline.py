@@ -1,0 +1,113 @@
+"""Window-based rates vs the reference scan semantics, plus
+enrich/route/aggregate stages."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from gclog_parser_spark import core
+from gclog_parser_spark.datagen import synth_pages
+from gclog_parser_spark.fixtures import fixture_text
+from gclog_parser_spark.operators.aggregate import (
+    events_per_collector,
+    per_sink_hourly,
+    per_sink_hourly_salted,
+)
+from gclog_parser_spark.operators.enrich import explode_region_deltas
+from gclog_parser_spark.operators.parse import parse_events
+from gclog_parser_spark.operators.rates import with_rates
+from gclog_parser_spark.operators.route import fanout_write, with_sink
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, 30, parallelism=4, with_meta=True).cache()
+
+
+@pytest.fixture(scope="module")
+def events(spark, pages):
+    return parse_events(pages, mode="gc_line", stitch="narrow").cache()
+
+
+def test_rates_match_reference_scan(spark, pages, events):
+    """Spark window rates == pure-Python RateCalculator scan for every url
+    of every fixture class (covers RateCalculatorTest.scala oracles at
+    scale)."""
+    rated = with_rates(events)
+    rows = rated.join(
+        pages.select("url", "gclog_class"), "url"
+    ).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault((r["url"], r["gclog_class"]), []).append(r)
+    assert by_url
+    for (url, cls), got in by_url.items():
+        got = sorted(got, key=lambda r: r["event_idx"])
+        ref_events = core.parse_log(fixture_text(cls))
+        ref_rates = core.calculate_rates(ref_events)
+        assert len(got) == len(ref_rates), url
+        for g, (alloc, millis, arate, prate) in zip(got, ref_rates):
+            assert g["bytes_allocated_since_last"] == alloc, url
+            assert g["millis_since_last"] == millis, url
+            assert g["heap_allocation_rate"] == arate, url
+            assert g["promotion_rate"] == prate, url
+
+
+def test_rates_appstopped_skipped(spark, events):
+    """AppStopped rows yield (0,0) and are transparent to neighbours
+    (RateCalculator.scala:15)."""
+    rated = with_rates(events).where(F.col("gc_class") == "app_stopped")
+    rows = rated.select(
+        "bytes_allocated_since_last", "millis_since_last"
+    ).distinct().collect()
+    assert rows == [] or [tuple(r) for r in rows] == [(0, 0)]
+
+
+def test_enrich_and_route(spark, events):
+    routed = with_sink(events)
+    fams = {r["sink"] for r in routed.select("sink").distinct().collect()}
+    assert "parallel_minor" in fams and "full" in fams
+    assert "app_stopped" in fams and "cms_concurrent" in fams
+    assert "promotion_failure" in fams
+    # broadcast join must appear in the physical plan
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_region_enrichment(spark, pages):
+    detailed = parse_events(pages, mode="heap_stats", stitch="narrow")
+    flat = explode_region_deltas(detailed)
+    kinds = dict(
+        flat.groupBy("kind").count().collect()
+    )
+    assert kinds.get("young") and kinds.get("old") and kinds.get(
+        "survivor_space"
+    )
+    assert "other" not in kinds  # dim covers the whole corpus
+
+
+def test_fanout_and_aggregate(spark, events, tmp_path):
+    out = str(tmp_path / "routed")
+    fanout_write(events, out, mode="overwrite")
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # partition pruning on the routing key
+    pruned = back.where(F.col("sink") == "full")
+    assert pruned.count() == events.where(
+        F.col("gc_type") == "Full GC"
+    ).count()
+
+    agg = per_sink_hourly(events, exact=True).collect()
+    assert sum(r["events"] for r in agg) == events.count()
+    salted = {
+        (r["sink"], r["hour"]): (r["events"], r["heap_reclaimed_sum"])
+        for r in per_sink_hourly_salted(events).collect()
+    }
+    for r in agg:
+        assert salted[(r["sink"], r["hour"])] == (
+            r["events"],
+            r["heap_reclaimed_sum"],
+        )
+
+    fam = {r["family"]: r["events"] for r in
+           events_per_collector(events).collect()}
+    assert sum(fam.values()) == events.count()
