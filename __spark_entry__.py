@@ -226,8 +226,105 @@ def q_rel_join_agg(spark, sf_dir):
     )
 
 
+# --- training-data pipeline operators (dedup / text / similarity /
+# multimodal) over the documents & embeddings tables ------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from gclog_parser_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    from gclog_parser_spark.operators.dedup import minhash_band_pairs
+
+    return minhash_band_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from gclog_parser_spark.operators.dedup import simhash_docs
+
+    return simhash_docs(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from gclog_parser_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    from gclog_parser_spark.operators.textstats import quality_stats
+
+    return quality_stats(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from gclog_parser_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    from gclog_parser_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from gclog_parser_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from gclog_parser_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_embs(spark, sf_dir))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from gclog_parser_spark.operators.similarity import lsh_bucket_topk
+
+    return lsh_bucket_topk(_embs(spark, sf_dir))
+
+
+def q_emb_neardup(spark, sf_dir):
+    from gclog_parser_spark.operators.similarity import neardup_pairs
+
+    return neardup_pairs(_embs(spark, sf_dir))
+
+
+def q_media_meta(spark, sf_dir):
+    from gclog_parser_spark.operators.multimodal import extract_media_meta
+
+    pages = pages_from_documents(spark, sf_dir)
+    return extract_media_meta(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_neardup": q_emb_neardup,
+        "media_meta": q_media_meta,
         "gc_event_counts": q_gc_event_counts,
         "gc_events_full": q_gc_events_full,
         "gc_rates": q_gc_rates,
@@ -248,6 +345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from gclog_parser_spark import oracle_text as ot
+
     g = oracle.gcline_prefix
     h = oracle.heap_prefix
     fam = oracle.family_values()
@@ -325,6 +424,19 @@ def oracle_sql() -> dict[str, str]:
         " WHERE depth = 0 AND regexp_matches(line,"
         " '^(@TS@: )?@AGE@: " + oracle.APPSTOP_BODY + "')"
     )
+
+    out["dedup_exact"] = ot.dedup_exact_sql()
+    out["dedup_minhash_pairs"] = ot.dedup_minhash_sql()
+    out["dedup_simhash"] = ot.dedup_simhash_sql()
+    out["dedup_jaccard"] = ot.dedup_jaccard_sql()
+    out["text_quality"] = ot.text_quality_sql()
+    out["lang_id"] = ot.lang_id_sql()
+    out["token_counts"] = ot.token_counts_sql()
+    out["doc_fingerprint"] = ot.doc_fingerprint_sql()
+    out["ann_cosine_topk"] = ot.ann_cosine_sql()
+    out["ann_lsh_topk"] = ot.ann_lsh_sql()
+    out["emb_neardup"] = ot.emb_neardup_sql()
+    out["media_meta"] = ot.media_meta_sql()
 
     out["rel_agg_lineitem"] = (
         "SELECT l_returnflag, l_linestatus,"

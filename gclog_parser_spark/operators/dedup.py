@@ -1,0 +1,214 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these run over a ``documents(doc_id, text, ...)`` table and are
+expressed with *native* Spark functions only (no Python UDFs): hashing
+is md5 (bit-identical across engines, so the DuckDB oracle can verify
+value-for-value), shingling is array-native, and every candidate
+generation step is a hash-partitioned join/groupBy — the shapes that
+scale to 10^12 documents:
+
+* exact:      one shuffle on the 128-bit content hash;
+* minhash:    signatures computed scan-side (no shuffle), candidate
+              pairs via an equi-join on (band_idx, band_hash) — shuffle
+              volume ∝ documents × bands, never ∝ pairs;
+* simhash:    scan-side signature + bucket-join on the signature;
+* n-gram Jaccard: verification join on exploded shingles, grouped —
+              shuffle ∝ (doc, shingle) postings, like a search index
+              build.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: number of minhash functions and LSH band layout
+NUM_HASHES = 8
+BANDS = 4  # rows per band = NUM_HASHES // BANDS = 2
+SHINGLE_K = 3  # word shingle width
+
+
+def md5_long(col):
+    """Portable 60-bit integer hash: first 15 hex chars of md5.
+    Identical in Spark (`conv`) and DuckDB (`CAST('0x'||... AS BIGINT)`)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _words(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles(col, k: int = SHINGLE_K):
+    """Ordered word k-shingles as an array column (native, no UDF)."""
+    w = _words(col)
+    n = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    return F.when(n > 0, F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min doc_id."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — sig[j] = min over shingles of
+    md5_long(j || ':' || shingle).  Computed entirely scan-side."""
+    sh = shingles(F.col("text")).alias("sh")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long"),
+            )
+        ),
+    )
+    return docs.select("doc_id", sh).select(
+        "doc_id", sig.alias("sig")
+    )
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing a full band of minhashes.
+
+    One row per (doc_a < doc_b, band_idx).  The join key is
+    (band_idx, band signature) so the shuffle carries doc×band rows —
+    this is the piece that keeps near-dup at 10^12 docs tractable."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes).where(
+        F.element_at("sig", 1).isNotNull()  # docs with no shingles
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    "_",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(rows)),
+                        lambda r: F.element_at(
+                            F.col("sig"), b * rows + r
+                        ).cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.band_idx").alias("band_idx"),
+        )
+    )
+
+
+def simhash_docs(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — classic simhash over word hashes, computed as
+    `bits` independent signed sums (native, no UDF)."""
+    w = F.explode(_words(F.col("text"))).alias("word")
+    h = md5_long(F.col("word"))
+    flat = docs.select("doc_id", w).select(
+        "doc_id", h.alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = flat.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, 2**b).otherwise(0)
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    bucket_col: str = "source",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """n-gram Jaccard similarity for candidate pairs within a bucket
+    (default: same `source`).  Computed relationally: explode distinct
+    shingles → self-join on shingle → |A∩B| by group; |A∪B| from per-doc
+    counts.  Shuffle ∝ postings, never materializes the pair matrix."""
+    sh = (
+        docs.select(
+            "doc_id",
+            F.col(bucket_col).alias("bucket"),
+            F.explode(F.array_distinct(shingles(F.col("text")))).alias(
+                "shingle"
+            ),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+    )
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out

@@ -300,15 +300,27 @@ def parse_events_window(
 
 
 def parse_events(
-    pages: DataFrame, mode: str = "gc_line", stitch: str = "narrow"
+    pages: DataFrame,
+    mode: str = "gc_line",
+    stitch: str = "narrow",
+    repartition: int | None = None,
 ) -> DataFrame:
     """Public API (reference ``Parser.parseLog`` /
     ``parseWithHeapStats``, Parser.scala:119-132; JavaParser.java:7-11).
 
     mode: 'gc_line' | 'heap_stats'; stitch: 'narrow' | 'window'.
+
+    ``repartition``: explicit url-hash repartition before the parse (the
+    north rule's 'explicit repartitioning on url-hash').  Use when the
+    upstream scan is unbalanced — e.g. few large input files, or a skewed
+    producer; at the 100 TB design point a well-bucketed Iceberg scan
+    makes this unnecessary for the narrow path, while the window path
+    re-clusters on url anyway.
     """
     if mode not in ("gc_line", "heap_stats"):
         raise ValueError(f"unknown mode {mode!r}")
+    if repartition:
+        pages = pages.repartition(repartition, "url")
     if stitch == "narrow":
         return parse_events_narrow(pages, mode)
     if stitch == "window":

@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is native `pyspark.sql.functions` (whole-stage codegen, no
+Python in the hot path) and deliberately portable to the DuckDB oracle:
+regex counting + md5-derived hashing only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from gclog_parser_spark.operators.dedup import shingles
+
+#: marker words per language for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "de", "y"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+#: BPE-ish tokenizer: letter runs, digit runs, single punctuation
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _count_re(col, pattern):
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def _marker_count(col, words):
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return _count_re(F.lower(col), pat)
+
+
+def quality_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality features + a composite score.
+
+    n_tokens, mean token length, punctuation ratio, stopword ratio —
+    the standard cheap web-text quality signals.
+    """
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = _count_re(text, TOKEN_RE)
+    n_words = _count_re(text, r"[A-Za-z]+")
+    n_punct = _count_re(text, r"[^A-Za-z0-9\s]")
+    n_stop = _marker_count(text, STOPWORDS)
+    mean_wlen = F.round(
+        _count_re(text, r"[A-Za-z]") / F.greatest(n_words, F.lit(1)), 6
+    )
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(n_tokens, F.lit(1)), 6)
+    score = F.round(
+        stop_ratio * 0.5
+        + F.least(mean_wlen / 8, F.lit(1.0)) * 0.3
+        + (1 - punct_ratio) * 0.2,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-word counts
+    (deterministic tie-break by language code; 'und' when no marker
+    hits)."""
+    text = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            _marker_count(text, ws).alias(f"s_{lang}")
+            for lang, ws in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier lang wins ties
+        pred = F.when(
+            (F.col(f"s_{lg}") == best) & (best > 0), F.lit(lg)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        pred.alias("pred_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token totals per source (the 'how many tokens is this corpus'
+    question every training pipeline asks)."""
+    return (
+        docs.select("source", _count_re(F.col("text"), TOKEN_RE).alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("t").alias("tokens"),
+            F.max("t").alias("max_doc_tokens"),
+        )
+    )
+
+
+def fingerprints(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Bottom-k sketch fingerprint: the k smallest md5-60bit hashes of
+    the document's word 3-shingles, joined into a stable string.  Equal
+    fingerprints ⇒ near-identical shingle sets (winnowing-style)."""
+    sh = F.array_distinct(shingles(F.col("text")))
+    hashes = F.array_sort(
+        F.transform(
+            sh,
+            lambda s: F.conv(
+                F.substring(F.md5(s), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+    fp = F.concat_ws("_", F.transform(
+        F.slice(hashes, 1, k), lambda h: h.cast("string")
+    ))
+    return docs.select("doc_id", fp.alias("fingerprint"))

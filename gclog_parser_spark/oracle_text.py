@@ -1,0 +1,273 @@
+"""DuckDB oracle SQL for the training-data operators (dedup, text
+analysis, similarity, multimodal) — independent SQL re-implementations
+of gclog_parser_spark/operators/{dedup,textstats,similarity,multimodal}.
+
+Hash portability: both engines compute md5 over utf-8 bytes; the 60-bit
+integer hash is the first 15 hex chars (Spark ``conv(...,16,10)``,
+DuckDB ``CAST('0x'||... AS BIGINT)``).  Dot products are cast to
+DOUBLE[] on both sides so accumulation is bit-identical.
+"""
+
+from __future__ import annotations
+
+from gclog_parser_spark.operators.dedup import (
+    BANDS,
+    NUM_HASHES,
+    SHINGLE_K,
+)
+from gclog_parser_spark.operators.similarity import plane_components
+from gclog_parser_spark.operators.textstats import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_RE,
+)
+from gclog_parser_spark.oracle import PAGES_CTE, fixtures_values
+
+
+def _hex60(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+SHINGLES_CTE = f"""words AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+    list_transform(
+      generate_series(1, greatest(len(w) - {SHINGLE_K - 1}, 0)),
+      i -> array_to_string(list_slice(w, i, i + {SHINGLE_K - 1}), ' ')
+    ) AS shingles
+  FROM words
+)"""
+
+
+def dedup_exact_sql() -> str:
+    return (
+        "SELECT md5(text) AS text_hash, count(*) AS n_docs,"
+        " min(doc_id) AS keeper_doc_id FROM documents GROUP BY 1"
+    )
+
+
+def dedup_minhash_sql() -> str:
+    rows = NUM_HASHES // BANDS
+    return f"""WITH {SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, {NUM_HASHES - 1}), j ->
+      list_min(list_transform(shingles, s ->
+        {_hex60("CAST(j AS VARCHAR) || ':' || s")}))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, CAST(b AS INT) AS band_idx,
+    array_to_string(
+      list_transform(generate_series(1, {rows}),
+        r -> CAST(sig[b * {rows} + r] AS VARCHAR)), '_') AS band_key
+  FROM sig, unnest(generate_series(0, {BANDS - 1})) AS t(b)
+  WHERE sig[1] IS NOT NULL
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band_idx
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id"""
+
+
+def dedup_simhash_sql(bits: int = 16) -> str:
+    bit_sum = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""WITH flat AS (
+  SELECT doc_id, {_hex60("word")} AS h FROM (
+    SELECT doc_id,
+      unnest(string_split_regex(trim(text), '\\s+')) AS word
+    FROM documents)
+),
+agg AS (SELECT doc_id, {bit_sum} FROM flat GROUP BY doc_id)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM agg"""
+
+
+def dedup_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""WITH {SHINGLES_CTE},
+postings AS (
+  SELECT DISTINCT doc_id, source AS bucket, unnest(shingles) AS shingle
+  FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM postings a JOIN postings b
+    ON a.shingle = b.shingle AND a.bucket = b.bucket
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.n + sb.n - i), 6) >= {threshold}"""
+
+
+def _count_re(expr: str, pattern: str) -> str:
+    # DuckDB single-quoted strings are escape-free: pass regex
+    # backslashes through verbatim
+    p = pattern.replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{p}'))"
+
+
+def _marker(expr: str, words) -> str:
+    return _count_re(f"lower({expr})", r"\b(" + "|".join(words) + r")\b")
+
+
+def text_quality_sql() -> str:
+    n_tokens = _count_re("text", TOKEN_RE)
+    n_words = _count_re("text", "[A-Za-z]+")
+    n_letters = _count_re("text", "[A-Za-z]")
+    n_punct = _count_re("text", r"[^A-Za-z0-9\s]")
+    n_stop = _marker("text", STOPWORDS)
+    return f"""SELECT doc_id,
+  length(text) AS n_chars,
+  {n_tokens} AS n_tokens,
+  {n_words} AS n_words,
+  round({n_letters} / greatest({n_words}, 1), 6) AS mean_word_len,
+  round({n_stop} / greatest({n_words}, 1), 6) AS stopword_ratio,
+  round({n_punct} / greatest({n_tokens}, 1), 6) AS punct_ratio,
+  round(
+    round({n_stop} / greatest({n_words}, 1), 6) * 0.5
+    + least(round({n_letters} / greatest({n_words}, 1), 6) / 8, 1.0) * 0.3
+    + (1 - round({n_punct} / greatest({n_tokens}, 1), 6)) * 0.2,
+  6) AS quality_score
+FROM documents"""
+
+
+def lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(
+        f"{_marker('text', LANG_MARKERS[lg])} AS s_{lg}" for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred = "'und'"
+    for lg in reversed(langs):
+        pred = (
+            f"CASE WHEN s_{lg} = {best} AND {best} > 0 "
+            f"THEN '{lg}' ELSE {pred} END"
+        )
+    return f"""WITH scored AS (
+  SELECT doc_id, lang, {scores} FROM documents
+)
+SELECT doc_id, lang AS declared_lang, {pred} AS pred_lang,
+  CAST({best} AS BIGINT) AS marker_hits
+FROM scored"""
+
+
+def token_counts_sql() -> str:
+    t = _count_re("text", TOKEN_RE)
+    return (
+        f"SELECT source, count(*) AS docs,"
+        f" CAST(sum({t}) AS BIGINT) AS tokens,"
+        f" CAST(max({t}) AS BIGINT) AS max_doc_tokens"
+        f" FROM documents GROUP BY 1"
+    )
+
+
+def doc_fingerprint_sql(k: int = 4) -> str:
+    return f"""WITH {SHINGLES_CTE},
+hashes AS (
+  SELECT doc_id,
+    list_sort(list_transform(list_distinct(shingles),
+      s -> {_hex60("s")})) AS hs
+  FROM sh
+)
+SELECT doc_id,
+  array_to_string(list_transform(list_slice(hs, 1, {k}),
+    h -> CAST(h AS VARCHAR)), '_') AS fingerprint
+FROM hashes"""
+
+
+_COS = (
+    "round(list_dot_product(e.embedding::DOUBLE[], q.q::DOUBLE[])"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
+    " e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[]))), 6)"
+)
+
+
+def ann_cosine_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""WITH q AS (
+  SELECT embedding AS q FROM embeddings WHERE vec_id = {query_vec_id}
+)
+SELECT e.vec_id, {_COS} AS sim
+FROM embeddings e, q
+WHERE e.vec_id <> {query_vec_id}
+ORDER BY sim DESC, e.vec_id ASC LIMIT {k}"""
+
+
+def _planes_sql() -> str:
+    comps = plane_components()
+    return ", ".join(
+        "(list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(str(c) for c in p)
+        + "]::DOUBLE[]) >= 0)"
+        for p in comps
+    )
+
+
+def ann_lsh_sql(query_vec_id: int = 0, k: int = 5) -> str:
+    bits = _planes_sql().split(", (")
+    bits = [b if b.startswith("(") else "(" + b for b in bits]
+    bucket = " || ".join(
+        f"(CASE WHEN {b} THEN '1' ELSE '0' END)" for b in bits
+    )
+    return f"""WITH buckets AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (
+  SELECT bucket AS qbucket, embedding AS q FROM buckets
+  WHERE vec_id = {query_vec_id}
+)
+SELECT e.vec_id, {_COS} AS sim
+FROM buckets e, q
+WHERE e.bucket = q.qbucket AND e.vec_id <> {query_vec_id}
+ORDER BY sim DESC, e.vec_id ASC LIMIT {k}"""
+
+
+def emb_neardup_sql(threshold: float = 0.9) -> str:
+    cos = (
+        "round(list_dot_product(a.embedding::DOUBLE[],"
+        " b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[],"
+        " a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[],"
+        " b.embedding::DOUBLE[]))), 6)"
+    )
+    return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  {cos} AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}"""
+
+
+def media_meta_sql() -> str:
+    """Rebuilds the page html text and verifies the mapInPandas media
+    metadata (byte sizes, magic sniff, fake-decode dims, digest)."""
+    html = (
+        "'<html><body>' || d.text || chr(10) ||"
+        " '<pre class=\"gclog\">' || chr(10) || f.fixture_text ||"
+        " '</pre><!--gclog-->' || chr(10) || d.text || '</body></html>'"
+    )
+    return f"""WITH {fixtures_values()},
+{PAGES_CTE.replace("f.fixture_text AS gc_text", f"{html} AS html_text")}
+SELECT url,
+  CAST(octet_length(encode(html_text)) AS BIGINT) AS n_bytes,
+  'html' AS magic, 'text' AS kind,
+  CAST(16 + CAST('0x' || substr(md5(substr(html_text, 1, 64)), 1, 2)
+    AS INT) % 64 AS INT) AS fake_width,
+  CAST(16 + CAST('0x' || substr(md5(substr(html_text, 1, 64)), 3, 2)
+    AS INT) % 64 AS INT) AS fake_height,
+  md5(html_text) AS content_digest
+FROM pages"""
