@@ -121,6 +121,118 @@ def to_seq_pairs(ev, rates=None):
     return out
 
 
+def row_export_pairs(row: dict):
+    """Ordered (name, string) export pairs from one **events-schema row**
+    (the Spark-side twin of ``to_seq_pairs``; same byte-identical output,
+    reconstructed from the fixed superset schema instead of the raw parse
+    dict).  ``row`` is a plain dict of the EVENTS_SCHEMA columns, with
+    ``event_time`` UTC-naive and ``tz_offset`` like '+1100'/None, plus
+    optional rate columns from ``with_rates``.
+    """
+    import datetime as _dt
+
+    def _null(v):
+        # Arrow/pandas hands nullable longs as NaN floats inside UDFs
+        if v is None:
+            return True
+        try:
+            return v != v
+        except Exception:
+            return False
+
+    def _i(v):
+        return str(int(v))
+
+    pairs = []
+    cls = row["gc_class"]
+    t = row.get("event_time")
+    if not _null(t):  # None driver-side, NaT inside pandas UDFs
+        off = row.get("tz_offset")
+        if off:
+            sign = 1 if off[0] == "+" else -1
+            delta = _dt.timedelta(
+                hours=int(off[1:3]), minutes=int(off[3:5])
+            )
+            t = t + sign * delta
+        pairs.append(
+            (
+                "datetime",
+                t.strftime("%Y-%m-%d %H:%M:%S.")
+                + f"{t.microsecond // 1000:03d}",
+            )
+        )
+    pairs.append(("age", fmt_double(row["jvm_age_seconds"])))
+    pairs.append(("type", row["gc_type"]))
+    if cls == "app_stopped":
+        pairs.append(("stoppedSeconds", "%f" % row["stopped_seconds"]))
+        pairs.append(("secondsToStop", "%f" % row["seconds_to_stop"]))
+    else:
+        if not _null(row.get("gc_cause")):
+            pairs.append(("cause", row["gc_cause"]))
+        pairs.append(("pause", fmt_double(row["pause_seconds"])))
+        if cls in ("basic", "detailed"):
+            pairs.append(("heapBefore", _i(row["heap_before_bytes"])))
+            pairs.append(("heapAfter", _i(row["heap_after_bytes"])))
+            pairs.append(
+                ("heapReclaimed", _i(row["heap_reclaimed_bytes"]))
+            )
+            pairs.append(("heapMax", _i(row["heap_max_bytes"])))
+            gens = row.get("generations")
+            for g in (gens if gens is not None else []):
+                n, b, a, c = (
+                    g["name"],
+                    g["before_bytes"],
+                    g["after_bytes"],
+                    g["capacity_bytes"],
+                )
+                pairs.append((f"{n}Before", _i(b)))
+                pairs.append((f"{n}After", _i(a)))
+                pairs.append((f"{n}Reclaimed", _i(b - a)))
+                pairs.append((f"{n}Max", _i(c)))
+            if not _null(row.get("promoted_bytes")):
+                pairs.append(("promoted", _i(row["promoted_bytes"])))
+            if not _null(row.get("desired_survivor_size")):
+                pairs.append(
+                    ("desiredSurvivorSize", _i(row["desired_survivor_size"]))
+                )
+                pairs.append(("newThreshold", _i(row["new_threshold"])))
+            regions = row.get("regions")
+            regions = regions if regions is not None else []
+            for r in regions:
+                n = r["name"]
+                pairs.append((f"{n}Before", str(to_bytes(r["used_before"]))))
+                pairs.append((f"{n}After", str(to_bytes(r["used_after"]))))
+                pairs.append(
+                    (
+                        f"{n}CapacityBefore",
+                        str(to_bytes(r["capacity_before"])),
+                    )
+                )
+                pairs.append(
+                    (
+                        f"{n}CapacityAfter",
+                        str(to_bytes(r["capacity_after"])),
+                    )
+                )
+            if len(regions) > 0:
+                seen = set()
+                deduped = []
+                for p in pairs:
+                    if p not in seen:
+                        seen.add(p)
+                        deduped.append(p)
+                pairs = deduped
+    if not _null(row.get("bytes_allocated_since_last")):
+        pairs.append(
+            ("heapAllocated", _i(row["bytes_allocated_since_last"]))
+        )
+        pairs.append(
+            ("heapAllocationRate", _i(row["heap_allocation_rate"]))
+        )
+        pairs.append(("promotionRate", _i(row["promotion_rate"])))
+    return pairs
+
+
 def tsv_lines(events, delimiter="\t", rates_list=None):
     """TsvOutputFormat (output/OutputFormat.scala:9-22): header from the
     *first* event's keys, then one delimited row per event.  (Later events

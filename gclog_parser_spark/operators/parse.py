@@ -51,18 +51,24 @@ CONT_RLIKE = (
 )
 
 
-def extract_gc_text(pages: DataFrame, text_col: str = "text") -> DataFrame:
+def extract_gc_text(
+    pages: DataFrame, text_col: str = "text", require_marker: bool = True
+) -> DataFrame:
     """Columnar extraction of the embedded log: the bytes strictly between
     OPEN_MARK and CLOSE_MARK (datagen layout).  ``substring_index`` stays
     in WholeStageCodegen; the contains() pre-filter is pushed into the
-    scan so pages without logs are skipped before any string surgery."""
+    scan so pages without logs are skipped before any string surgery.
+
+    ``require_marker=False`` serves marker-less inputs (raw log files
+    from sources.read_gc_logs): ``substring_index`` is the identity when
+    the delimiter is absent, so the same expression handles both."""
     c = F.col(text_col)
     gc_text = F.substring_index(
         F.substring_index(c, OPEN_MARK + "\n", -1), CLOSE_MARK, 1
     )
-    return pages.where(c.contains(OPEN_MARK)).select(
-        "url", "warc_ts", gc_text.alias("gc_text")
-    )
+    if require_marker:
+        pages = pages.where(c.contains(OPEN_MARK))
+    return pages.select("url", "warc_ts", gc_text.alias("gc_text"))
 
 
 # ---------------------------------------------------------------------------
@@ -175,9 +181,9 @@ def _parse_pages_fn(heap_stats: bool):
 
 
 def parse_events_narrow(
-    pages: DataFrame, mode: str = "gc_line"
+    pages: DataFrame, mode: str = "gc_line", require_marker: bool = True
 ) -> DataFrame:
-    src = extract_gc_text(pages)
+    src = extract_gc_text(pages, require_marker=require_marker)
     return src.mapInPandas(
         _parse_pages_fn(mode == "heap_stats"), EVENTS_SCHEMA
     )
@@ -206,10 +212,10 @@ def _parse_blocks_fn(heap_stats: bool):
 
 
 def parse_events_window(
-    pages: DataFrame, mode: str = "gc_line"
+    pages: DataFrame, mode: str = "gc_line", require_marker: bool = True
 ) -> DataFrame:
     heap_stats = mode == "heap_stats"
-    src = extract_gc_text(pages)
+    src = extract_gc_text(pages, require_marker=require_marker)
 
     line = F.col("line")
     lines = src.select(
@@ -304,6 +310,7 @@ def parse_events(
     mode: str = "gc_line",
     stitch: str = "narrow",
     repartition: int | None = None,
+    require_marker: bool = True,
 ) -> DataFrame:
     """Public API (reference ``Parser.parseLog`` /
     ``parseWithHeapStats``, Parser.scala:119-132; JavaParser.java:7-11).
@@ -322,7 +329,7 @@ def parse_events(
     if repartition:
         pages = pages.repartition(repartition, "url")
     if stitch == "narrow":
-        return parse_events_narrow(pages, mode)
+        return parse_events_narrow(pages, mode, require_marker)
     if stitch == "window":
-        return parse_events_window(pages, mode)
+        return parse_events_window(pages, mode, require_marker)
     raise ValueError(f"unknown stitch {stitch!r}")
