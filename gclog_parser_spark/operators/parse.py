@@ -158,13 +158,19 @@ def _parse_block(block: str, heap_stats: bool):
 # narrow path
 # ---------------------------------------------------------------------------
 
-def _parse_pages_fn(heap_stats: bool):
+def _parse_pages_fn(heap_stats: bool, counters=None):
+    """``counters``: optional dict of SparkContext accumulators
+    ('pages'/'events'/'skipped_blocks') — the north rule's per-partition
+    metrics; near-zero overhead (one add per page / per block)."""
+
     def fn(iterator):
+        n_pages = n_events = n_skipped = 0
         for pdf in iterator:
             records = []
             for url, wts, text in zip(
                 pdf["url"], pdf["warc_ts"], pdf["gc_text"]
             ):
+                n_pages += 1
                 idx = 0
                 for line_no, block in core.split_blocks_pos(
                     text, heap_stats
@@ -175,17 +181,27 @@ def _parse_pages_fn(heap_stats: bool):
                             _event_record(url, wts, idx, line_no, ev)
                         )
                         idx += 1
+                    else:
+                        n_skipped += 1
+                n_events += idx
             yield _records_to_pdf(records)
+        if counters:
+            counters["pages"].add(n_pages)
+            counters["events"].add(n_events)
+            counters["skipped_blocks"].add(n_skipped)
 
     return fn
 
 
 def parse_events_narrow(
-    pages: DataFrame, mode: str = "gc_line", require_marker: bool = True
+    pages: DataFrame,
+    mode: str = "gc_line",
+    require_marker: bool = True,
+    counters=None,
 ) -> DataFrame:
     src = extract_gc_text(pages, require_marker=require_marker)
     return src.mapInPandas(
-        _parse_pages_fn(mode == "heap_stats"), EVENTS_SCHEMA
+        _parse_pages_fn(mode == "heap_stats", counters), EVENTS_SCHEMA
     )
 
 
@@ -311,6 +327,7 @@ def parse_events(
     stitch: str = "narrow",
     repartition: int | None = None,
     require_marker: bool = True,
+    counters=None,
 ) -> DataFrame:
     """Public API (reference ``Parser.parseLog`` /
     ``parseWithHeapStats``, Parser.scala:119-132; JavaParser.java:7-11).
@@ -329,7 +346,7 @@ def parse_events(
     if repartition:
         pages = pages.repartition(repartition, "url")
     if stitch == "narrow":
-        return parse_events_narrow(pages, mode, require_marker)
+        return parse_events_narrow(pages, mode, require_marker, counters)
     if stitch == "window":
         return parse_events_window(pages, mode, require_marker)
     raise ValueError(f"unknown stitch {stitch!r}")

@@ -1,0 +1,130 @@
+"""Checkpoint ledger, lineage metrics, and the spark-submit job entry
+(north rule: resumable from checkpoint, per-partition lineage + metrics,
+run via spark-submit --py-files)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+from gclog_parser_spark.datagen import pages_from_documents
+from gclog_parser_spark.operators.parse import parse_events
+from gclog_parser_spark.plans.ledger import (
+    completed_chunks,
+    run_checkpointed,
+    with_chunk_id,
+)
+from gclog_parser_spark.plans.pipeline import PipelineMetrics, build_events
+
+
+def test_metrics_accumulators(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    metrics = PipelineMetrics.create(spark)
+    events = build_events(pages, metrics=metrics)
+    n = events.count()
+    snap = metrics.snapshot()
+    assert snap["pages"] == pages.count()
+    assert snap["events"] == n
+    assert snap["skipped_blocks"] == 0
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def test_checkpoint_resume(spark, sf_dir, tmp_path):
+    pages = pages_from_documents(spark, sf_dir)
+    out = str(tmp_path / "events")
+    ledger = str(tmp_path / "ledger")
+    want = parse_events(pages).count()
+
+    # crash after 2 committed chunks (the log hook fires post-commit)
+    calls = []
+
+    def crash_log(msg):
+        calls.append(msg)
+        if len(calls) == 2:
+            raise _Boom(msg)
+
+    with pytest.raises(_Boom):
+        run_checkpointed(
+            spark, pages, out, ledger, n_chunks=4, log=crash_log
+        )
+    assert completed_chunks(spark, ledger) != set()
+    assert len(completed_chunks(spark, ledger)) == 2
+
+    # resume: only the remaining chunks run; totals are complete
+    summary = run_checkpointed(spark, pages, out, ledger, n_chunks=4)
+    assert summary["chunks_skipped"] == 2
+    assert summary["chunks_run"] == 2
+    assert summary["events"] == want
+    assert spark.read.parquet(out).count() == want
+
+    # fully idempotent third run: nothing to do, totals unchanged
+    summary = run_checkpointed(spark, pages, out, ledger, n_chunks=4)
+    assert summary["chunks_run"] == 0
+    assert summary["events"] == want
+
+
+def test_chunk_assignment_deterministic(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    a = with_chunk_id(pages, 8).groupBy("chunk_id").count().collect()
+    b = with_chunk_id(pages, 8).groupBy("chunk_id").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sum(r["count"] for r in a) == pages.count()
+
+
+def test_routed_output_partition_pruned(spark, sf_dir, tmp_path):
+    """Reading one sink back scans only that sink's files (the per-sink
+    Iceberg-table analogue; partition pruning must show in the plan)."""
+    pages = pages_from_documents(spark, sf_dir)
+    out = str(tmp_path / "events")
+    ledger = str(tmp_path / "ledger")
+    run_checkpointed(spark, pages, out, ledger, n_chunks=2)
+    df = spark.read.parquet(out).where(F.col("sink") == "full")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "full" in plan  # pruning pushed into the scan
+    total = spark.read.parquet(out).count()
+    assert 0 < df.count() < total
+
+
+@pytest.mark.slow
+def test_spark_submit_job_end_to_end(spark, sf_dir, tmp_path):
+    """The actual spark-submit surface, including crash-free rerun."""
+    pages_path = str(tmp_path / "pages")
+    pages_from_documents(spark, sf_dir).write.parquet(pages_path)
+    out = str(tmp_path / "out")
+
+    def run():
+        res = subprocess.run(
+            [
+                sys.executable,
+                "jobs/gclog_pipeline.py",
+                "--master",
+                "local[8]",
+                "--input",
+                pages_path,
+                "--output",
+                out,
+                "--chunks",
+                "4",
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    s1 = run()
+    assert s1["chunks_run"] == 4 and s1["events"] > 0
+    s2 = run()  # resume path: everything ledgered, nothing re-runs
+    assert s2["chunks_run"] == 0
+    assert s2["events"] == s1["events"]
+    agg = spark.read.parquet(f"{out}/agg")
+    assert agg.where(F.col("sink") == "full").count() > 0
