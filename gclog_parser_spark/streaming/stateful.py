@@ -1,0 +1,141 @@
+"""Custom stateful streaming operator: cross-batch RateCalculator.
+
+``parse_stream`` needs no state because one page carries one whole log.
+But when a single JVM's log arrives *split across pages/micro-batches*
+(tailed files, Kafka chunks), the reference's ``RateCalculator``
+scan state — the previous non-AppStopped event's (jvmAgeMillis,
+heap_after) (RateCalculator.scala:13-30) — must survive batch
+boundaries.  This is exactly Structured Streaming's
+``applyInPandasWithState``: state keyed by url, one tiny tuple per live
+log, GroupStateTimeout to evict finished logs.
+
+Semantics are identical to operators/rates.py (W1-W3) and
+core.calculate_rates: AppStopped rows emit (0,0,0,0) and do not advance
+state; events without heap advance state but allocate 0; truncating
+integer division; first event allocates its own heap_before.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from gclog_parser_spark.schema import EVENTS_SCHEMA
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("prev_age_ms", LongType()),
+        StructField("prev_heap_after", LongType()),
+    ]
+)
+
+# Scalar columns only: the state-API Arrow channel crashes the Python
+# worker on array<struct> columns (generations/regions) in this PySpark
+# build, and rates never read them anyway.
+_SCALAR_COLS = [
+    "url",
+    "warc_ts",
+    "event_idx",
+    "line_no",
+    "event_time",
+    "jvm_age_seconds",
+    "gc_class",
+    "gc_type",
+    "gc_cause",
+    "heap_before_bytes",
+    "heap_after_bytes",
+    "heap_max_bytes",
+    "heap_reclaimed_bytes",
+    "pause_seconds",
+    "promoted_bytes",
+]
+
+RATED_SCHEMA = StructType(
+    [f for f in EVENTS_SCHEMA.fields if f.name in _SCALAR_COLS]
+    + [
+        StructField("bytes_allocated_since_last", LongType()),
+        StructField("millis_since_last", LongType()),
+        StructField("heap_allocation_rate", LongType()),
+        StructField("promotion_rate", LongType()),
+    ]
+)
+
+
+def _tdiv(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _rate_events(key, pdf_iter, state):
+    """Grouped-map-with-state fn: events of one url, in arrival order."""
+    if state.exists:
+        prev_age_ms, prev_heap_after = state.get
+    else:
+        prev_age_ms, prev_heap_after = None, None
+
+    out = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["event_idx"])
+        for rec in pdf.to_dict("records"):
+            age_ms = int(rec["jvm_age_seconds"] * 1000)
+            heap_before = rec["heap_before_bytes"]
+            heap_before = (
+                None if pd.isna(heap_before) else int(heap_before)
+            )
+            heap_after = rec["heap_after_bytes"]
+            heap_after = None if pd.isna(heap_after) else int(heap_after)
+            if rec["gc_class"] == "app_stopped":
+                allocated = millis = 0
+            elif prev_age_ms is None:
+                allocated = heap_before if heap_before is not None else 0
+                millis = age_ms
+                prev_age_ms, prev_heap_after = age_ms, heap_after
+            else:
+                if heap_before is not None and prev_heap_after is not None:
+                    allocated = heap_before - prev_heap_after
+                else:
+                    allocated = 0
+                millis = age_ms - prev_age_ms
+                prev_age_ms, prev_heap_after = age_ms, heap_after
+            rec["bytes_allocated_since_last"] = allocated
+            rec["millis_since_last"] = millis
+            rec["heap_allocation_rate"] = (
+                0 if millis == 0 else _tdiv(allocated, millis)
+            )
+            promoted = rec["promoted_bytes"]
+            rec["promotion_rate"] = (
+                _tdiv(int(promoted), millis)
+                if (not pd.isna(promoted) and millis != 0)
+                else 0
+            )
+            out.append(rec)
+
+    state.update((prev_age_ms, prev_heap_after))
+    cols = [f.name for f in RATED_SCHEMA.fields]
+    yield pd.DataFrame.from_records(out, columns=cols)
+
+
+def stateful_rates(events: DataFrame) -> DataFrame:
+    """Streaming events (from ``parse_stream`` without rates) → events +
+    rate columns, with the previous-event state carried across
+    micro-batches per url."""
+    return events.select(*_SCALAR_COLS).groupBy(
+        "url"
+    ).applyInPandasWithState(
+        _rate_events,
+        outputStructType=RATED_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        # NoTimeout: this PySpark build NPEs planning the timeout-driven
+        # empty batch (PythonSQLMetrics on a null session).  State stays
+        # one 16-byte tuple per live log; at scale evict by restarting
+        # the query per processing epoch or state.remove() on an
+        # end-of-log marker event.
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

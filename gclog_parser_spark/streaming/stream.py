@@ -1,0 +1,141 @@
+"""Structured Streaming variant (SURVEY.md §2.5 'Streaming').
+
+The reference's ``incrementalParse`` (Parser.scala:134-151) is a
+pull-based incremental consumer: offer lines, get
+``GcEventParsed | NeedAnotherLine | SkipLine``.  The distributed
+analogue is a micro-batch stream over arriving page files:
+
+* ``stream_pages`` — file-source stream of pages parquet (on a real
+  deployment: Kafka of WARC records or an Iceberg streaming read).
+* ``parse_stream`` — the SAME narrow parse operator lifted unchanged
+  into the stream: one page = one complete log, so stitching is
+  per-row-local and needs no cross-batch state (the reference's
+  NeedAnotherLine buffering collapses into the page boundary).
+* ``run_fanout_stream`` — per-sink fan-out append with exactly-once
+  file-sink semantics via the streaming checkpoint (the streaming twin
+  of plans/ledger.py's chunk ledger).
+* ``hourly_sink_counts`` — watermarked tumbling-window aggregate:
+  late pages beyond the watermark are dropped, state is bounded — the
+  100 TB-friendly continuous version of the batch per-(sink, hour)
+  rollup.
+
+Rates (W1-W3) are computed within each page's log (the log is whole per
+page), so streaming output equals batch output page-for-page.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gclog_parser_spark.operators.parse import parse_events
+from gclog_parser_spark.operators.rates import with_rates
+from gclog_parser_spark.operators.route import with_sink
+from gclog_parser_spark.schema import PAGES_SCHEMA
+
+
+def stream_pages(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def parse_stream(
+    pages: DataFrame,
+    mode: str = "gc_line",
+    require_marker: bool = True,
+) -> DataFrame:
+    """Streaming pages → routed events.  Narrow stitch only: the window
+    strategy needs a global per-url sort, which an unbounded stream
+    cannot provide (and does not need — one page carries one log).
+
+    Rates are NOT applied here: Structured Streaming rejects analytic
+    windows (NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING); they are
+    applied per micro-batch inside foreachBatch, which is exact because
+    a url's whole log arrives in one page row."""
+    events = parse_events(
+        pages, mode=mode, stitch="narrow", require_marker=require_marker
+    )
+    return with_sink(events)
+
+
+def run_fanout_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint: str,
+    mode: str = "gc_line",
+    available_now: bool = True,
+):
+    """Continuous parse → route → per-sink append.
+
+    ``foreachBatch`` + dynamic partition write keeps one pass per
+    micro-batch and lets the same code target Iceberg's
+    ``append()``/``overwritePartitions()`` on a real deployment.  The
+    streaming checkpoint (source offsets + batch id) makes the file
+    sink exactly-once across restarts.
+    """
+    events = parse_stream(stream_pages(spark, input_dir), mode=mode)
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        # rates need an analytic window — legal here because each
+        # micro-batch is a plain batch DataFrame, and exact because one
+        # page row carries one whole log
+        with_rates(batch_df).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").partitionBy("sink").parquet(out_path)
+
+    writer = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hourly_sink_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked per-(sink, hour) streaming aggregate; append-mode
+    emits each hour once its watermark passes (bounded state)."""
+    return (
+        events.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "sink")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum("heap_reclaimed_bytes").alias("heap_reclaimed_sum"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "sink",
+            "events",
+            "heap_reclaimed_sum",
+        )
+    )
+
+
+def run_hourly_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint: str,
+    query_name: str = "hourly_sinks",
+    output_mode: str = "complete",
+):
+    """Windowed streaming aggregate to an in-memory sink (tests/demo);
+    production would foreachBatch-upsert into a serving table."""
+    events = parse_stream(stream_pages(spark, input_dir))
+    agg = hourly_sink_counts(events)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,72 @@
+"""Cross-batch stateful rates: a log split over two micro-batches must
+produce the same rates as the reference's single-pass RateCalculator
+over the whole log (RateCalculatorTest.scala oracles via
+core.calculate_rates)."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+from gclog_parser_spark.core import calculate_rates, parse_log
+from gclog_parser_spark.fixtures import fixture_text
+from gclog_parser_spark.schema import PAGES_SCHEMA
+from gclog_parser_spark.streaming.stateful import stateful_rates
+from gclog_parser_spark.streaming.stream import stream_pages
+
+
+def test_stateful_rates_across_batches(spark, tmp_path):
+    text = fixture_text("basic7")
+    lines = text.strip().split("\n")
+    part1, part2 = "\n".join(lines[:4]), "\n".join(lines[4:])
+    url = "tail://app-1/gc.log"
+    ts = datetime(2016, 11, 10, 4, 0, 0)
+
+    inp = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+
+    def page(chunk):
+        return spark.createDataFrame(
+            [(url, ts, None, chunk, "en")], PAGES_SCHEMA
+        )
+
+    # two files, written in order → two micro-batches under
+    # maxFilesPerTrigger=1 (file source picks up in mod-time order)
+    page(part1).write.mode("append").parquet(inp)
+    time.sleep(1.1)
+    page(part2).write.mode("append").parquet(inp)
+
+    from gclog_parser_spark.operators.parse import parse_events
+
+    stream = parse_events(
+        stream_pages(spark, inp, max_files_per_trigger=1),
+        require_marker=False,
+    )
+    q = (
+        stateful_rates(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # line_no restarts per page; jvm age is the cross-batch event order
+    rows = spark.sql(
+        "select * from t_stateful order by jvm_age_seconds"
+    ).collect()
+    got = [
+        (
+            r["bytes_allocated_since_last"],
+            r["millis_since_last"],
+            r["heap_allocation_rate"],
+            r["promotion_rate"],
+        )
+        for r in rows
+    ]
+    evs = parse_log(text)
+    want = [tuple(t) for t in calculate_rates(evs)]
+    assert len(got) == 7
+    assert got == want
