@@ -133,5 +133,164 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     }
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def run_parse_only(cpus: int, pages_path: str, pages_n: int) -> dict:
+    """Time ONLY the narrow parse on a pre-materialized corpus — the
+    subprocess probe for the two-parallelism scaling measurement.
+
+    Split sizing is the one knob a real cluster job would set per input
+    volume: ~4 scan splits per core, so BOTH parallelism levels are
+    fed (at a fixed split size the small corpus yields too few splits
+    to occupy 32 cores and the comparison measures scheduler idle
+    time, not scaling)."""
+    from gclog_parser_spark.datagen import synth_pages
+    from gclog_parser_spark.operators.parse import parse_events
+    from gclog_parser_spark.session import get_spark
+
+    split = max(1 << 20, min(128 << 20, _dir_bytes(pages_path) // (cpus * 4)))
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(split),
+            "spark.sql.files.openCostInBytes": str(min(split, 512 << 10)),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(pages_path)
+    # warm the Python workers exactly like the main bench
+    parse_events(
+        synth_pages(spark, cpus * 8, parallelism=cpus * 2), stitch="narrow"
+    ).count()
+    timings: dict[str, float] = {}
+    n_events, dt = _timeit(
+        timings,
+        "parse_narrow",
+        lambda: parse_events(pages, stitch="narrow").count(),
+        quiet=True,
+    )
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "sec": dt,
+        "events": n_events,
+        "docs_per_sec": round(pages_n / dt, 1),
+    }
+
+
+def measure_scaling(spark_gone_result: dict, cpus_small: int | None = None,
+                    cpus_big: int | None = None) -> dict:
+    """Same job, same input, two parallelism levels (BASELINE.json's
+    N vs 4N executors criterion, evidenced in-sandbox as N vs 4N
+    *pinned CPUs*).  Both levels run as identical fresh-JVM subprocess
+    probes over a dedicated larger corpus so compute (not fixed job
+    overhead) dominates at the high level too.
+
+    Probes are pinned with ``taskset -c 0-(n-1)``: ``local[n]`` alone
+    under-counts resources (each task pipelines a JVM reader thread
+    with a Python worker process, so 8 task slots consume ~10-16 CPUs)
+    and this host shows 15-25% steal when all 32 vCPUs are loaded —
+    pinning N=4 vs 4N=16 keeps both probes inside honestly-owned
+    cores.  On a real cluster this measurement is simply the same job
+    on N- and 4N-executor allocations."""
+    import subprocess
+
+    cpus_small = cpus_small or int(
+        os.environ.get("SPARK_GRAFT_SCALE_N", "4")
+    )
+    cpus_big = cpus_big or cpus_small * 4
+    pages_n = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "160000"))
+    pages_path = f"/tmp/bench_pages_{pages_n}"
+    if not os.path.exists(pages_path):
+        from gclog_parser_spark.datagen import synth_pages
+        from gclog_parser_spark.session import get_spark
+
+        spark = get_spark(master=f"local[{cpus_big}]",
+                          shuffle_partitions=cpus_big)
+        spark.sparkContext.setLogLevel("ERROR")
+        synth_pages(spark, pages_n, parallelism=cpus_big * 4).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+        spark.stop()
+
+    def probe(cpus):
+        pin = (
+            ["taskset", "-c", f"0-{cpus - 1}"]
+            if shutil.which("taskset")
+            else []
+        )
+        res = subprocess.run(
+            pin
+            + [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--parse-only",
+                "--cpus",
+                str(cpus),
+                "--pages-path",
+                pages_path,
+                "--pages-n",
+                str(pages_n),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    # interleave the levels and keep per-level minima: host steal on
+    # this shared box varies on a minutes timescale, and alternating
+    # exposes both levels to the same noise windows
+    runs_small = [probe(cpus_small)]
+    runs_big = [probe(cpus_big)]
+    runs_small.append(probe(cpus_small))
+    runs_big.append(probe(cpus_big))
+    small = min(runs_small, key=lambda r: r["sec"])
+    big = min(runs_big, key=lambda r: r["sec"])
+    ratio = cpus_big / cpus_small
+    efficiency = (small["sec"] / big["sec"]) / ratio
+    return {
+        "pages": pages_n,
+        "cpus_n": cpus_small,
+        "cpus_4n": cpus_big,
+        "sec_n": round(small["sec"], 3),
+        "sec_4n": round(big["sec"], 3),
+        "docs_per_sec_n": small["docs_per_sec"],
+        "docs_per_sec_4n": big["docs_per_sec"],
+        "efficiency": round(efficiency, 3),
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--parse-only", action="store_true")
+    p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--pages-path", default=None)
+    p.add_argument("--pages-n", type=int, default=None)
+    p.add_argument("--no-scaling", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.parse_only:
+        print(json.dumps(run_parse_only(
+            args.cpus or 8, args.pages_path, args.pages_n)))
+        return
+
+    result = run_bench(cpus=args.cpus)
+    if not args.no_scaling and os.environ.get(
+        "SPARK_GRAFT_SCALING", "1"
+    ) != "0":
+        result["scaling"] = measure_scaling(result)
+    print(json.dumps(result))
+
+
 if __name__ == "__main__":
-    print(json.dumps(run_bench()))
+    main()
