@@ -86,6 +86,61 @@ def q_gc_events_full(spark, sf_dir):
     )
 
 
+def q_gc_events_full_window(spark, sf_dir):
+    """Same projection as gc_events_full but through the WINDOW stitch
+    strategy (posexplode → classify → running-sum grouping → block
+    re-assembly) — both physical plans must match the oracle."""
+    pages = pages_from_documents(spark, sf_dir)
+    ev = parse_events(pages, stitch="window")
+    return ev.select(
+        "url",
+        "event_idx",
+        F.unix_millis("event_time").alias("event_epoch_ms"),
+        "tz_offset",
+        "jvm_age_seconds",
+        "gc_class",
+        "gc_type",
+        "gc_cause",
+        "heap_before_bytes",
+        "heap_after_bytes",
+        "heap_max_bytes",
+        "heap_reclaimed_bytes",
+        "pause_seconds",
+        F.size("generations").alias("gen_count"),
+        "promoted_bytes",
+        "desired_survivor_size",
+        "new_threshold",
+        "stopped_seconds",
+        "seconds_to_stop",
+    )
+
+
+def q_gc_limit_per_log(spark, sf_dir):
+    """Reference --limit n (Main.scala:28,65-67): first 3 events per
+    log in log order."""
+    from gclog_parser_spark.operators.limit import limit_per_log
+
+    return limit_per_log(_events(spark, sf_dir), 3).select(
+        "url", "event_idx", "gc_type", "jvm_age_seconds"
+    )
+
+
+def q_gc_tsv_export(spark, sf_dir):
+    """Distributed TsvOutputFormat lines (rows-only driver check; the
+    byte-level golden parity is pinned by tests/test_sources_export)."""
+    from gclog_parser_spark.operators.export import tsv_export
+    from gclog_parser_spark.operators.rates import with_rates
+
+    return tsv_export(with_rates(_events(spark, sf_dir)))
+
+
+def q_gc_graphite_export(spark, sf_dir):
+    from gclog_parser_spark.operators.export import graphite_export
+
+    ev = _events(spark, sf_dir).where(F.col("event_time").isNotNull())
+    return graphite_export(ev)
+
+
 def q_gc_rates(spark, sf_dir):
     return with_rates(_events(spark, sf_dir)).select(
         "url",
@@ -311,6 +366,12 @@ def q_media_meta(spark, sf_dir):
     return extract_media_meta(pages)
 
 
+#: queries with no DuckDB oracle (driver records a rows-only check):
+#: the export formatters' byte-level parity vs the reference goldens is
+#: pinned instead by tests/test_sources_export.py.
+ROWS_ONLY = {"gc_tsv_export", "gc_graphite_export"}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -327,6 +388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "gc_event_counts": q_gc_event_counts,
         "gc_events_full": q_gc_events_full,
+        "gc_events_full_window": q_gc_events_full_window,
+        "gc_limit_per_log": q_gc_limit_per_log,
+        "gc_tsv_export": q_gc_tsv_export,
+        "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
         "gc_pause_by_family": q_gc_pause_by_family,
         "gc_per_sink_hourly": q_gc_per_sink_hourly,
@@ -366,6 +431,16 @@ def oracle_sql() -> dict[str, str]:
         " heap_reclaimed_bytes, pause_seconds, gen_count,"
         " promoted_bytes, desired_survivor_size, new_threshold,"
         " stopped_seconds, seconds_to_stop FROM gc_events"
+    )
+
+    # same oracle for both physical parse strategies
+    out["gc_events_full_window"] = out["gc_events_full"]
+
+    out["gc_limit_per_log"] = g() + (
+        "SELECT url, event_idx, gc_type, jvm_age_seconds FROM ("
+        " SELECT url, event_idx, gc_type, jvm_age_seconds,"
+        "  row_number() OVER (PARTITION BY url ORDER BY event_idx) AS rn"
+        " FROM gc_events) WHERE rn <= 3"
     )
 
     out["gc_rates"] = g(oracle.RATED_CTE) + (

@@ -1,0 +1,104 @@
+"""Physical-plan regression tests: the properties that make the plans
+survive a 100× scale-up, pinned so a refactor can't silently regress
+them (SURVEY.md §4, BENCH/BASELINE.md 'why this holds at 100 TB')."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from gclog_parser_spark.datagen import pages_from_documents
+from gclog_parser_spark.operators.aggregate import (
+    per_sink_hourly,
+    per_sink_hourly_salted,
+)
+from gclog_parser_spark.operators.parse import parse_events
+from gclog_parser_spark.operators.rates import with_rates
+from gclog_parser_spark.operators.route import with_sink
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir, tmp_path_factory):
+    # a real parquet scan (not an in-memory plan) so pushdown is visible
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    pages_from_documents(spark, sf_dir).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def n_shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_flagship_plan_single_shuffle_broadcast_pruned(pages):
+    """parse → enrich → route → aggregate: ONE exchange total (the
+    final agg), broadcast join for the dim, scan pruned to the three
+    parse columns with the marker Contains pushed to the scan."""
+    df = per_sink_hourly(with_sink(parse_events(pages, stitch="narrow")))
+    plan = plan_of(df)
+    assert n_shuffles(plan) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "html" not in scan  # column pruning: binary bytes never read
+    assert "Contains(text" in scan  # marker filter reached the scan
+    assert "lang" not in scan
+
+
+def test_narrow_parse_zero_shuffle(pages):
+    """The 100 TB plan of choice: no exchange anywhere between the
+    columnar scan and the event rows."""
+    plan = plan_of(parse_events(pages, stitch="narrow"))
+    assert n_shuffles(plan) == 0
+    assert "Exchange" not in plan or "broadcast" in plan.lower()
+
+
+def test_window_parse_bounded_shuffles(pages):
+    """Window stitch: one exchange for the line stream (window + block
+    re-assembly reuse the same hash(url) partitioning) plus one on the
+    tiny post-parse events side for event_idx — never more, and never
+    an exchange of the raw page text."""
+    plan = plan_of(parse_events(pages, stitch="window"))
+    assert n_shuffles(plan) == 2
+
+
+def test_rates_single_window_no_extra_shuffle(pages):
+    """Rates = one window over (url, event_idx); adding them to the
+    parsed events costs exactly one exchange."""
+    events = parse_events(pages, stitch="narrow")
+    plan = plan_of(with_rates(events))
+    assert n_shuffles(plan) == 1
+
+
+def test_salted_agg_two_stage(pages):
+    """The salted variant is two hash aggregates over two exchanges;
+    stage-1 keys carry the salt."""
+    df = per_sink_hourly_salted(with_sink(parse_events(pages)))
+    plan = plan_of(df)
+    assert n_shuffles(plan) == 2
+    assert "salt" in plan
+
+
+def test_rel_join_agg_broadcasts(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q_rel_join_agg(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_map_side(pages):
+    """count/sum/percentile_approx all pre-aggregate map-side: the
+    HashAggregate below the exchange must carry partial functions, so
+    the hot hour arrives at the reducer pre-collapsed (skew defense
+    without salting)."""
+    df = per_sink_hourly(with_sink(parse_events(pages)))
+    plan = plan_of(df)
+    before_exchange = plan.split("Exchange hashpartitioning")[1]
+    assert "partial_count" in before_exchange
+    assert "partial_sum" in before_exchange
+    assert "partial_percentile" in before_exchange
