@@ -26,15 +26,34 @@ no row-at-a-time Python UDF anywhere (BASELINE.json input_hint).
 
 from __future__ import annotations
 
-from datetime import timezone
+from datetime import datetime, timedelta, timezone
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, Window
 
 from gclog_parser_spark import core
 from gclog_parser_spark.datagen import CLOSE_MARK, OPEN_MARK
 from gclog_parser_spark.schema import EVENTS_SCHEMA
+
+# Inside the UDF, timestamps travel as int64 epoch-micros: per-row
+# pandas.Timestamp boxing on the way in and per-object datetime
+# inspection on the way out were a measurable share of the Arrow
+# boundary cost.  The public schema (EVENTS_SCHEMA) is restored by a
+# native projection right after the UDF.
+_UDF_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            f.name,
+            T.LongType()
+            if f.name in ("warc_ts", "event_time")
+            else f.dataType,
+            True,
+        )
+        for f in EVENTS_SCHEMA.fields
+    ]
+)
 
 # Native-Spark (Java regex) versions of the core classifier anchors — keep
 # in lockstep with core.classify_line.
@@ -68,12 +87,20 @@ def extract_gc_text(
     )
     if require_marker:
         pages = pages.where(c.contains(OPEN_MARK))
-    return pages.select("url", "warc_ts", gc_text.alias("gc_text"))
+    return pages.select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_ts"),
+        gc_text.alias("gc_text"),
+    )
 
 
 # ---------------------------------------------------------------------------
 # Event-dict → schema record
 # ---------------------------------------------------------------------------
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_MICRO = timedelta(microseconds=1)
+
 
 def _event_record(url, warc_ts, event_idx, line_no, ev):
     heap = ev["heap"]
@@ -86,9 +113,7 @@ def _event_record(url, warc_ts, event_idx, line_no, ev):
         "event_idx": event_idx,
         "line_no": line_no,
         "event_time": (
-            t.astimezone(timezone.utc).replace(tzinfo=None)
-            if t is not None
-            else None
+            (t - _EPOCH) // _MICRO if t is not None else None
         ),
         "tz_offset": core.tz_offset_str(t),
         "jvm_age_seconds": ev["age"],
@@ -132,6 +157,16 @@ def _event_record(url, warc_ts, event_idx, line_no, ev):
 
 
 _COLUMNS = [f.name for f in EVENTS_SCHEMA.fields]
+
+
+def _restore_timestamps(events: DataFrame) -> DataFrame:
+    """int64 micros (UDF wire format) → TimestampType, native exprs."""
+    return events.withColumns(
+        {
+            "warc_ts": F.timestamp_micros("warc_ts"),
+            "event_time": F.timestamp_micros("event_time"),
+        }
+    )
 
 
 def _records_to_pdf(records) -> pd.DataFrame:
@@ -200,8 +235,10 @@ def parse_events_narrow(
     counters=None,
 ) -> DataFrame:
     src = extract_gc_text(pages, require_marker=require_marker)
-    return src.mapInPandas(
-        _parse_pages_fn(mode == "heap_stats", counters), EVENTS_SCHEMA
+    return _restore_timestamps(
+        src.mapInPandas(
+            _parse_pages_fn(mode == "heap_stats", counters), _UDF_SCHEMA
+        )
     )
 
 
@@ -310,9 +347,11 @@ def parse_events_window(
         ).alias("block"),
     )
 
-    events = blocks.select(
-        "url", "warc_ts", "line_no", "block"
-    ).mapInPandas(_parse_blocks_fn(heap_stats), EVENTS_SCHEMA)
+    events = _restore_timestamps(
+        blocks.select("url", "warc_ts", "line_no", "block").mapInPandas(
+            _parse_blocks_fn(heap_stats), _UDF_SCHEMA
+        )
+    )
 
     # Gap-free per-url event index (events DF is tiny vs the line stream).
     w_idx = Window.partitionBy("url").orderBy("line_no")
