@@ -63,8 +63,10 @@ _SIZESTATS_RE = re.compile(rf"({SIZE_PAT})->({SIZE_PAT})\(({SIZE_PAT})\)")
 # type is therefore part of the type itself ('GC--', ParserTest.scala:83-89).
 _GCTYPE_RE = re.compile(r"[A-Za-z\- ]*")
 # GcCause: parenthesised letters/spaces, then any trailing spaces
-# (Parser.scala:33).
-_GCCAUSE_RE = re.compile(r"\(([A-Za-z ]+)\) *")
+# (Parser.scala:33).  Superset: digits allowed after the first letter so
+# G1 causes parse too ('G1 Evacuation Pause', 'G1 Humongous Allocation');
+# every reference-era cause is letters/spaces and unaffected.
+_GCCAUSE_RE = re.compile(r"\(([A-Za-z][A-Za-z0-9 ]*)\) *")
 # -XX:+PrintTenuringDistribution block (Parser.scala:22-26): the '(max N)'
 # tail and every '- age ...' line are consumed and dropped.
 _TENURING_RE = re.compile(
@@ -85,6 +87,13 @@ _PAUSE_TAIL_RE = re.compile(rf", ({AGE_PAT}) secs\]")
 # may live in the '[Times: ...]' block (Parser.scala:48; pause==real time,
 # ParserTest.scala:55-64).
 _CMS_REAL_RE = re.compile(rf" real=({AGE_PAT}) secs\]")
+
+#: G1 phase tags after the cause (superset — the reference grammar has
+#: no G1 support; format per -XX:+UseG1GC -verbose:gc output):
+#: '[GC pause (G1 Evacuation Pause) (young) (initial-mark) A->B(C), T secs]'
+_G1_TAG_RE = re.compile(
+    r"\((young|mixed|initial-mark|to-space exhausted)\) *"
+)
 # -XX:+PrintGCApplicationStoppedTime, long form only: the short form
 # without 'Stopping threads took' is NOT an event (Parser.scala:60;
 # fragment.txt lines 1/24 are ignored, ParserTest.scala:261-263).
@@ -289,10 +298,50 @@ def _scan_collection(sc: _Scanner):
     if not sc.lit("["):
         return None
     gc_type = sc.take(_GCTYPE_RE).group(0).strip()
-    cause_m = sc.take(_GCCAUSE_RE)
-    gc_cause = cause_m.group(1) if cause_m else None
+    # a G1 phase tag at this position is NOT a cause ('[GC pause (young) …'
+    # has no cause; the tag loop below owns it)
+    if _G1_TAG_RE.match(sc.s, sc.pos):
+        gc_cause = None
+    else:
+        cause_m = sc.take(_GCCAUSE_RE)
+        gc_cause = cause_m.group(1) if cause_m else None
     flag = sc.lit("--")
     tenuring = _scan_tenuring(sc)
+
+    # --- G1 superset (absent from the reference, north-star required) ---
+    g1_tags = []
+    while True:
+        m = sc.take(_G1_TAG_RE)
+        if m is None:
+            break
+        g1_tags.append(m.group(1))
+    if g1_tags:
+        gc_type = gc_type + " " + " ".join(f"({t})" for t in g1_tags)
+
+    if gc_type.startswith("GC concurrent") or gc_type == "GC remark":
+        # G1 concurrent phases ('[GC concurrent-mark-start]' /
+        # '-end, T secs]') and the remark pause (inner sub-phase
+        # brackets, outer ', T secs]' tail wins — same rule as the CMS
+        # real-time tail).  gc_class 'g1' = G1 phase without heap.
+        if sc.peek("]"):
+            pause = 0.0
+        else:
+            last = None
+            for m in _PAUSE_TAIL_RE.finditer(sc.s, sc.pos):
+                last = m
+            if last is None:
+                return None
+            pause = float(last.group(1))
+        return {
+            "gc_class": "g1",
+            "gc_type": gc_type,
+            "gc_cause": gc_cause,
+            "heap": None,
+            "generations": [],
+            "pause": pause,
+            "tenuring": None,
+            "regions": [],
+        }
 
     cms = (gc_cause is None and gc_type.startswith("CMS")) or (
         gc_cause is not None and gc_cause.startswith("CMS")

@@ -39,6 +39,32 @@ CMSFULL = "\n".join(
     ]
 )
 
+#: G1 collector log (SUPERSET — the reference grammar has no G1; the
+#: north star requires G1 phases).  Composed from the standard
+#: -XX:+UseG1GC -verbose:gc line shapes: evacuation pauses
+#: (young / initial-mark / mixed / to-space exhausted), the concurrent
+#: cycle (root-region-scan, mark, cleanup), remark with sub-phases,
+#: cleanup with sizes, and a G1 Full GC.  Not part of the pages datagen
+#: (class ids are frozen by the driver oracles); exercised via the
+#: raw-log source and core goldens.
+G1LOG = "\n".join(
+    [
+        "2015-05-26T16:23:07.219-0200: 64.322: [GC pause (G1 Evacuation Pause) (young) 3785M->3641M(4096M), 0.0161942 secs]",
+        "2015-05-26T16:23:07.321-0200: 64.425: [GC pause (G1 Evacuation Pause) (young) (initial-mark) 3857M->3643M(4096M), 0.0304710 secs]",
+        "2015-05-26T16:23:07.357-0200: 64.460: [GC concurrent-root-region-scan-start]",
+        "2015-05-26T16:23:07.359-0200: 64.462: [GC concurrent-root-region-scan-end, 0.0022521 secs]",
+        "2015-05-26T16:23:07.359-0200: 64.462: [GC concurrent-mark-start]",
+        "2015-05-26T16:23:07.435-0200: 64.538: [GC concurrent-mark-end, 0.0756453 secs]",
+        "2015-05-26T16:23:07.435-0200: 64.538: [GC remark 64.538: [Finalize Marking, 0.0007422 secs] 64.539: [GC ref-proc, 0.0155548 secs] 64.555: [Unloading, 0.0078692 secs], 0.0281862 secs] [Times: user=0.09 sys=0.00, real=0.03 secs]",
+        "2015-05-26T16:23:07.465-0200: 64.568: [GC cleanup 1213M->1213M(1885M), 0.0001026 secs]",
+        "2015-05-26T16:23:07.465-0200: 64.568: [GC concurrent-cleanup-start]",
+        "2015-05-26T16:23:07.465-0200: 64.568: [GC concurrent-cleanup-end, 0.0000827 secs]",
+        "2015-05-26T16:23:08.000-0200: 65.102: [GC pause (G1 Evacuation Pause) (mixed) 3791M->3100M(4096M), 0.0675559 secs]",
+        "2015-05-26T16:23:09.120-0200: 66.222: [GC pause (G1 Evacuation Pause) (young) (to-space exhausted) 1694M->689M(2048M), 0.1158856 secs]",
+        "2015-05-26T16:23:12.000-0200: 69.102: [Full GC (Allocation Failure) 5811M->1316M(6144M), 16.7476886 secs]",
+    ]
+)
+
 #: class_id → (class_name, resource file or None for inline,
 #:             events in GcLine mode, events in heap-stats mode)
 #: GcLine-mode counts: ParserTest.scala:128-168,104-111,527-537;

@@ -20,13 +20,23 @@ def enrich_collector_family(events: DataFrame) -> DataFrame:
     spark = events.sparkSession
     dim = collector_family_df(spark)
     joined = events.join(F.broadcast(dim), "gc_type", "left")
+    t = F.col("gc_type")
     return joined.withColumn(
         "family",
         F.coalesce(
             "family",
-            F.when(
-                F.col("gc_type").startswith("CMS"), F.lit("cms_concurrent")
-            ).otherwise(F.lit("other")),
+            F.when(t.startswith("CMS"), F.lit("cms_concurrent"))
+            .when(
+                t.startswith("GC pause") & t.contains("(mixed)"),
+                F.lit("g1_mixed"),
+            )
+            .when(t.startswith("GC pause"), F.lit("g1_young"))
+            .when(
+                t.startswith("GC concurrent")
+                | t.isin("GC remark", "GC cleanup"),
+                F.lit("g1_concurrent"),
+            )
+            .otherwise(F.lit("other")),
         ),
     )
 

@@ -1,0 +1,116 @@
+"""G1 collector support (SUPERSET — the reference grammar has no G1;
+BASELINE.json's north star requires G1 phases).  Field-level goldens on
+the G1 fixture plus the full Spark path: raw log → parse → enrich →
+route."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gclog_parser_spark.core import calculate_rates, parse_log, to_bytes
+from gclog_parser_spark.fixtures import G1LOG
+from gclog_parser_spark.functions.export import to_seq_pairs
+from gclog_parser_spark.operators.parse import parse_events
+from gclog_parser_spark.operators.route import with_sink
+from gclog_parser_spark.sources.pages import read_gc_logs
+
+
+@pytest.fixture(scope="module")
+def g1_events():
+    return parse_log(G1LOG)
+
+
+def test_g1_counts_and_classes(g1_events):
+    assert len(g1_events) == 13
+    by_class = {}
+    for e in g1_events:
+        by_class[e["gc_class"]] = by_class.get(e["gc_class"], 0) + 1
+    # 6 concurrent phases + remark = 'g1'; pauses/cleanup/Full GC carry
+    # heap and are structurally basic
+    assert by_class == {"g1": 7, "basic": 6}
+
+
+def test_g1_evacuation_pause_fields(g1_events):
+    ev = g1_events[0]
+    assert ev["gc_type"] == "GC pause (young)"
+    assert ev["gc_cause"] == "G1 Evacuation Pause"
+    assert ev["heap"] == ("3785M", "3641M", "4096M")
+    assert to_bytes(ev["heap"][0]) == 3785 * 1024 * 1024
+    assert ev["pause"] == 0.0161942
+    assert ev["age"] == 64.322
+
+
+def test_g1_tags(g1_events):
+    types = [e["gc_type"] for e in g1_events]
+    assert "GC pause (young) (initial-mark)" in types
+    assert "GC pause (mixed)" in types
+    assert "GC pause (young) (to-space exhausted)" in types
+
+
+def test_g1_remark_outer_pause_wins(g1_events):
+    remark = next(e for e in g1_events if e["gc_type"] == "GC remark")
+    # inner sub-phase brackets (Finalize Marking 0.0007422 etc.) are
+    # discarded; the outer tail is the pause — same rule as ParNew's
+    # inner pause (ParserTest.scala:170-180)
+    assert remark["pause"] == 0.0281862
+
+
+def test_g1_concurrent_start_zero_pause(g1_events):
+    starts = [
+        e for e in g1_events if e["gc_type"].endswith("-start")
+    ]
+    assert len(starts) == 3
+    assert all(e["pause"] == 0.0 for e in starts)
+    end = next(
+        e
+        for e in g1_events
+        if e["gc_type"] == "GC concurrent-mark-end"
+    )
+    assert end["pause"] == 0.0756453
+
+
+def test_g1_rates_full_gc(g1_events):
+    rates = calculate_rates(g1_events)
+    # Full GC (idx 12): allocated = own heap_before - prev heap_after
+    # (prev = to-space-exhausted pause, 689M after)
+    allocated = (5811 - 689) * 1024 * 1024
+    millis = 69102 - 66222
+    assert rates[12][0] == allocated
+    assert rates[12][1] == millis
+    assert rates[12][2] == allocated // millis
+
+
+def test_g1_export_pairs(g1_events):
+    pairs = to_seq_pairs(g1_events[0])
+    assert pairs == [
+        ("datetime", "2015-05-26 16:23:07.219"),
+        ("age", "64.322"),
+        ("type", "GC pause (young)"),
+        ("cause", "G1 Evacuation Pause"),
+        ("pause", "0.0161942"),
+        ("heapBefore", str(3785 * 1024 * 1024)),
+        ("heapAfter", str(3641 * 1024 * 1024)),
+        ("heapReclaimed", str((3785 - 3641) * 1024 * 1024)),
+        ("heapMax", str(4096 * 1024 * 1024)),
+    ]
+
+
+def test_g1_spark_path_routes_families(spark, tmp_path):
+    p = tmp_path / "g1.log"
+    p.write_text(G1LOG)
+    events = parse_events(
+        read_gc_logs(spark, str(p)), require_marker=False
+    )
+    routed = with_sink(events)
+    fams = {
+        r["sink"]: r["n"]
+        for r in routed.groupBy("sink").agg(F.count("*").alias("n")).collect()
+    }
+    assert fams == {
+        "g1_young": 3,       # young, initial-mark, to-space exhausted
+        "g1_mixed": 1,
+        "g1_concurrent": 8,  # 6 concurrent + remark + cleanup
+        "full": 1,
+    }
+    assert events.count() == 13
