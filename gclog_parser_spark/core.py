@@ -596,6 +596,62 @@ def parse_with_heap_stats(text: str):
 # Derivations (SURVEY.md §2.3)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Incremental (pull-based) consumption — Parser.scala:134-151
+# ---------------------------------------------------------------------------
+
+GC_EVENT_PARSED = "parsed"
+NEED_ANOTHER_LINE = "need_more"
+SKIP_LINE = "skip"
+
+
+def incremental_parse(lines, heap_stats: bool = False):
+    """Reference ``Parser.incrementalParse`` (Parser.scala:134-151): the
+    caller accumulates lines and re-offers the buffer; the reply is a
+    tri-state ``(status, event)``:
+
+    * ``(GC_EVENT_PARSED, ev)`` — the buffer is one complete event;
+      caller emits it and resets the buffer.
+    * ``(NEED_ANOTHER_LINE, None)`` — the buffer starts like an event
+      but is incomplete; caller appends the next line and re-offers.
+    * ``(SKIP_LINE, None)`` — the first line can never start an event
+      (the reference's failed-within-half-of-first-line heuristic,
+      Parser.scala:139-143, re-expressed via the line classifier).
+
+    ``heap_stats`` mirrors ``parseWithHeapStats``: ``{Heap before``
+    blocks are attempted only when the last line is ``}`` (the
+    O(1) ``EndsWithCurlyBracket`` guard, Parser.scala:112-115), and
+    plain GC lines other than long-form app-stopped are skipped.
+
+    The distributed pipeline never calls this (pages arrive whole);
+    it exists for API parity with the reference's streaming consumers.
+    """
+    if not lines:
+        return (NEED_ANOTHER_LINE, None)
+    first = lines[0]
+    cls = classify_line(first, heap_stats)
+    if heap_stats:
+        if cls == "open":
+            if lines[-1].rstrip() != "}":
+                return (NEED_ANOTHER_LINE, None)
+            ev = parse_heap_block("\n".join(lines))
+            return (
+                (GC_EVENT_PARSED, ev) if ev else (SKIP_LINE, None)
+            )
+        if cls == "start":
+            ev = parse_gc_line("\n".join(lines))
+            if ev is not None and ev["gc_class"] == "app_stopped":
+                return (GC_EVENT_PARSED, ev)
+            return (SKIP_LINE, None)
+        return (SKIP_LINE, None)
+    if cls != "start":
+        return (SKIP_LINE, None)
+    ev = parse_gc_line("\n".join(lines))
+    if ev is not None:
+        return (GC_EVENT_PARSED, ev)
+    return (NEED_ANOTHER_LINE, None)
+
+
 def reclaimed_bytes(delta) -> int:
     """start - end; may be negative (BasicGCEvent.scala:80-84)."""
     return to_bytes(delta[0]) - to_bytes(delta[1])
