@@ -115,6 +115,28 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
         parse_events(pages_bench, stitch="narrow")
     ).agg(F.sum("heap_allocation_rate")).collect()[0][0])
 
+    # --- training-data operators over the sf documents/embeddings ---
+    from gclog_parser_spark.operators.dedup import (
+        exact_dedup,
+        minhash_band_pairs,
+        simhash_docs,
+    )
+    from gclog_parser_spark.operators.similarity import cosine_topk
+    from gclog_parser_spark.operators.textstats import (
+        quality_stats,
+        token_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t("dedup_exact_sf", lambda: exact_dedup(docs).count())
+    t("dedup_minhash_sf", lambda: minhash_band_pairs(docs).count())
+    t("dedup_simhash_sf", lambda: simhash_docs(docs).count())
+    t("text_quality_sf", lambda: quality_stats(docs).count())
+    t("token_counts_sf", lambda: token_counts(docs)
+        .agg(F.sum("tokens")).collect()[0][0])
+    t("ann_cosine_sf", lambda: cosine_topk(embs).count())
+
     extras["synth_pages"] = pages_n
     extras["synth_events"] = n_events
     extras["docs_per_sec"] = round(pages_n / dt_narrow, 1)

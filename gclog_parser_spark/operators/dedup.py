@@ -38,14 +38,42 @@ def _words(col):
     return F.split(F.trim(col), r"\s+")
 
 
-def shingles(col, k: int = SHINGLE_K):
-    """Ordered word k-shingles as an array column (native, no UDF)."""
-    w = _words(col)
+def _shingle_expr(w, k: int = SHINGLE_K):
+    """k-shingles from a *materialized* words-array column.
+
+    Two rules learned from the plans (higher-order functions are
+    interpreted, not codegen'd): never ``slice`` per element (O(words²)
+    per doc), and never pass a computed array expression in — each
+    ``element_at`` would re-evaluate it.  Callers project the words
+    array first and pass the attribute."""
     n = F.greatest(F.size(w) - (k - 1), F.lit(0))
     return F.when(n > 0, F.transform(
         F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + off) for off in range(k)]
+        ),
     )).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col, k: int = SHINGLE_K):
+    """One-expression convenience form (tests/small inputs); the
+    operators below use the two-step materialized form."""
+    return _shingle_expr(_words(col), k)
+
+
+def _doc_shingles(docs: DataFrame, distinct: bool = False) -> DataFrame:
+    """(doc_id, s) exploded shingles with the words array materialized
+    in its own projection (evaluated once per row)."""
+    sh = _shingle_expr(F.col("w"))
+    if distinct:
+        sh = F.array_distinct(sh)
+    return docs.select(
+        "doc_id", _words(F.col("text")).alias("w"), "*"
+    ).select(
+        "doc_id",
+        *(c for c in docs.columns if c not in ("doc_id", "text")),
+        F.explode(sh).alias("s"),
+    )
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -64,25 +92,37 @@ def minhash_signatures(
     docs: DataFrame, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — sig[j] = min over shingles of
-    md5_long(j || ':' || shingle).  Computed entirely scan-side."""
-    sh = shingles(F.col("text")).alias("sh")
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.conv(
-                    F.substring(
-                        F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
-                        1, 15,
-                    ),
-                    16, 10,
-                ).cast("long"),
-            )
+    md5_long(j || ':' || shingle).
+
+    Relational shape, not nested array lambdas: explode the shingles,
+    hash with plain codegen'd expressions (one column per hash fn), and
+    take map-side-partial ``min``s.  The previous array-transform
+    version re-evaluated the whole shingle construction once per hash
+    function inside interpreted higher-order functions (~50× slower);
+    this plan's shuffle carries one pre-aggregated row per document.
+    Documents with no shingles (< k words) produce no signature, and
+    therefore no candidate pairs — same contract as before."""
+    sh = _doc_shingles(docs.select("doc_id", "text"))
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(j)), F.col("s"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias(
+            "sig"
         ),
-    )
-    return docs.select("doc_id", sh).select(
-        "doc_id", sig.alias("sig")
     )
 
 
@@ -166,15 +206,12 @@ def jaccard_pairs(
     (default: same `source`).  Computed relationally: explode distinct
     shingles → self-join on shingle → |A∩B| by group; |A∪B| from per-doc
     counts.  Shuffle ∝ postings, never materializes the pair matrix."""
-    sh = (
+    sh = _doc_shingles(
         docs.select(
-            "doc_id",
-            F.col(bucket_col).alias("bucket"),
-            F.explode(F.array_distinct(shingles(F.col("text")))).alias(
-                "shingle"
-            ),
-        )
-    )
+            "doc_id", F.col(bucket_col).alias("bucket"), "text"
+        ),
+        distinct=True,
+    ).withColumnRenamed("s", "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
