@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from gclog_parser_spark.operators.dedup import shingles
+from gclog_parser_spark.operators.dedup import _shingle_expr, _words
 
 #: marker words per language for the n-gram/stopword language heuristic
 LANG_MARKERS = {
@@ -117,7 +117,9 @@ def fingerprints(docs: DataFrame, k: int = 4) -> DataFrame:
     """Bottom-k sketch fingerprint: the k smallest md5-60bit hashes of
     the document's word 3-shingles, joined into a stable string.  Equal
     fingerprints ⇒ near-identical shingle sets (winnowing-style)."""
-    sh = F.array_distinct(shingles(F.col("text")))
+    # words materialized in their own projection so the shingle lambda
+    # reads an attribute, not a recomputed split (see dedup._shingle_expr)
+    sh = F.array_distinct(_shingle_expr(F.col("w")))
     hashes = F.array_sort(
         F.transform(
             sh,
@@ -129,4 +131,6 @@ def fingerprints(docs: DataFrame, k: int = 4) -> DataFrame:
     fp = F.concat_ws("_", F.transform(
         F.slice(hashes, 1, k), lambda h: h.cast("string")
     ))
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    return docs.select(
+        "doc_id", _words(F.col("text")).alias("w")
+    ).select("doc_id", fp.alias("fingerprint"))
