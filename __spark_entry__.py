@@ -175,6 +175,30 @@ def q_gc_per_sink_hourly(spark, sf_dir):
     )
 
 
+def q_gc_per_sink_hourly_salted(spark, sf_dir):
+    """Two-stage salted aggregation must equal the direct aggregate
+    (same oracle shape, counts+sums only)."""
+    from gclog_parser_spark.operators.aggregate import (
+        per_sink_hourly_salted,
+    )
+
+    agg = per_sink_hourly_salted(with_sink(_events(spark, sf_dir)))
+    return agg.select(
+        "sink",
+        F.unix_seconds("hour").alias("hour_epoch"),
+        "events",
+        "heap_reclaimed_sum",
+    )
+
+
+def q_gc_events_per_collector(spark, sf_dir):
+    from gclog_parser_spark.operators.aggregate import (
+        events_per_collector,
+    )
+
+    return events_per_collector(with_sink(_events(spark, sf_dir)))
+
+
 def q_gc_appstopped(spark, sf_dir):
     ev = _events(spark, sf_dir).where(F.col("gc_class") == "app_stopped")
     return ev.agg(
@@ -395,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_rates": q_gc_rates,
         "gc_pause_by_family": q_gc_pause_by_family,
         "gc_per_sink_hourly": q_gc_per_sink_hourly,
+        "gc_per_sink_hourly_salted": q_gc_per_sink_hourly_salted,
+        "gc_events_per_collector": q_gc_events_per_collector,
         "gc_appstopped": q_gc_appstopped,
         "gc_region_deltas": q_gc_region_deltas,
         "gc_region_kind_rollup": q_gc_region_kind_rollup,
@@ -470,6 +496,26 @@ def oracle_sql() -> dict[str, str]:
         " round(quantile_cont(e.pause_seconds, 0.99), 6) AS pause_p99"
         " FROM gc_events e LEFT JOIN family_dim f USING (gc_type)"
         " GROUP BY 1, 2"
+    )
+
+    out["gc_per_sink_hourly_salted"] = g(fam) + (
+        "SELECT coalesce(f.family, CASE WHEN e.gc_type LIKE 'CMS%'"
+        " THEN 'cms_concurrent' ELSE 'other' END) AS sink,"
+        " CAST(epoch(date_trunc('hour', e.warc_ts)) AS BIGINT)"
+        "   AS hour_epoch,"
+        " count(*) AS events,"
+        " CAST(sum(e.heap_reclaimed_bytes) AS BIGINT) AS heap_reclaimed_sum"
+        " FROM gc_events e LEFT JOIN family_dim f USING (gc_type)"
+        " GROUP BY 1, 2"
+    )
+
+    out["gc_events_per_collector"] = g(fam) + (
+        "SELECT coalesce(f.family, CASE WHEN e.gc_type LIKE 'CMS%'"
+        " THEN 'cms_concurrent' ELSE 'other' END) AS family,"
+        " count(*) AS events,"
+        " CAST(sum(e.heap_reclaimed_bytes) AS BIGINT) AS heap_reclaimed_sum"
+        " FROM gc_events e LEFT JOIN family_dim f USING (gc_type)"
+        " GROUP BY 1"
     )
 
     out["gc_appstopped"] = g() + (
