@@ -151,3 +151,16 @@ def test_tsv_export_heap_stats_mode(spark, log_dir):
         r["line"] for r in tsv_export(events).orderBy("line_no").collect()
     ]
     assert got == want
+
+
+def test_raw_logs_window_stitch_matches_narrow(spark, log_dir):
+    """A raw log too big for one task is the window-stitch use case;
+    both strategies must agree on raw files too (no markers)."""
+    pages = read_gc_logs(spark, str(log_dir))
+    narrow = parse_events(pages, require_marker=False)
+    window = parse_events(pages, stitch="window", require_marker=False)
+    cols = ["url", "event_idx", "gc_class", "gc_type", "jvm_age_seconds"]
+    a = sorted(map(tuple, narrow.select(*cols).collect()))
+    b = sorted(map(tuple, window.select(*cols).collect()))
+    assert a == b
+    assert len(a) == sum(c[3] for c in CLASSES)
