@@ -185,14 +185,22 @@ def parse_timestamp(s: str) -> datetime:
     )
 
 
+_TZ_STR_CACHE: dict = {}
+
+
 def tz_offset_str(dt: datetime | None) -> str | None:
     if dt is None or dt.tzinfo is None:
         return None
+    cached = _TZ_STR_CACHE.get(dt.tzinfo)
+    if cached is not None:
+        return cached
     off = dt.utcoffset()
     total = int(off.total_seconds()) // 60
     sign = "+" if total >= 0 else "-"
     total = abs(total)
-    return f"{sign}{total // 60:02d}{total % 60:02d}"
+    out = f"{sign}{total // 60:02d}{total % 60:02d}"
+    _TZ_STR_CACHE[dt.tzinfo] = out
+    return out
 
 
 # ---------------------------------------------------------------------------

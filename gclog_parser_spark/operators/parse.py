@@ -26,7 +26,7 @@ no row-at-a-time Python UDF anywhere (BASELINE.json input_hint).
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timezone
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -98,8 +98,25 @@ def extract_gc_text(
 # Event-dict → schema record
 # ---------------------------------------------------------------------------
 
-_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
-_MICRO = timedelta(microseconds=1)
+_EPOCH_ORD = datetime(1970, 1, 1).toordinal()
+
+
+def _epoch_us(t) -> int:
+    """Exact epoch-micros from an aware datetime via integer field
+    arithmetic — both ``t.timestamp()`` (float, rounds) and
+    ``(t - epoch) // timedelta`` (timedelta allocation + floordiv,
+    ~20 µs/event) were measurably wrong/slow in the hot loop."""
+    secs = (
+        (t.toordinal() - _EPOCH_ORD) * 86400
+        + t.hour * 3600
+        + t.minute * 60
+        + t.second
+    )
+    us = secs * 1_000_000 + t.microsecond
+    off = t.utcoffset()
+    if off is not None:
+        us -= (off.days * 86400 + off.seconds) * 1_000_000
+    return us
 
 
 def _event_record(url, warc_ts, event_idx, line_no, ev):
@@ -112,9 +129,7 @@ def _event_record(url, warc_ts, event_idx, line_no, ev):
         "warc_ts": warc_ts,
         "event_idx": event_idx,
         "line_no": line_no,
-        "event_time": (
-            (t - _EPOCH) // _MICRO if t is not None else None
-        ),
+        "event_time": _epoch_us(t) if t is not None else None,
         "tz_offset": core.tz_offset_str(t),
         "jvm_age_seconds": ev["age"],
         "gc_class": (
