@@ -94,6 +94,24 @@ _CMS_REAL_RE = re.compile(rf" real=({AGE_PAT}) secs\]")
 _G1_TAG_RE = re.compile(
     r"\((young|mixed|initial-mark|to-space exhausted)\) *"
 )
+# JDK 9+ unified logging (-Xlog:gc) — SUPERSET, the reference predates
+# it.  Default decorations: '[uptime][level][tags]', optionally preceded
+# by '[ISO-8601 time]'.  Body: 'GC(n) Pause Young (Normal) (G1
+# Evacuation Pause) 24M->4M(256M) 3.523ms' / 'GC(n) Concurrent Mark
+# Cycle' etc.
+UNIFIED_TS_PAT = (
+    r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}[+-]\d{4}"
+)
+UNIFIED_START_RE = re.compile(
+    rf"^(?:\[({UNIFIED_TS_PAT})\])?\[(\d+\.\d+)s\](?:\[[^\]]+\])*"
+    rf"\[gc(?:,[a-z]+)*\] +GC\(\d+\) "
+)
+_UNIFIED_PAREN_RE = re.compile(r"\(([^()]*(?:\(\))?)\) *")
+_UNIFIED_HEAP_RE = re.compile(
+    rf"({SIZE_PAT})->({SIZE_PAT})\(({SIZE_PAT})\)"
+)
+_UNIFIED_MS_RE = re.compile(r"(\d+\.\d+)ms\s*$")
+
 # -XX:+PrintGCApplicationStoppedTime, long form only: the short form
 # without 'Stopping threads took' is NOT an event (Parser.scala:60;
 # fragment.txt lines 1/24 are ignored, ParserTest.scala:261-263).
@@ -377,9 +395,60 @@ def _scan_collection(sc: _Scanner):
     )
 
 
+def parse_unified_line(line: str):
+    """One '-Xlog:gc' unified-logging line → event dict (superset; the
+    reference grammar predates JDK 9).  'Pause …' lines with a heap
+    triple are structurally basic events; 'Concurrent …' cycle lines
+    and heap-less pauses are phase events (gc_class 'g1').  The last
+    parenthesised group is the cause; earlier ones (Normal / Mixed /
+    Concurrent Start …) fold into the type, like the legacy G1 tags."""
+    line = line.split("\n", 1)[0]  # unified events are single-line
+    m = UNIFIED_START_RE.match(line)
+    if m is None:
+        return None
+    ts = parse_timestamp(m.group(1)) if m.group(1) else None
+    age = float(m.group(2))
+    body = line[m.end():]
+
+    ms = _UNIFIED_MS_RE.search(body)
+    pause = float(ms.group(1)) / 1000.0 if ms else 0.0
+    if ms:
+        body = body[: ms.start()]
+    hm = _UNIFIED_HEAP_RE.search(body)
+    heap = (hm.group(1), hm.group(2), hm.group(3)) if hm else None
+    if hm:
+        body = body[: hm.start()]
+
+    parens = _UNIFIED_PAREN_RE.findall(body)
+    head = _UNIFIED_PAREN_RE.sub("", body).strip()
+    if not head:
+        return None
+    gc_cause = parens[-1] if parens else None
+    tags = parens[:-1] if parens else []
+    gc_type = head + "".join(f" ({t})" for t in tags)
+
+    ev = {
+        "gc_class": "basic" if heap is not None else "g1",
+        "gc_type": gc_type,
+        "gc_cause": gc_cause,
+        "heap": heap,
+        "generations": [],
+        "pause": pause,
+        "tenuring": None,
+        "regions": [],
+        "time": ts,
+        "age": age,
+    }
+    return ev
+
+
 def parse_gc_line(block: str):
     """GcLine (Parser.scala:66-73): '[ts: ] age: ' then collection stats or
-    the long-form app-stopped message.  Returns an event dict or None."""
+    the long-form app-stopped message.  Returns an event dict or None.
+    Unified-logging lines (JDK 9+) are dispatched on their decoration
+    prefix — a superset branch."""
+    if block[:1] == "[":
+        return parse_unified_line(block)
     sc = _Scanner(block)
     pm = sc.take(_PREFIX_RE)
     if pm is None:
@@ -521,6 +590,8 @@ def classify_line(line: str, heap_stats: bool) -> str:
     if c.isdigit() and (
         GC_START_RE.match(line) or APPSTOP_START_RE.match(line)
     ):
+        return "start"
+    if c == "[" and UNIFIED_START_RE.match(line):
         return "start"
     if CONTINUATION_RE.match(line) or (
         heap_stats and (c == " " or _HEAP_HDR_RE.match(line))

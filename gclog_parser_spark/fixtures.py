@@ -65,6 +65,23 @@ G1LOG = "\n".join(
     ]
 )
 
+#: JDK 9+ unified-logging (-Xlog:gc) G1 log (SUPERSET — the reference
+#: predates unified logging).  Standard default-decoration line shapes:
+#: young/mixed evacuation pauses with causes, the concurrent mark cycle,
+#: remark/cleanup, and a Full GC; one line carries the optional ISO
+#: timestamp decoration.
+UNIFIED_LOG = "\n".join(
+    [
+        "[2026-08-17T01:02:03.456+0000][0.231s][info][gc] GC(0) Pause Young (Normal) (G1 Evacuation Pause) 24M->4M(256M) 3.523ms",
+        "[0.550s][info][gc] GC(1) Concurrent Mark Cycle",
+        "[0.560s][info][gc,marking] GC(1) Concurrent Mark 1.230ms",
+        "[0.600s][info][gc] GC(1) Pause Remark 20M->20M(256M) 1.611ms",
+        "[0.640s][info][gc] GC(1) Pause Cleanup 20M->20M(256M) 0.104ms",
+        "[1.234s][info][gc] GC(2) Pause Young (Mixed) (G1 Evacuation Pause) 187M->100M(256M) 10.221ms",
+        "[2.000s][info][gc] GC(3) Pause Full (System.gc()) 187M->100M(256M) 102.521ms",
+    ]
+)
+
 #: class_id → (class_name, resource file or None for inline,
 #:             events in GcLine mode, events in heap-stats mode)
 #: GcLine-mode counts: ParserTest.scala:128-168,104-111,527-537;

@@ -27,13 +27,24 @@ def enrich_collector_family(events: DataFrame) -> DataFrame:
             "family",
             F.when(t.startswith("CMS"), F.lit("cms_concurrent"))
             .when(
-                t.startswith("GC pause") & t.contains("(mixed)"),
+                (t.startswith("GC pause") & t.contains("(mixed)"))
+                | (t.startswith("Pause Young") & t.contains("(Mixed)")),
                 F.lit("g1_mixed"),
             )
-            .when(t.startswith("GC pause"), F.lit("g1_young"))
+            .when(
+                t.startswith("GC pause") | t.startswith("Pause Young"),
+                F.lit("g1_young"),
+            )
+            .when(t.startswith("Pause Full"), F.lit("full"))
             .when(
                 t.startswith("GC concurrent")
-                | t.isin("GC remark", "GC cleanup"),
+                | t.startswith("Concurrent")
+                | t.isin(
+                    "GC remark",
+                    "GC cleanup",
+                    "Pause Remark",
+                    "Pause Cleanup",
+                ),
                 F.lit("g1_concurrent"),
             )
             .otherwise(F.lit("other")),

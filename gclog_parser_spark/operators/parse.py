@@ -68,6 +68,11 @@ CONT_RLIKE = (
     r"^(?:Desired survivor size \d+ bytes,|- age |: \d+[KMG]->"
     r"| ?\[[A-Za-z0-9 \-]+: )"
 )
+# JDK 9+ unified logging start (core.UNIFIED_START_RE's Java-regex twin)
+UNIFIED_START_RLIKE = (
+    rf"^(?:\[{_TS}\])?\[\d+\.\d+s\](?:\[[^\]]+\])*"
+    rf"\[gc(?:,[a-z]+)*\] +GC\(\d+\) "
+)
 
 
 def extract_gc_text(
@@ -291,8 +296,10 @@ def parse_events_window(
         "warc_ts",
         F.posexplode(F.split("gc_text", "\n")).alias("line_no", "line"),
     )
-    is_start = line.rlike(GC_START_RLIKE) | line.rlike(
-        APPSTOP_START_RLIKE
+    is_start = (
+        line.rlike(GC_START_RLIKE)
+        | line.rlike(APPSTOP_START_RLIKE)
+        | line.rlike(UNIFIED_START_RLIKE)
     )
     is_cont = line.rlike(CONT_RLIKE)
     if heap_stats:
