@@ -141,6 +141,44 @@ def q_gc_graphite_export(spark, sf_dir):
     return graphite_export(ev)
 
 
+def q_gc_unified_parse(spark, sf_dir):
+    """JDK 9+ unified-logging lines parsed by the engine vs an
+    independent DuckDB regexp reimplementation.  The corpus is the
+    deterministic UNIFIED_LOG fixture embedded as one page (sf_dir
+    independent — unified lines are a superset absent from the frozen
+    pages datagen)."""
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import UNIFIED_LOG
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "uni://fixture/0",
+                datetime(2026, 8, 17, 1, 0, 0),
+                None,
+                UNIFIED_LOG,
+                "en",
+            )
+        ],
+        PAGES_SCHEMA,
+    )
+    ev = parse_events(pages, require_marker=False)
+    return ev.select(
+        "event_idx",
+        F.unix_millis("event_time").alias("event_epoch_ms"),
+        "jvm_age_seconds",
+        "gc_class",
+        "gc_type",
+        "gc_cause",
+        "heap_before_bytes",
+        "heap_after_bytes",
+        "heap_max_bytes",
+        _pause_ticks("pause_seconds").alias("pause_ticks"),
+    )
+
+
 def q_gc_rates(spark, sf_dir):
     return with_rates(_events(spark, sf_dir)).select(
         "url",
@@ -414,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_events_full": q_gc_events_full,
         "gc_events_full_window": q_gc_events_full_window,
         "gc_limit_per_log": q_gc_limit_per_log,
+        "gc_unified_parse": q_gc_unified_parse,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -468,6 +507,8 @@ def oracle_sql() -> dict[str, str]:
         "  row_number() OVER (PARTITION BY url ORDER BY event_idx) AS rn"
         " FROM gc_events) WHERE rn <= 3"
     )
+
+    out["gc_unified_parse"] = oracle.unified_sql()
 
     out["gc_rates"] = g(oracle.RATED_CTE) + (
         "SELECT url, event_idx, bytes_allocated_since_last,"

@@ -374,3 +374,75 @@ def gcline_prefix(*extra: str) -> str:
 
 def heap_prefix(*extra: str) -> str:
     return with_prefix(HEAP_GRP_CTE, REGION_LINES_CTE, *extra)
+
+
+def unified_sql() -> str:
+    """Independent DuckDB reimplementation of the JDK 9+ unified-logging
+    parse (core.parse_unified_line): the UNIFIED_LOG fixture lines as a
+    VALUES list, fields re-derived with DuckDB regexps and list ops —
+    no shared code with the Spark path beyond the input literals."""
+    from gclog_parser_spark.fixtures import UNIFIED_LOG
+
+    values = ",\n    ".join(
+        f"({i}, '{line.replace(chr(39), chr(39) * 2)}')"
+        for i, line in enumerate(UNIFIED_LOG.split("\n"))
+    )
+    return f"""
+WITH raw(line_no, line) AS (VALUES
+    {values}
+),
+m AS (
+  SELECT line_no,
+    regexp_extract(line,
+      '^\\[(\\d{{4}}-\\d{{2}}-\\d{{2}}T\\d{{2}}:\\d{{2}}:\\d{{2}}\\.\\d{{3}}[+-]\\d{{4}})\\]', 1) AS iso,
+    regexp_extract(line, '\\[(\\d+\\.\\d+)s\\]', 1) AS age_s,
+    regexp_extract(line, 'GC\\(\\d+\\) (.*)$', 1) AS body
+  FROM raw
+  WHERE regexp_matches(line,
+    '^(\\[\\d{{4}}-[^\\]]+\\])?\\[\\d+\\.\\d+s\\](\\[[^\\]]+\\])*\\[gc(,[a-z]+)*\\] +GC\\(\\d+\\) ')
+),
+f AS (
+  SELECT line_no, iso, CAST(age_s AS DOUBLE) AS age,
+    regexp_extract(body, '(\\d+\\.\\d+)ms\\s*$', 1) AS ms,
+    regexp_extract(body, '(\\d+)([KMG])->\\d+[KMG]\\(\\d+[KMG]\\)', ['n','u']) AS hb,
+    regexp_extract(body, '\\d+[KMG]->(\\d+)([KMG])\\(\\d+[KMG]\\)', ['n','u']) AS ha,
+    regexp_extract(body, '\\d+[KMG]->\\d+[KMG]\\((\\d+)([KMG])\\)', ['n','u']) AS hm,
+    regexp_matches(body, '\\d+[KMG]->\\d+[KMG]\\(\\d+[KMG]\\)') AS has_heap,
+    regexp_extract_all(
+      regexp_replace(regexp_replace(body, '\\s*\\d+\\.\\d+ms\\s*$', ''),
+                     '\\s*\\d+[KMG]->\\d+[KMG]\\(\\d+[KMG]\\)\\s*$', ''),
+      '\\(([^()]*(\\(\\))?)\\)', 1) AS parens,
+    trim(regexp_replace(
+      regexp_replace(regexp_replace(body, '\\s*\\d+\\.\\d+ms\\s*$', ''),
+                     '\\s*\\d+[KMG]->\\d+[KMG]\\(\\d+[KMG]\\)\\s*$', ''),
+      '\\(([^()]*(\\(\\))?)\\) *', '', 'g')) AS head
+  FROM m
+),
+b AS (
+  SELECT *,
+    CASE WHEN len(parens) > 0 THEN parens[len(parens)] END AS cause,
+    CASE WHEN len(parens) > 1
+         THEN head || ' (' || list_aggr(parens[1:len(parens)-1],
+                                        'string_agg', ') (') || ')'
+         ELSE head END AS gc_type,
+    CASE u WHEN 'K' THEN 1024::BIGINT WHEN 'M' THEN 1048576::BIGINT
+           WHEN 'G' THEN 1073741824::BIGINT END AS _unused
+  FROM (SELECT *, hb['u'] AS u FROM f)
+)
+SELECT
+  CAST(row_number() OVER (ORDER BY line_no) - 1 AS INT) AS event_idx,
+  CAST(CASE WHEN iso <> '' THEN epoch_ms(strptime(iso, '%Y-%m-%dT%H:%M:%S.%g%z')) END AS BIGINT) AS event_epoch_ms,
+  age AS jvm_age_seconds,
+  CASE WHEN has_heap THEN 'basic' ELSE 'g1' END AS gc_class,
+  gc_type,
+  cause AS gc_cause,
+  CAST(CASE WHEN has_heap THEN CAST(hb['n'] AS BIGINT) *
+    (CASE hb['u'] WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576 ELSE 1073741824 END) END AS BIGINT) AS heap_before_bytes,
+  CAST(CASE WHEN has_heap THEN CAST(ha['n'] AS BIGINT) *
+    (CASE ha['u'] WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576 ELSE 1073741824 END) END AS BIGINT) AS heap_after_bytes,
+  CAST(CASE WHEN has_heap THEN CAST(hm['n'] AS BIGINT) *
+    (CASE hm['u'] WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576 ELSE 1073741824 END) END AS BIGINT) AS heap_max_bytes,
+  CAST(round(coalesce(try_cast(nullif(ms, '') AS DOUBLE) / 1000.0, 0.0) * 10000000) AS BIGINT) AS pause_ticks
+FROM b
+ORDER BY line_no
+"""
