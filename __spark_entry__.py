@@ -179,6 +179,41 @@ def q_gc_unified_parse(spark, sf_dir):
     )
 
 
+def q_gc_g1_parse(spark, sf_dir):
+    """Legacy G1 collector lines (superset) vs the independent DuckDB
+    regexp reimplementation."""
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import G1LOG
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "g1://fixture/0",
+                datetime(2026, 8, 17, 1, 0, 0),
+                None,
+                G1LOG,
+                "en",
+            )
+        ],
+        PAGES_SCHEMA,
+    )
+    ev = parse_events(pages, require_marker=False)
+    return ev.select(
+        "event_idx",
+        F.unix_millis("event_time").alias("event_epoch_ms"),
+        "jvm_age_seconds",
+        "gc_class",
+        "gc_type",
+        "gc_cause",
+        "heap_before_bytes",
+        "heap_after_bytes",
+        "heap_max_bytes",
+        _pause_ticks("pause_seconds").alias("pause_ticks"),
+    )
+
+
 def q_gc_rates(spark, sf_dir):
     return with_rates(_events(spark, sf_dir)).select(
         "url",
@@ -453,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_events_full_window": q_gc_events_full_window,
         "gc_limit_per_log": q_gc_limit_per_log,
         "gc_unified_parse": q_gc_unified_parse,
+        "gc_g1_parse": q_gc_g1_parse,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -509,6 +545,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["gc_unified_parse"] = oracle.unified_sql()
+    out["gc_g1_parse"] = oracle.g1_legacy_sql()
 
     out["gc_rates"] = g(oracle.RATED_CTE) + (
         "SELECT url, event_idx, bytes_allocated_since_last,"

@@ -446,3 +446,75 @@ SELECT
 FROM b
 ORDER BY line_no
 """
+
+
+def g1_legacy_sql() -> str:
+    """Independent DuckDB reimplementation of the legacy G1 parse
+    (core._scan_collection's G1 branches) over the G1LOG fixture
+    literals: evacuation-pause tag folding, concurrent/remark phases
+    with the outer ', T secs]' tail winning, cleanup/Full GC through
+    the sized path."""
+    from gclog_parser_spark.fixtures import G1LOG
+
+    values = ",\n    ".join(
+        f"({i}, '{line.replace(chr(39), chr(39) * 2)}')"
+        for i, line in enumerate(G1LOG.split("\n"))
+    )
+    return f"""
+WITH raw(line_no, line) AS (VALUES
+    {values}
+),
+m AS (
+  SELECT line_no, line,
+    regexp_extract(line,
+      '^(\\d{{4}}-\\d{{2}}-\\d{{2}}T\\d{{2}}:\\d{{2}}:\\d{{2}}\\.\\d{{3}}[+-]\\d{{4}}): ', 1) AS iso,
+    CAST(regexp_extract(line, '^(?:[^ ]+: )?(\\d+\\.\\d+): \\[', 1) AS DOUBLE) AS age,
+    regexp_extract(line, ': \\[([A-Za-z\\- ]+)', 1) AS rawtype,
+    regexp_extract(line, '\\(([A-Za-z][A-Za-z0-9 ]*)\\)', 1) AS cause,
+    regexp_extract_all(line,
+      '\\((young|mixed|initial-mark|to-space exhausted)\\)', 1) AS tags,
+    regexp_extract(line, '(\\d+)([KMG])->\\d+[KMG]\\(\\d+[KMG]\\), \\d+\\.\\d+ secs\\]',
+                   ['n','u']) AS hb,
+    regexp_extract(line, '\\d+[KMG]->(\\d+)([KMG])\\(\\d+[KMG]\\), \\d+\\.\\d+ secs\\]',
+                   ['n','u']) AS ha,
+    regexp_extract(line, '\\d+[KMG]->\\d+[KMG]\\((\\d+)([KMG])\\), \\d+\\.\\d+ secs\\]',
+                   ['n','u']) AS hm,
+    regexp_matches(line,
+      '\\d+[KMG]->\\d+[KMG]\\(\\d+[KMG]\\), \\d+\\.\\d+ secs\\]') AS has_heap,
+    regexp_extract_all(line, ', (\\d+\\.\\d+) secs\\]', 1) AS sec_tails
+  FROM raw
+  WHERE regexp_matches(line, '^(?:[^ ]+: )?\\d+\\.\\d+: \\[')
+),
+t AS (
+  SELECT *,
+    trim(rawtype) AS base_type,
+    trim(rawtype) LIKE 'GC concurrent%' OR trim(rawtype) = 'GC remark'
+      AS is_phase
+  FROM m
+)
+SELECT
+  CAST(row_number() OVER (ORDER BY line_no) - 1 AS INT) AS event_idx,
+  CAST(CASE WHEN iso <> ''
+    THEN epoch_ms(strptime(iso, '%Y-%m-%dT%H:%M:%S.%g%z')) END AS BIGINT)
+    AS event_epoch_ms,
+  age AS jvm_age_seconds,
+  CASE WHEN is_phase THEN 'g1' ELSE 'basic' END AS gc_class,
+  CASE WHEN len(tags) > 0
+       THEN base_type || ' (' || list_aggr(tags, 'string_agg', ') (') || ')'
+       ELSE base_type END AS gc_type,
+  nullif(cause, '') AS gc_cause,
+  CAST(CASE WHEN NOT is_phase AND has_heap THEN CAST(hb['n'] AS BIGINT) *
+    (CASE hb['u'] WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576 ELSE 1073741824 END)
+    END AS BIGINT) AS heap_before_bytes,
+  CAST(CASE WHEN NOT is_phase AND has_heap THEN CAST(ha['n'] AS BIGINT) *
+    (CASE ha['u'] WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576 ELSE 1073741824 END)
+    END AS BIGINT) AS heap_after_bytes,
+  CAST(CASE WHEN NOT is_phase AND has_heap THEN CAST(hm['n'] AS BIGINT) *
+    (CASE hm['u'] WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576 ELSE 1073741824 END)
+    END AS BIGINT) AS heap_max_bytes,
+  CAST(round(coalesce(
+      try_cast(sec_tails[len(sec_tails)] AS DOUBLE), 0.0)
+    * 10000000) AS BIGINT) AS pause_ticks
+FROM t
+ORDER BY line_no
+"""
