@@ -141,27 +141,16 @@ def q_gc_graphite_export(spark, sf_dir):
     return graphite_export(ev)
 
 
-def q_gc_unified_parse(spark, sf_dir):
-    """JDK 9+ unified-logging lines parsed by the engine vs an
-    independent DuckDB regexp reimplementation.  The corpus is the
-    deterministic UNIFIED_LOG fixture embedded as one page (sf_dir
-    independent — unified lines are a superset absent from the frozen
-    pages datagen)."""
+def _fixture_parse(spark, fixture_text: str, url: str):
+    """One-page corpus from a fixture literal → the common parsed
+    projection compared against the fixture-literal DuckDB oracles
+    (superset formats absent from the frozen pages datagen)."""
     from datetime import datetime
 
-    from gclog_parser_spark.fixtures import UNIFIED_LOG
     from gclog_parser_spark.schema import PAGES_SCHEMA
 
     pages = spark.createDataFrame(
-        [
-            (
-                "uni://fixture/0",
-                datetime(2026, 8, 17, 1, 0, 0),
-                None,
-                UNIFIED_LOG,
-                "en",
-            )
-        ],
+        [(url, datetime(2026, 8, 17, 1, 0, 0), None, fixture_text, "en")],
         PAGES_SCHEMA,
     )
     ev = parse_events(pages, require_marker=False)
@@ -177,41 +166,22 @@ def q_gc_unified_parse(spark, sf_dir):
         "heap_max_bytes",
         _pause_ticks("pause_seconds").alias("pause_ticks"),
     )
+
+
+def q_gc_unified_parse(spark, sf_dir):
+    """JDK 9+ unified-logging lines parsed by the engine vs an
+    independent DuckDB regexp reimplementation."""
+    from gclog_parser_spark.fixtures import UNIFIED_LOG
+
+    return _fixture_parse(spark, UNIFIED_LOG, "uni://fixture/0")
 
 
 def q_gc_g1_parse(spark, sf_dir):
     """Legacy G1 collector lines (superset) vs the independent DuckDB
     regexp reimplementation."""
-    from datetime import datetime
-
     from gclog_parser_spark.fixtures import G1LOG
-    from gclog_parser_spark.schema import PAGES_SCHEMA
 
-    pages = spark.createDataFrame(
-        [
-            (
-                "g1://fixture/0",
-                datetime(2026, 8, 17, 1, 0, 0),
-                None,
-                G1LOG,
-                "en",
-            )
-        ],
-        PAGES_SCHEMA,
-    )
-    ev = parse_events(pages, require_marker=False)
-    return ev.select(
-        "event_idx",
-        F.unix_millis("event_time").alias("event_epoch_ms"),
-        "jvm_age_seconds",
-        "gc_class",
-        "gc_type",
-        "gc_cause",
-        "heap_before_bytes",
-        "heap_after_bytes",
-        "heap_max_bytes",
-        _pause_ticks("pause_seconds").alias("pause_ticks"),
-    )
+    return _fixture_parse(spark, G1LOG, "g1://fixture/0")
 
 
 def q_gc_rates(spark, sf_dir):

@@ -62,6 +62,7 @@ G1LOG = "\n".join(
         "2015-05-26T16:23:08.000-0200: 65.102: [GC pause (G1 Evacuation Pause) (mixed) 3791M->3100M(4096M), 0.0675559 secs]",
         "2015-05-26T16:23:09.120-0200: 66.222: [GC pause (G1 Evacuation Pause) (young) (to-space exhausted) 1694M->689M(2048M), 0.1158856 secs]",
         "2015-05-26T16:23:12.000-0200: 69.102: [Full GC (Allocation Failure) 5811M->1316M(6144M), 16.7476886 secs]",
+        "2015-05-26T16:23:13.000-0200: 70.102: [GC pause (young) 1785M->1641M(4096M), 0.0121942 secs]",
     ]
 )
 

@@ -376,6 +376,24 @@ def heap_prefix(*extra: str) -> str:
     return with_prefix(HEAP_GRP_CTE, REGION_LINES_CTE, *extra)
 
 
+def _fixture_values(text: str) -> str:
+    """(line_no, line) VALUES list with SQL quote escaping — shared by
+    the fixture-literal oracles."""
+    return ",\n    ".join(
+        f"({i}, '{line.replace(chr(39), chr(39) * 2)}')"
+        for i, line in enumerate(text.split("\n"))
+    )
+
+
+def _size_bytes(field: str) -> str:
+    """K/M/G multiplier SQL for a regexp struct field with 'n'/'u'."""
+    return (
+        f"CAST({field}['n'] AS BIGINT) * (CASE {field}['u']"
+        " WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576"
+        " ELSE 1073741824 END)"
+    )
+
+
 def unified_sql() -> str:
     """Independent DuckDB reimplementation of the JDK 9+ unified-logging
     parse (core.parse_unified_line): the UNIFIED_LOG fixture lines as a
@@ -383,10 +401,7 @@ def unified_sql() -> str:
     no shared code with the Spark path beyond the input literals."""
     from gclog_parser_spark.fixtures import UNIFIED_LOG
 
-    values = ",\n    ".join(
-        f"({i}, '{line.replace(chr(39), chr(39) * 2)}')"
-        for i, line in enumerate(UNIFIED_LOG.split("\n"))
-    )
+    values = _fixture_values(UNIFIED_LOG)
     return f"""
 WITH raw(line_no, line) AS (VALUES
     {values}
@@ -436,12 +451,9 @@ SELECT
   CASE WHEN has_heap THEN 'basic' ELSE 'g1' END AS gc_class,
   gc_type,
   cause AS gc_cause,
-  CAST(CASE WHEN has_heap THEN CAST(hb['n'] AS BIGINT) *
-    (CASE hb['u'] WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576 ELSE 1073741824 END) END AS BIGINT) AS heap_before_bytes,
-  CAST(CASE WHEN has_heap THEN CAST(ha['n'] AS BIGINT) *
-    (CASE ha['u'] WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576 ELSE 1073741824 END) END AS BIGINT) AS heap_after_bytes,
-  CAST(CASE WHEN has_heap THEN CAST(hm['n'] AS BIGINT) *
-    (CASE hm['u'] WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576 ELSE 1073741824 END) END AS BIGINT) AS heap_max_bytes,
+  CAST(CASE WHEN has_heap THEN {_size_bytes('hb')} END AS BIGINT) AS heap_before_bytes,
+  CAST(CASE WHEN has_heap THEN {_size_bytes('ha')} END AS BIGINT) AS heap_after_bytes,
+  CAST(CASE WHEN has_heap THEN {_size_bytes('hm')} END AS BIGINT) AS heap_max_bytes,
   CAST(round(coalesce(try_cast(nullif(ms, '') AS DOUBLE) / 1000.0, 0.0) * 10000000) AS BIGINT) AS pause_ticks
 FROM b
 ORDER BY line_no
@@ -456,10 +468,7 @@ def g1_legacy_sql() -> str:
     the sized path."""
     from gclog_parser_spark.fixtures import G1LOG
 
-    values = ",\n    ".join(
-        f"({i}, '{line.replace(chr(39), chr(39) * 2)}')"
-        for i, line in enumerate(G1LOG.split("\n"))
-    )
+    values = _fixture_values(G1LOG)
     return f"""
 WITH raw(line_no, line) AS (VALUES
     {values}
@@ -470,7 +479,9 @@ m AS (
       '^(\\d{{4}}-\\d{{2}}-\\d{{2}}T\\d{{2}}:\\d{{2}}:\\d{{2}}\\.\\d{{3}}[+-]\\d{{4}}): ', 1) AS iso,
     CAST(regexp_extract(line, '^(?:[^ ]+: )?(\\d+\\.\\d+): \\[', 1) AS DOUBLE) AS age,
     regexp_extract(line, ': \\[([A-Za-z\\- ]+)', 1) AS rawtype,
-    regexp_extract(line, '\\(([A-Za-z][A-Za-z0-9 ]*)\\)', 1) AS cause,
+    list_filter(
+      regexp_extract_all(line, '\\(([A-Za-z][A-Za-z0-9 ]*)\\)', 1),
+      x -> x NOT IN ('young', 'mixed')) AS cause_cands,
     regexp_extract_all(line,
       '\\((young|mixed|initial-mark|to-space exhausted)\\)', 1) AS tags,
     regexp_extract(line, '(\\d+)([KMG])->\\d+[KMG]\\(\\d+[KMG]\\), \\d+\\.\\d+ secs\\]',
@@ -502,15 +513,12 @@ SELECT
   CASE WHEN len(tags) > 0
        THEN base_type || ' (' || list_aggr(tags, 'string_agg', ') (') || ')'
        ELSE base_type END AS gc_type,
-  nullif(cause, '') AS gc_cause,
-  CAST(CASE WHEN NOT is_phase AND has_heap THEN CAST(hb['n'] AS BIGINT) *
-    (CASE hb['u'] WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576 ELSE 1073741824 END)
+  CASE WHEN len(cause_cands) > 0 THEN cause_cands[1] END AS gc_cause,
+  CAST(CASE WHEN NOT is_phase AND has_heap THEN {_size_bytes('hb')}
     END AS BIGINT) AS heap_before_bytes,
-  CAST(CASE WHEN NOT is_phase AND has_heap THEN CAST(ha['n'] AS BIGINT) *
-    (CASE ha['u'] WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576 ELSE 1073741824 END)
+  CAST(CASE WHEN NOT is_phase AND has_heap THEN {_size_bytes('ha')}
     END AS BIGINT) AS heap_after_bytes,
-  CAST(CASE WHEN NOT is_phase AND has_heap THEN CAST(hm['n'] AS BIGINT) *
-    (CASE hm['u'] WHEN 'K' THEN 1024 WHEN 'M' THEN 1048576 ELSE 1073741824 END)
+  CAST(CASE WHEN NOT is_phase AND has_heap THEN {_size_bytes('hm')}
     END AS BIGINT) AS heap_max_bytes,
   CAST(round(coalesce(
       try_cast(sec_tails[len(sec_tails)] AS DOUBLE), 0.0)

@@ -22,13 +22,13 @@ def g1_events():
 
 
 def test_g1_counts_and_classes(g1_events):
-    assert len(g1_events) == 13
+    assert len(g1_events) == 14
     by_class = {}
     for e in g1_events:
         by_class[e["gc_class"]] = by_class.get(e["gc_class"], 0) + 1
     # 6 concurrent phases + remark = 'g1'; pauses/cleanup/Full GC carry
     # heap and are structurally basic
-    assert by_class == {"g1": 7, "basic": 6}
+    assert by_class == {"g1": 7, "basic": 7}
 
 
 def test_g1_evacuation_pause_fields(g1_events):
@@ -70,6 +70,15 @@ def test_g1_concurrent_start_zero_pause(g1_events):
     assert end["pause"] == 0.0756453
 
 
+def test_g1_causeless_young_pause(g1_events):
+    """'[GC pause (young) …' without -XX:+PrintGCCause: the tag must
+    not be mistaken for a cause (tag-peek rule in _scan_collection)."""
+    ev = g1_events[13]
+    assert ev["gc_type"] == "GC pause (young)"
+    assert ev["gc_cause"] is None
+    assert ev["heap"] == ("1785M", "1641M", "4096M")
+
+
 def test_g1_rates_full_gc(g1_events):
     rates = calculate_rates(g1_events)
     # Full GC (idx 12): allocated = own heap_before - prev heap_after
@@ -108,9 +117,10 @@ def test_g1_spark_path_routes_families(spark, tmp_path):
         for r in routed.groupBy("sink").agg(F.count("*").alias("n")).collect()
     }
     assert fams == {
-        "g1_young": 3,       # young, initial-mark, to-space exhausted
+        "g1_young": 4,       # young ×2 (one cause-less), initial-mark,
+                             # to-space exhausted
         "g1_mixed": 1,
         "g1_concurrent": 8,  # 6 concurrent + remark + cleanup
         "full": 1,
     }
-    assert events.count() == 13
+    assert events.count() == 14
