@@ -291,7 +291,13 @@ def measure_scaling(spark_gone_result: dict, cpus_small: int | None = None,
     ratio = cpus_big / cpus_small
     rounds = []
     n_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
-    for _ in range(n_rounds):
+    # wall budget: noisy-window rounds run 2-3x long; never let the
+    # scaling stage starve the whole bench of its harness timeout
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "150"))
+    t_start = time.perf_counter()
+    for i in range(n_rounds):
+        if i > 0 and time.perf_counter() - t_start > budget_s:
+            break
         small = probe(cpus_small)
         big = probe(cpus_big)
         rounds.append(
