@@ -420,6 +420,12 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(_embs(spark, sf_dir))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from gclog_parser_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_embs(spark, sf_dir))
+
+
 def q_emb_neardup(spark, sf_dir):
     from gclog_parser_spark.operators.similarity import neardup_pairs
 
@@ -451,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
         "media_meta": q_media_meta,
         "gc_event_counts": q_gc_event_counts,
@@ -604,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
     out["doc_fingerprint"] = ot.doc_fingerprint_sql()
     out["ann_cosine_topk"] = ot.ann_cosine_sql()
     out["ann_lsh_topk"] = ot.ann_lsh_sql()
+    out["ann_ivf_topk"] = ot.ann_ivf_sql()
     out["emb_neardup"] = ot.emb_neardup_sql()
     out["media_meta"] = ot.media_meta_sql()
 

@@ -129,6 +129,100 @@ def lsh_bucket_topk(
     )
 
 
+#: IVF coarse quantizer: deterministic pseudo-random centroids (same
+#: LCG as the LSH planes, different seed) — literal-stable across
+#: engines so the DuckDB oracle replicates assignment exactly.
+N_CELLS = 8
+
+
+def centroid_components(
+    n_cells: int = N_CELLS, dim: int = EMB_DIM, seed: int = 7
+):
+    g = _lcg(seed)
+    return [
+        [round(next(g), 6) for _ in range(dim)] for _ in range(n_cells)
+    ]
+
+
+def ivf_assign(emb: DataFrame, seed: int = 7) -> DataFrame:
+    """(vec_id, embedding, cell) — cell = argmax over centroids of the
+    dot product (spherical coarse quantization).  Computed scan-side;
+    at 10^12 scale the assignment is a one-pass projection and the
+    cell becomes the table's partition key."""
+    cents = centroid_components(seed=seed)
+    scores = [
+        _dot(F.col("embedding"), F.array(*[F.lit(c) for c in cent]))
+        for cent in cents
+    ]
+    best = F.greatest(*scores)
+    cell = F.lit(len(cents) - 1)
+    for j in range(len(cents) - 2, -1, -1):  # earliest cell wins ties
+        cell = F.when(scores[j] == best, F.lit(j)).otherwise(cell)
+    return emb.select(
+        "vec_id", "embedding", cell.cast("int").alias("cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 5,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine, but only within the
+    ``n_probe`` cells whose centroids score highest for the query —
+    the inverted-file candidate set.  Candidate generation is an
+    equi-join on the cell id (shuffle ∝ corpus, never ∝ pairs); at
+    scale the cells are partition-pruned instead of joined."""
+    assigned = ivf_assign(emb, seed)
+    cents = centroid_components(seed=seed)
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    qscores = q.select(
+        "q",
+        *[
+            _dot(F.col("q"), F.array(*[F.lit(c) for c in cent])).alias(
+                f"qs{j}"
+            )
+            for j, cent in enumerate(cents)
+        ],
+    )
+    # top-n_probe query cells, computed on the single query row
+    score_arr = F.array(
+        *[
+            F.struct(
+                F.col(f"qs{j}").alias("s"), F.lit(j).alias("cell")
+            )
+            for j in range(len(cents))
+        ]
+    )
+    probes = qscores.select(
+        "q",
+        F.slice(
+            F.reverse(F.array_sort(score_arr)), 1, n_probe
+        ).alias("top"),
+    ).select("q", F.explode("top.cell").alias("cell"))
+
+    cand = assigned.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != query_vec_id
+    )
+    scored = cand.select(
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("q"))
+            / (_norm(F.col("embedding")) * _norm(F.col("q"))),
+            6,
+        ).alias("sim"),
+    )
+    return (
+        scored.orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "sim")
+    )
+
+
 def neardup_pairs(
     emb: DataFrame, threshold: float = 0.9, block_col: str = "label"
 ) -> DataFrame:

@@ -236,6 +236,46 @@ WHERE e.bucket = q.qbucket AND e.vec_id <> {query_vec_id}
 ORDER BY sim DESC, e.vec_id ASC LIMIT {k}"""
 
 
+def ann_ivf_sql(query_vec_id: int = 0, k: int = 5, n_probe: int = 2) -> str:
+    """Independent IVF reimplementation: same deterministic centroid
+    literals, cell = argmax dot (earliest cell wins ties), candidates =
+    the query's top-n_probe cells, exact cosine within."""
+    from gclog_parser_spark.operators.similarity import (
+        centroid_components,
+    )
+
+    cents = centroid_components()
+    dots = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(str(c) for c in cent)
+        + "]::DOUBLE[]) AS s" + str(j)
+        for j, cent in enumerate(cents)
+    )
+    n = len(cents)
+    best = "greatest(" + ", ".join(f"s{j}" for j in range(n)) + ")"
+    cell = f"CASE {' '.join(f'WHEN s{j} = {best} THEN {j}' for j in range(n))} END"
+    return f"""WITH scored AS (
+  SELECT vec_id, embedding, {dots} FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, embedding, {cell} AS cell FROM scored
+),
+qcells AS (
+  SELECT cell FROM (
+    SELECT unnest([{', '.join(f's{j}' for j in range(n))}]) AS s,
+           unnest([{', '.join(str(j) for j in range(n))}]) AS cell
+    FROM scored WHERE vec_id = {query_vec_id})
+  ORDER BY s DESC, cell ASC LIMIT {n_probe}
+),
+q AS (
+  SELECT embedding AS q FROM embeddings WHERE vec_id = {query_vec_id}
+)
+SELECT e.vec_id, {_COS} AS sim
+FROM assigned e JOIN qcells USING (cell), q
+WHERE e.vec_id <> {query_vec_id}
+ORDER BY sim DESC, e.vec_id ASC LIMIT {k}"""
+
+
 def emb_neardup_sql(threshold: float = 0.9) -> str:
     cos = (
         "round(list_dot_product(a.embedding::DOUBLE[],"
