@@ -38,6 +38,11 @@ from gclog_parser_spark.operators.route import (  # noqa: F401
     fanout_write,
     with_sink,
 )
+from gclog_parser_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from gclog_parser_spark.plans.ledger import run_checkpointed  # noqa: F401
 from gclog_parser_spark.plans.pipeline import (  # noqa: F401
     PipelineMetrics,
@@ -48,4 +53,10 @@ from gclog_parser_spark.sources.pages import (  # noqa: F401
     read_gc_logs,
     read_pages,
     union_pages,
+)
+from gclog_parser_spark.sources.sinks import write_socket  # noqa: F401
+from gclog_parser_spark.streaming.stream import (  # noqa: F401
+    parse_stream,
+    run_fanout_stream,
+    stream_pages,
 )
