@@ -242,6 +242,36 @@ def q_gc_events_per_collector(spark, sf_dir):
     return events_per_collector(with_sink(_events(spark, sf_dir)))
 
 
+_STREAM_SEQ = [0]
+
+
+def q_gc_stream_hourly(spark, sf_dir):
+    """Structured Streaming in the correctness gate: pages stream
+    (availableNow file source) → parse → watermarked per-(sink, hour)
+    windowed aggregate, compared against the SAME DuckDB oracle as the
+    batch aggregate — stream results must equal batch results."""
+    import tempfile
+
+    from gclog_parser_spark.streaming.stream import run_hourly_stream
+
+    base = tempfile.mkdtemp(prefix="gps_stream_")
+    inp = f"{base}/pages"
+    pages_from_documents(spark, sf_dir).repartition(3).write.parquet(inp)
+    _STREAM_SEQ[0] += 1
+    qname = f"gps_stream_hourly_{_STREAM_SEQ[0]}"
+    q = run_hourly_stream(
+        spark, inp, f"{base}/ckpt", query_name=qname
+    )
+    q.awaitTermination(600)
+    out = spark.table(qname)
+    return out.select(
+        "sink",
+        F.unix_seconds("hour").alias("hour_epoch"),
+        "events",
+        "heap_reclaimed_sum",
+    )
+
+
 def q_gc_appstopped(spark, sf_dir):
     ev = _events(spark, sf_dir).where(F.col("gc_class") == "app_stopped")
     return ev.agg(
@@ -472,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_pause_by_family": q_gc_pause_by_family,
         "gc_per_sink_hourly": q_gc_per_sink_hourly,
         "gc_per_sink_hourly_salted": q_gc_per_sink_hourly_salted,
+        "gc_stream_hourly": q_gc_stream_hourly,
         "gc_events_per_collector": q_gc_events_per_collector,
         "gc_appstopped": q_gc_appstopped,
         "gc_region_deltas": q_gc_region_deltas,
@@ -563,6 +594,9 @@ def oracle_sql() -> dict[str, str]:
         " FROM gc_events e LEFT JOIN family_dim f USING (gc_type)"
         " GROUP BY 1, 2"
     )
+
+    # the streaming aggregate must equal the batch aggregate
+    out["gc_stream_hourly"] = out["gc_per_sink_hourly_salted"]
 
     out["gc_events_per_collector"] = g(fam) + (
         "SELECT coalesce(f.family, CASE WHEN e.gc_type LIKE 'CMS%'"
