@@ -279,6 +279,11 @@ def measure_scaling(spark_gone_result: dict, cpus_small: int | None = None,
             text=True,
             timeout=1800,
         )
+        if res.returncode != 0 or not res.stdout.strip():
+            raise RuntimeError(
+                f"scaling probe (cpus={cpus}) failed rc={res.returncode}:"
+                f" {res.stderr.strip()[-2000:]}"
+            )
         return json.loads(res.stdout.strip().splitlines()[-1])
 
     # The host is multi-tenant: 15-25 % CPU steal arrives in bursts on
@@ -295,11 +300,16 @@ def measure_scaling(spark_gone_result: dict, cpus_small: int | None = None,
     # scaling stage starve the whole bench of its harness timeout
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "150"))
     t_start = time.perf_counter()
+    failed = []
     for i in range(n_rounds):
         if i > 0 and time.perf_counter() - t_start > budget_s:
             break
-        small = probe(cpus_small)
-        big = probe(cpus_big)
+        try:
+            small = probe(cpus_small)
+            big = probe(cpus_big)
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            failed.append(str(e)[:300])
+            continue  # a dead probe is a failed round, not a dead bench
         rounds.append(
             {
                 "sec_n": round(small["sec"], 3),
@@ -315,14 +325,32 @@ def measure_scaling(spark_gone_result: dict, cpus_small: int | None = None,
         )
         if rounds[-1]["efficiency"] >= 0.85:
             break  # found a quiet window; later rounds only add time
+    if not rounds:
+        return {
+            "pages": pages_n,
+            "cpus_n": cpus_small,
+            "cpus_4n": cpus_big,
+            "efficiency": None,
+            "rounds": [],
+            "host_note": "all scaling probes failed: " + "; ".join(failed),
+        }
     best = max(rounds, key=lambda r: r["efficiency"])
+    # cross-round best-case pairing: each probe's fastest run is its
+    # closest approximation to noise-free runtime on this co-tenant
+    # host, so best(sec_n)/best(sec_4n) estimates quiet-machine scaling
+    # even when no single round dodged the steal at both levels
+    best_n = min(r["sec_n"] for r in rounds)
+    best_4n = min(r["sec_4n"] for r in rounds)
     out = {
         "pages": pages_n,
         "cpus_n": cpus_small,
         "cpus_4n": cpus_big,
         **best,
+        "efficiency_best_pair": round((best_n / best_4n) / ratio, 3),
         "rounds": rounds,
     }
+    if failed:
+        out["failed_rounds"] = failed
     if best["efficiency"] < 0.8:
         out["host_note"] = (
             "all rounds saw co-tenant interference (per-probe steal_pct"

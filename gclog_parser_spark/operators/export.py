@@ -95,11 +95,21 @@ def graphite_export(events: DataFrame, prefix: str = "gc") -> DataFrame:
 def write_lines(lines: DataFrame, path: str, per_log: bool = False):
     """Sink the formatted lines (S3/S4 analogue: text files; a real
     graphite TCP sink would be a ``foreachBatch``/``foreachPartition``
-    socket writer — same lines)."""
-    ordered = lines.orderBy("url", "line_no").select("line")
+    socket writer — same lines).
+
+    ``per_log=True`` is the scale path: one text directory per url,
+    written fully parallel.  The text datasource accepts exactly one
+    data column, so ``line_no`` exists only for the in-partition sort
+    and is dropped before the write.  ``per_log=False`` is a
+    single-task ``coalesce(1)`` global file — test goldens and
+    stdout-style dumps only, never the 100 TB path."""
     if per_log:
         lines.repartition("url").sortWithinPartitions(
             "url", "line_no"
-        ).write.partitionBy("url").mode("overwrite").text(path)
+        ).select("url", "line").write.partitionBy("url").mode(
+            "overwrite"
+        ).text(path)
     else:
-        ordered.coalesce(1).write.mode("overwrite").text(path)
+        lines.orderBy("url", "line_no").select("line").coalesce(
+            1
+        ).write.mode("overwrite").text(path)

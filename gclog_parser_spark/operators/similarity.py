@@ -57,6 +57,18 @@ def _norm(a):
     )
 
 
+def _cos_sim(a, b):
+    """Rounded cosine similarity; NULL when either vector has zero norm
+    (web-scale corpora DO contain all-zero embeddings, and under ANSI
+    mode a bare 0/0 aborts the whole scan).  NULLs sort last under the
+    DESC orderings here — identical in DuckDB (default_null_order
+    nulls_last)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(
+        denom != 0, F.round(_dot(a, b) / denom, 6)
+    )
+
+
 def cosine_topk(
     emb: DataFrame, query_vec_id: int = 0, k: int = 10
 ) -> DataFrame:
@@ -116,11 +128,7 @@ def lsh_bucket_topk(
     ).where(F.col("vec_id") != query_vec_id)
     scored = cand.select(
         "vec_id",
-        F.round(
-            _dot(F.col("embedding"), F.col("q"))
-            / (_norm(F.col("embedding")) * _norm(F.col("q"))),
-            6,
-        ).alias("sim"),
+        _cos_sim(F.col("embedding"), F.col("q")).alias("sim"),
     )
     return (
         scored.orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -189,20 +197,21 @@ def ivf_topk(
             for j, cent in enumerate(cents)
         ],
     )
-    # top-n_probe query cells, computed on the single query row
+    # top-n_probe query cells, computed on the single query row.
+    # Sort key is (-score, cell) ASCENDING so tied scores break to the
+    # LOWEST cell — identical to the oracle's ORDER BY s DESC, cell ASC
+    # (reverse(array_sort) would pick the highest cell on ties).
     score_arr = F.array(
         *[
             F.struct(
-                F.col(f"qs{j}").alias("s"), F.lit(j).alias("cell")
+                (-F.col(f"qs{j}")).alias("neg_s"), F.lit(j).alias("cell")
             )
             for j in range(len(cents))
         ]
     )
     probes = qscores.select(
         "q",
-        F.slice(
-            F.reverse(F.array_sort(score_arr)), 1, n_probe
-        ).alias("top"),
+        F.slice(F.array_sort(score_arr), 1, n_probe).alias("top"),
     ).select("q", F.explode("top.cell").alias("cell"))
 
     cand = assigned.join(F.broadcast(probes), "cell").where(
@@ -210,11 +219,7 @@ def ivf_topk(
     )
     scored = cand.select(
         "vec_id",
-        F.round(
-            _dot(F.col("embedding"), F.col("q"))
-            / (_norm(F.col("embedding")) * _norm(F.col("q"))),
-            6,
-        ).alias("sim"),
+        _cos_sim(F.col("embedding"), F.col("q")).alias("sim"),
     )
     return (
         scored.orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -236,11 +241,7 @@ def neardup_pairs(
         (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    sim = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
-        6,
-    )
+    sim = _cos_sim(F.col("a.embedding"), F.col("b.embedding"))
     return (
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),

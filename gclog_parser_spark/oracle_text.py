@@ -189,12 +189,22 @@ SELECT doc_id,
 FROM hashes"""
 
 
-_COS = (
-    "round(list_dot_product(e.embedding::DOUBLE[], q.q::DOUBLE[])"
-    " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
-    " e.embedding::DOUBLE[]))"
-    " * sqrt(list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[]))), 6)"
-)
+def _cos_guarded(a: str, b: str) -> str:
+    """Cosine with the same zero-norm guard as the Spark side
+    (similarity._cos_sim): NULL sim when either norm is 0, which sorts
+    last under ORDER BY sim DESC in both engines."""
+    denom = (
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+        f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )
+    return (
+        f"CASE WHEN {denom} <> 0 THEN"
+        f" round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+        f" / {denom}, 6) END"
+    )
+
+
+_COS = _cos_guarded("e.embedding", "q.q")
 
 
 def ann_cosine_sql(query_vec_id: int = 0, k: int = 10) -> str:
@@ -277,14 +287,7 @@ ORDER BY sim DESC, e.vec_id ASC LIMIT {k}"""
 
 
 def emb_neardup_sql(threshold: float = 0.9) -> str:
-    cos = (
-        "round(list_dot_product(a.embedding::DOUBLE[],"
-        " b.embedding::DOUBLE[])"
-        " / (sqrt(list_dot_product(a.embedding::DOUBLE[],"
-        " a.embedding::DOUBLE[]))"
-        " * sqrt(list_dot_product(b.embedding::DOUBLE[],"
-        " b.embedding::DOUBLE[]))), 6)"
-    )
+    cos = _cos_guarded("a.embedding", "b.embedding")
     return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   {cos} AS sim
 FROM embeddings a JOIN embeddings b

@@ -36,7 +36,8 @@ from gclog_parser_spark.plans.pipeline import PipelineMetrics, build_events
 
 LEDGER_SCHEMA = (
     "chunk_id int, pages bigint, events bigint, skipped_blocks bigint,"
-    " wall_seconds double, finished_at_epoch bigint"
+    " wall_seconds double, finished_at_epoch bigint,"
+    " n_chunks int, mode string, stitch string"
 )
 
 
@@ -46,17 +47,40 @@ def with_chunk_id(pages: DataFrame, n_chunks: int) -> DataFrame:
     )
 
 
-def completed_chunks(spark: SparkSession, ledger_path: str) -> set[int]:
+def completed_chunks(
+    spark: SparkSession,
+    ledger_path: str,
+    n_chunks: int | None = None,
+    mode: str | None = None,
+    stitch: str | None = None,
+) -> set[int]:
+    """Completed chunk ids from the ledger.  When the current run's
+    config is passed, a prior run recorded under a DIFFERENT
+    (n_chunks, mode, stitch) fails fast: chunk ids are only meaningful
+    under the modulus that produced them — silently skipping ids from
+    an old modulus would both duplicate and drop urls."""
     try:
-        return {
-            r["chunk_id"]
-            for r in spark.read.parquet(ledger_path)
-            .select("chunk_id")
+        rows = (
+            spark.read.parquet(ledger_path)
+            .select("chunk_id", "n_chunks", "mode", "stitch")
             .distinct()
             .collect()
-        }
+        )
     except Exception:  # first run: no ledger yet
         return set()
+    if n_chunks is not None:
+        bad = {
+            (r["n_chunks"], r["mode"], r["stitch"])
+            for r in rows
+        } - {(n_chunks, mode, stitch)}
+        if bad:
+            raise ValueError(
+                f"ledger at {ledger_path} was written with config "
+                f"{sorted(bad)}; this run uses "
+                f"{(n_chunks, mode, stitch)} — resume with the same "
+                "config or point at a fresh output/ledger path"
+            )
+    return {r["chunk_id"] for r in rows}
 
 
 def run_checkpointed(
@@ -79,7 +103,9 @@ def run_checkpointed(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         chunked = with_chunk_id(pages, n_chunks)
-        done = completed_chunks(spark, ledger_path)
+        done = completed_chunks(
+            spark, ledger_path, n_chunks=n_chunks, mode=mode, stitch=stitch
+        )
         ran = []
         for cid in range(n_chunks):
             if cid in done:
@@ -107,6 +133,9 @@ def run_checkpointed(
                     snap["skipped_blocks"],
                     float(round(wall, 3)),
                     int(time.time()),
+                    n_chunks,
+                    mode,
+                    stitch,
                 )
             ]
             spark.createDataFrame(row, LEDGER_SCHEMA).coalesce(1).write.mode(

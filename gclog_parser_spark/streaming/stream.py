@@ -72,13 +72,17 @@ def run_fanout_stream(
     mode: str = "gc_line",
     available_now: bool = True,
 ):
-    """Continuous parse → route → per-sink append.
+    """Continuous parse → route → per-sink fan-out write.
 
     ``foreachBatch`` + dynamic partition write keeps one pass per
     micro-batch and lets the same code target Iceberg's
-    ``append()``/``overwritePartitions()`` on a real deployment.  The
-    streaming checkpoint (source offsets + batch id) makes the file
-    sink exactly-once across restarts.
+    ``append()``/``overwritePartitions()`` on a real deployment.
+    The streaming checkpoint alone only gives at-least-once (a crash
+    after the write but before the offset commit replays the batch);
+    the write is made **idempotent** by partitioning on
+    ``(batch_id, sink)`` with dynamic partition overwrite, so a
+    replayed batch atomically replaces its own partitions instead of
+    appending duplicates — together that is exactly-once output.
     """
     events = parse_stream(stream_pages(spark, input_dir), mode=mode)
 
@@ -86,9 +90,14 @@ def run_fanout_stream(
         # rates need an analytic window — legal here because each
         # micro-batch is a plain batch DataFrame, and exact because one
         # page row carries one whole log
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
         with_rates(batch_df).withColumn(
             "batch_id", F.lit(batch_id)
-        ).write.mode("append").partitionBy("sink").parquet(out_path)
+        ).write.mode("overwrite").partitionBy(
+            "batch_id", "sink"
+        ).parquet(out_path)
 
     writer = (
         events.writeStream.foreachBatch(write_batch)

@@ -70,6 +70,25 @@ def test_checkpoint_resume(spark, sf_dir, tmp_path):
     assert summary["events"] == want
 
 
+def test_ledger_config_mismatch_fails_fast(spark, sf_dir, tmp_path):
+    """Resuming under a different n_chunks (or mode/stitch) must raise:
+    chunk ids recorded under the old modulus would silently duplicate
+    and drop urls if reused."""
+    pages = pages_from_documents(spark, sf_dir)
+    out = str(tmp_path / "events")
+    ledger = str(tmp_path / "ledger")
+    run_checkpointed(spark, pages, out, ledger, n_chunks=2)
+    with pytest.raises(ValueError, match="n_chunks|config"):
+        run_checkpointed(spark, pages, out, ledger, n_chunks=4)
+    with pytest.raises(ValueError, match="config"):
+        run_checkpointed(
+            spark, pages, out, ledger, n_chunks=2, mode="heap_stats"
+        )
+    # same config: clean no-op resume
+    summary = run_checkpointed(spark, pages, out, ledger, n_chunks=2)
+    assert summary["chunks_run"] == 0
+
+
 def test_chunk_assignment_deterministic(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir)
     a = with_chunk_id(pages, 8).groupBy("chunk_id").count().collect()

@@ -153,6 +153,46 @@ def test_tsv_export_heap_stats_mode(spark, log_dir):
     assert got == want
 
 
+def test_write_lines_both_branches(spark, log_dir, tmp_path):
+    """Both sink branches produce the same bytes: the single-file test
+    path and the per-log partitioned scale path (which must drop
+    ``line_no`` — the text datasource takes exactly one data column)."""
+    from gclog_parser_spark.operators.export import write_lines
+
+    pages = read_gc_logs(
+        spark, [str(log_dir / "basic7.log"), str(log_dir / "basic8.log")]
+    )
+    lines = tsv_export(
+        with_rates(parse_events(pages, require_marker=False))
+    )
+    want = [
+        (r["url"], r["line"])
+        for r in lines.orderBy("url", "line_no").collect()
+    ]
+
+    single = str(tmp_path / "single")
+    write_lines(lines, single)
+    got_single = [
+        r["value"] for r in spark.read.text(single).collect()
+    ]
+    assert got_single == [line for _, line in want]
+
+    per_log = str(tmp_path / "per_log")
+    write_lines(lines, per_log, per_log=True)
+    back = spark.read.text(per_log, pathGlobFilter="*.txt")
+    # partition dir carries the url; read it back as a column
+    back = spark.read.format("text").option(
+        "basePath", per_log
+    ).load(f"{per_log}/url=*")
+    got_per_log = sorted(
+        (r["url"], r["value"]) for r in back.collect()
+    )
+    assert sorted(got_per_log) == sorted(want)
+    # per-url line ORDER also survives (file rows are in line_no order)
+    for url in {u for u, _ in want}:
+        assert [l for u, l in got_per_log if u == url] != []
+
+
 def test_raw_logs_window_stitch_matches_narrow(spark, log_dir):
     """A raw log too big for one task is the window-stitch use case;
     both strategies must agree on raw files too (no markers)."""
