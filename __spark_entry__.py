@@ -126,8 +126,9 @@ def q_gc_limit_per_log(spark, sf_dir):
 
 
 def q_gc_tsv_export(spark, sf_dir):
-    """Distributed TsvOutputFormat lines (rows-only driver check; the
-    byte-level golden parity is pinned by tests/test_sources_export)."""
+    """Distributed TsvOutputFormat lines vs the independent DuckDB
+    pair-builder oracle (oracle.tsv_export_sql); byte-level reference
+    goldens are additionally pinned by tests/test_sources_export."""
     from gclog_parser_spark.operators.export import tsv_export
     from gclog_parser_spark.operators.rates import with_rates
 
@@ -469,10 +470,11 @@ def q_media_meta(spark, sf_dir):
     return extract_media_meta(pages)
 
 
-#: queries with no DuckDB oracle (driver records a rows-only check):
-#: the export formatters' byte-level parity vs the reference goldens is
-#: pinned instead by tests/test_sources_export.py.
-ROWS_ONLY = {"gc_tsv_export", "gc_graphite_export"}
+#: queries with no DuckDB oracle (driver records a rows-only check) —
+#: none since round 2: the export formats now have independent DuckDB
+#: oracles (oracle.tsv_export_sql / graphite_export_sql) on top of the
+#: byte-level reference-golden parity in tests/test_sources_export.py.
+ROWS_ONLY: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -554,6 +556,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["gc_unified_parse"] = oracle.unified_sql()
     out["gc_g1_parse"] = oracle.g1_legacy_sql()
+
+    out["gc_tsv_export"] = oracle.tsv_export_sql()
+    out["gc_graphite_export"] = oracle.graphite_export_sql()
 
     out["gc_rates"] = g(oracle.RATED_CTE) + (
         "SELECT url, event_idx, bytes_allocated_since_last,"

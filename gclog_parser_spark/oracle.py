@@ -171,6 +171,18 @@ PARSED_CTE = _expand(
     CAST(length(regexp_extract_all(block, '"""
     + GEN_PATTERN
     + """')) AS INT) AS gen_count,
+    regexp_extract_all(block, '"""
+    + GEN_PATTERN
+    + """', 1) AS gen_names,
+    regexp_extract_all(block, '"""
+    + GEN_PATTERN
+    + """', 4) AS gen_bs,
+    regexp_extract_all(block, '"""
+    + GEN_PATTERN
+    + """', 5) AS gen_as,
+    regexp_extract_all(block, '"""
+    + GEN_PATTERN
+    + """', 6) AS gen_cs,
     nullif(regexp_extract(block,
       'Desired survivor size (\\d+) bytes, new threshold (\\d+)',
       ['d','t']).d, '') AS tenuring_desired,
@@ -218,6 +230,14 @@ EVENTS_ALL_CTE = f"""events_all AS (
       WHEN 'cms' THEN CASE WHEN cms_immediate THEN 0.0 ELSE real_pause END
       WHEN 'basic' THEN basic_pause END AS pause_seconds,
     CASE WHEN gc_class = 'basic' THEN gen_count ELSE 0 END AS gen_count,
+    CASE WHEN gc_class = 'basic' THEN gen_names
+         ELSE []::VARCHAR[] END AS gen_names,
+    CASE WHEN gc_class = 'basic' THEN gen_bs
+         ELSE []::VARCHAR[] END AS gen_bs,
+    CASE WHEN gc_class = 'basic' THEN gen_as
+         ELSE []::VARCHAR[] END AS gen_as,
+    CASE WHEN gc_class = 'basic' THEN gen_cs
+         ELSE []::VARCHAR[] END AS gen_cs,
     CASE WHEN gc_class = 'basic' AND gc_type = 'GC' AND heap.hb <> ''
               AND gen1.g_name <> '' AND lower(gen1.g_name) <> 'young'
          THEN ({_b("gen1.g_b")} - {_b("gen1.g_a")})
@@ -374,6 +394,131 @@ def gcline_prefix(*extra: str) -> str:
 
 def heap_prefix(*extra: str) -> str:
     return with_prefix(HEAP_GRP_CTE, REGION_LINES_CTE, *extra)
+
+
+# --- export formats (TsvOutputFormat / GraphiteOutputFormat) ---------------
+
+def _pair(n: str, v: str) -> str:
+    return f"struct_pack(n := {n}, v := {v})"
+
+
+def export_pairs_cte(with_rates: bool = True) -> str:
+    """The ordered (name, value) export pairs of every rated event —
+    the independent SQL twin of ``functions.export.row_export_pairs``
+    (reference: GCEvent.toSeq, GCEvent.scala:16-21 + the per-subclass
+    toExport layouts).  DuckDB's ``CAST(DOUBLE AS VARCHAR)`` is the
+    same shortest-roundtrip rendering as the Python/Java side (verified
+    incl. '3.62e-05' and '10000000.0' shapes)."""
+    dt_local = (
+        "strftime(make_timestamp((event_epoch_ms"
+        " + (CASE WHEN substr(tz_offset, 1, 1) = '-' THEN -1 ELSE 1 END)"
+        " * (CAST(substr(tz_offset, 2, 2) AS BIGINT) * 60"
+        "    + CAST(substr(tz_offset, 4, 2) AS BIGINT)) * 60000)"
+        " * 1000), '%Y-%m-%d %H:%M:%S.%g')"
+    )
+    gen_pairs = (
+        "flatten(list_transform(list_zip(gen_names, gen_bs, gen_as,"
+        " gen_cs), t -> ["
+        + _pair("t[1] || 'Before'", f"CAST({_b('t[2]')} AS VARCHAR)")
+        + ", "
+        + _pair("t[1] || 'After'", f"CAST({_b('t[3]')} AS VARCHAR)")
+        + ", "
+        + _pair(
+            "t[1] || 'Reclaimed'",
+            f"CAST({_b('t[2]')} - {_b('t[3]')} AS VARCHAR)",
+        )
+        + ", "
+        + _pair("t[1] || 'Max'", f"CAST({_b('t[4]')} AS VARCHAR)")
+        + "]))"
+    )
+    rates_pairs = (
+        "["
+        + _pair("'heapAllocated'",
+                "CAST(bytes_allocated_since_last AS VARCHAR)")
+        + ", "
+        + _pair("'heapAllocationRate'",
+                "CAST(heap_allocation_rate AS VARCHAR)")
+        + ", "
+        + _pair("'promotionRate'", "CAST(promotion_rate AS VARCHAR)")
+        + "]"
+        if with_rates
+        else "[]::STRUCT(n VARCHAR, v VARCHAR)[]"
+    )
+    src = "rates" if with_rates else "gc_events"
+    return f"""export_pairs AS (
+  SELECT url, event_idx, event_epoch_ms,
+    (
+      CASE WHEN event_epoch_ms IS NOT NULL
+           THEN [{_pair("'datetime'", dt_local)}] ELSE [] END
+      || [{_pair("'age'", "CAST(jvm_age_seconds AS VARCHAR)")},
+          {_pair("'type'", "gc_type")}]
+      || CASE WHEN gc_class = 'app_stopped' THEN [
+           {_pair("'stoppedSeconds'", "printf('%f', stopped_seconds)")},
+           {_pair("'secondsToStop'", "printf('%f', seconds_to_stop)")}]
+         ELSE (
+           CASE WHEN gc_cause IS NOT NULL
+                THEN [{_pair("'cause'", "gc_cause")}] ELSE [] END
+           || [{_pair("'pause'", "CAST(pause_seconds AS VARCHAR)")}]
+           || CASE WHEN gc_class = 'basic' THEN (
+            [{_pair("'heapBefore'", "CAST(heap_before_bytes AS VARCHAR)")},
+             {_pair("'heapAfter'", "CAST(heap_after_bytes AS VARCHAR)")},
+             {_pair("'heapReclaimed'",
+                    "CAST(heap_reclaimed_bytes AS VARCHAR)")},
+             {_pair("'heapMax'", "CAST(heap_max_bytes AS VARCHAR)")}]
+            || {gen_pairs}
+            || CASE WHEN promoted_bytes IS NOT NULL
+                 THEN [{_pair("'promoted'",
+                              "CAST(promoted_bytes AS VARCHAR)")}]
+                 ELSE [] END
+            || CASE WHEN desired_survivor_size IS NOT NULL THEN [
+                 {_pair("'desiredSurvivorSize'",
+                        "CAST(desired_survivor_size AS VARCHAR)")},
+                 {_pair("'newThreshold'",
+                        "CAST(new_threshold AS VARCHAR)")}]
+               ELSE [] END
+           ) ELSE [] END
+         ) END
+      || {rates_pairs}
+    ) AS pairs
+  FROM {src}
+)"""
+
+
+def tsv_export_sql(delimiter: str = "\t") -> str:
+    """TsvOutputFormat lines (OutputFormat.scala:9-22): header row from
+    the FIRST event's pair names, then one delimiter-joined value row
+    per event, numbered per url."""
+    d = f"chr({ord(delimiter)})"
+    return gcline_prefix(RATED_CTE, export_pairs_cte()) + f"""
+SELECT url, 0 AS line_no,
+  list_aggregate(list_transform(pairs, p -> p.n), 'string_agg', {d})
+    AS line
+FROM export_pairs WHERE event_idx = 0
+UNION ALL
+SELECT url, event_idx + 1 AS line_no,
+  list_aggregate(list_transform(pairs, p -> p.v), 'string_agg', {d})
+    AS line
+FROM export_pairs"""
+
+
+def graphite_export_sql(prefix: str = "gc") -> str:
+    """GraphiteOutputFormat lines (OutputFormat.scala:24-36): unpivot to
+    '<prefix>.<name> <value> <epochSeconds>', excluding 'datetime';
+    events without a timestamp are filtered upstream (the Spark query
+    does the same — the reference NPEs on them).  No rates pairs: the
+    contract's graphite query exports un-rated events."""
+    return gcline_prefix(export_pairs_cte(with_rates=False)) + f"""
+SELECT url,
+  CAST(row_number() OVER (PARTITION BY url ORDER BY event_idx, pos) - 1
+       AS INT) AS line_no,
+  '{prefix}.' || p.n || ' ' || p.v || ' '
+    || CAST(event_epoch_ms // 1000 AS VARCHAR) AS line
+FROM (
+  SELECT url, event_idx, event_epoch_ms,
+         generate_subscripts(pairs, 1) AS pos,
+         unnest(pairs) AS p
+  FROM export_pairs WHERE event_epoch_ms IS NOT NULL)
+WHERE p.n <> 'datetime'"""
 
 
 def _fixture_values(text: str) -> str:
