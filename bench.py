@@ -137,6 +137,24 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
         .agg(F.sum("tokens")).collect()[0][0])
     t("ann_cosine_sf", lambda: cosine_topk(embs).count())
 
+    # HOF (oracle-parity) vs Arrow/numpy scorer on a corpus large
+    # enough that scan cost dominates — the production ANN scan shape
+    n_embs = int(os.environ.get("SPARK_GRAFT_BENCH_EMBS", "50000"))
+    embs_path = f"/tmp/bench_embs_{n_embs}"
+    if not os.path.exists(embs_path):
+        spark.range(n_embs).select(
+            F.col("id").cast("int").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.sin(F.col("id") * i).cast("float"),
+            ).alias("embedding"),
+            F.lit("x").alias("label"),
+        ).write.mode("overwrite").parquet(embs_path)
+    embs_big = spark.read.parquet(embs_path)
+    t("ann_cosine_hof_50k", lambda: cosine_topk(embs_big).count())
+    t("ann_cosine_np_50k",
+      lambda: cosine_topk(embs_big, scorer="np").count())
+
     extras["synth_pages"] = pages_n
     extras["synth_events"] = n_events
     extras["docs_per_sec"] = round(pages_n / dt_narrow, 1)

@@ -201,17 +201,35 @@ def jaccard_pairs(
     docs: DataFrame,
     bucket_col: str = "source",
     threshold: float = 0.5,
+    max_df: int = 256,
 ) -> DataFrame:
     """n-gram Jaccard similarity for candidate pairs within a bucket
     (default: same `source`).  Computed relationally: explode distinct
     shingles → self-join on shingle → |A∩B| by group; |A∪B| from per-doc
-    counts.  Shuffle ∝ postings, never materializes the pair matrix."""
+    counts.  Shuffle ∝ postings, never materializes the pair matrix.
+
+    ``max_df`` is the postings cap that keeps the self-join tractable
+    on web text: a stop-shingle ("the quick brown" class) with document
+    frequency d contributes O(d²) join rows, so shingles with
+    ``df > max_df`` are dropped from the similarity space entirely
+    (postings AND union sizes — the standard stop-postings rule, like
+    an IDF floor).  Per kept shingle the join fan-out is bounded by
+    max_df², independent of corpus size; hot shingles carry no
+    similarity signal anyway."""
     sh = _doc_shingles(
         docs.select(
             "doc_id", F.col(bucket_col).alias("bucket"), "text"
         ),
         distinct=True,
     ).withColumnRenamed("s", "shingle")
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    # equi-join on shingle: co-partitioned with the pair self-join below
+    sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

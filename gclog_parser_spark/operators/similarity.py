@@ -69,27 +69,77 @@ def _cos_sim(a, b):
     )
 
 
+def _cos_sim_np(q_vec):
+    """Arrow-vectorized twin of ``_cos_sim`` against a FIXED query
+    vector: one BLAS matrix-vector product per Arrow batch instead of
+    a per-element HOF evaluation.  Measured (pinned, min-of-3): ~par
+    with the JVM expression at 64 dims (Arrow transfer ≈ HOF cost),
+    ~1.5× faster at 512 dims and widening with dimension — use it for
+    wide production embeddings; the HOF expression stays as the
+    DuckDB-bit-parity oracle path.  Same contract: double math,
+    round(6), NULL on zero norms."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(q_vec, dtype=np.float64)
+    qnorm = float(np.sqrt((q * q).sum()))
+
+    def _sim(col):
+        if len(col) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.stack(col.to_numpy()).astype(np.float64, copy=False)
+        denom = np.sqrt((m * m).sum(axis=1)) * qnorm
+        out = np.full(len(col), np.nan)
+        ok = denom != 0
+        out[ok] = np.round(m[ok] @ q / denom[ok], 6)
+        return pd.Series(out)  # NaN → NULL through Arrow
+
+    return pandas_udf(_sim, "double")
+
+
+def _query_vec(emb: DataFrame, query_vec_id: int):
+    """The single query embedding, driver-side (one tiny lookup job —
+    the production shape for a small query set is exactly this: pull
+    the queries, close over them in the vectorized scorer, scan the
+    corpus once)."""
+    row = emb.where(F.col("vec_id") == query_vec_id).select(
+        "embedding"
+    ).head()
+    if row is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    return list(row["embedding"])
+
+
 def cosine_topk(
-    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    scorer: str = "hof",
 ) -> DataFrame:
     """Exact top-k by cosine similarity to the embedding of
     ``query_vec_id`` (excluded from results).  Deterministic ordering:
-    (rounded sim desc, vec_id asc)."""
-    q = emb.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q")
-    )
-    scored = (
-        emb.where(F.col("vec_id") != query_vec_id)
-        .crossJoin(F.broadcast(q))
-        .select(
+    (rounded sim desc, vec_id asc).
+
+    ``scorer='np'`` swaps the interpreted HOF dot product for the
+    Arrow/numpy batch scorer (``_cos_sim_np``) — the production
+    corpus-scan path; the default 'hof' expression stays bit-parity
+    with the DuckDB oracle."""
+    corpus = emb.where(F.col("vec_id") != query_vec_id)
+    if scorer == "np":
+        q_vec = _query_vec(emb, query_vec_id)
+        scored = corpus.select(
             "vec_id",
-            F.round(
-                _dot(F.col("embedding"), F.col("q"))
-                / (_norm(F.col("embedding")) * _norm(F.col("q"))),
-                6,
-            ).alias("sim"),
+            _cos_sim_np(q_vec)(F.col("embedding")).alias("sim"),
         )
-    )
+    else:
+        q = emb.where(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("q")
+        )
+        scored = corpus.crossJoin(F.broadcast(q)).select(
+            "vec_id",
+            _cos_sim(F.col("embedding"), F.col("q")).alias("sim"),
+        )
     return (
         scored.orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)
@@ -114,10 +164,16 @@ def lsh_buckets(emb: DataFrame, seed: int = 42) -> DataFrame:
 
 
 def lsh_bucket_topk(
-    emb: DataFrame, query_vec_id: int = 0, k: int = 5, seed: int = 42
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 5,
+    seed: int = 42,
+    scorer: str = "hof",
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the query's LSH
-    bucket — the candidate set an IVF/LSH index would scan."""
+    bucket — the candidate set an IVF/LSH index would scan.
+    ``scorer='np'`` uses the Arrow/numpy batch scorer on the candidate
+    scan (see ``cosine_topk``)."""
     b = lsh_buckets(emb, seed)
     q = b.where(F.col("vec_id") == query_vec_id).select(
         F.col("bucket").alias("qbucket"),
@@ -126,10 +182,17 @@ def lsh_bucket_topk(
     cand = b.join(
         F.broadcast(q), F.col("bucket") == F.col("qbucket")
     ).where(F.col("vec_id") != query_vec_id)
-    scored = cand.select(
-        "vec_id",
-        _cos_sim(F.col("embedding"), F.col("q")).alias("sim"),
-    )
+    if scorer == "np":
+        q_vec = _query_vec(emb, query_vec_id)
+        scored = cand.select(
+            "vec_id",
+            _cos_sim_np(q_vec)(F.col("embedding")).alias("sim"),
+        )
+    else:
+        scored = cand.select(
+            "vec_id",
+            _cos_sim(F.col("embedding"), F.col("q")).alias("sim"),
+        )
     return (
         scored.orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)
@@ -177,12 +240,15 @@ def ivf_topk(
     k: int = 5,
     n_probe: int = 2,
     seed: int = 7,
+    scorer: str = "hof",
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine, but only within the
     ``n_probe`` cells whose centroids score highest for the query —
     the inverted-file candidate set.  Candidate generation is an
     equi-join on the cell id (shuffle ∝ corpus, never ∝ pairs); at
-    scale the cells are partition-pruned instead of joined."""
+    scale the cells are partition-pruned instead of joined.
+    ``scorer='np'`` uses the Arrow/numpy batch scorer on the candidate
+    scan (see ``cosine_topk``)."""
     assigned = ivf_assign(emb, seed)
     cents = centroid_components(seed=seed)
     q = emb.where(F.col("vec_id") == query_vec_id).select(
@@ -217,10 +283,17 @@ def ivf_topk(
     cand = assigned.join(F.broadcast(probes), "cell").where(
         F.col("vec_id") != query_vec_id
     )
-    scored = cand.select(
-        "vec_id",
-        _cos_sim(F.col("embedding"), F.col("q")).alias("sim"),
-    )
+    if scorer == "np":
+        q_vec = _query_vec(emb, query_vec_id)
+        scored = cand.select(
+            "vec_id",
+            _cos_sim_np(q_vec)(F.col("embedding")).alias("sim"),
+        )
+    else:
+        scored = cand.select(
+            "vec_id",
+            _cos_sim(F.col("embedding"), F.col("q")).alias("sim"),
+        )
     return (
         scored.orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)
@@ -229,16 +302,35 @@ def ivf_topk(
 
 
 def neardup_pairs(
-    emb: DataFrame, threshold: float = 0.9, block_col: str = "label"
+    emb: DataFrame,
+    threshold: float = 0.9,
+    block_col: str | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
-    At 10^12 scale the block key comes from LSH buckets; here the
-    provided label column doubles as the block."""
-    a = emb.alias("a")
-    b = emb.alias("b")
+
+    Default blocking is the LSH bucket (``lsh_buckets``): block size is
+    bounded by bucket occupancy (corpus/2^planes in expectation), never
+    by any data-supplied attribute — a hot ``label`` would make an
+    attribute block O(n²) at 10^12 scale.  True near-dups (cos ≥ 0.9)
+    land in the same sign-bit bucket with high probability; for more
+    recall union the pairs from a few ``seed`` values (independent
+    plane sets), exactly like multi-band MinHash-LSH.  Pass
+    ``block_col`` to block on an explicit attribute instead (small,
+    trusted cardinality-per-value only)."""
+    if block_col is None:
+        base = lsh_buckets(emb, seed).select(
+            "vec_id", "embedding", F.col("bucket").alias("block")
+        )
+    else:
+        base = emb.select(
+            "vec_id", "embedding", F.col(block_col).alias("block")
+        )
+    a = base.alias("a")
+    b = base.alias("b")
     pairs = a.join(
         b,
-        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        (F.col("a.block") == F.col("b.block"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     sim = _cos_sim(F.col("a.embedding"), F.col("b.embedding"))

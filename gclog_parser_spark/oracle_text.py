@@ -91,11 +91,18 @@ agg AS (SELECT doc_id, {bit_sum} FROM flat GROUP BY doc_id)
 SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM agg"""
 
 
-def dedup_jaccard_sql(threshold: float = 0.5) -> str:
+def dedup_jaccard_sql(threshold: float = 0.5, max_df: int = 256) -> str:
     return f"""WITH {SHINGLES_CTE},
-postings AS (
+postings_all AS (
   SELECT DISTINCT doc_id, source AS bucket, unnest(shingles) AS shingle
   FROM sh
+),
+rare AS (
+  SELECT shingle FROM postings_all GROUP BY shingle
+  HAVING count(*) <= {max_df}
+),
+postings AS (
+  SELECT p.* FROM postings_all p JOIN rare USING (shingle)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY doc_id),
 inter AS (
@@ -287,11 +294,21 @@ ORDER BY sim DESC, e.vec_id ASC LIMIT {k}"""
 
 
 def emb_neardup_sql(threshold: float = 0.9) -> str:
+    """LSH-bucket-blocked near-dup (same sign-bit planes as
+    similarity.lsh_buckets / ann_lsh_sql)."""
+    bits = _planes_sql().split(", (")
+    bits = [b if b.startswith("(") else "(" + b for b in bits]
+    bucket = " || ".join(
+        f"(CASE WHEN {b} THEN '1' ELSE '0' END)" for b in bits
+    )
     cos = _cos_guarded("a.embedding", "b.embedding")
-    return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    return f"""WITH blocked AS (
+  SELECT vec_id, embedding, {bucket} AS block FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   {cos} AS sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}"""
 
 

@@ -52,3 +52,138 @@ def test_ivf_zero_query_tie_break_matches_oracle(spark, tied_emb):
     # result set is decided purely by probe-cell + vec_id tie-breaks
     assert got == want
     assert all(s is None for _, s in got)
+
+
+def test_np_scorer_matches_hof(spark, sf_dir):
+    """The Arrow/numpy corpus-scan scorer returns the SAME top-k as the
+    interpreted-HOF oracle path for all three search operators."""
+    from gclog_parser_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for fn in (cosine_topk, lsh_bucket_topk, ivf_topk):
+        hof = [
+            (r["vec_id"], r["sim"]) for r in fn(emb).collect()
+        ]
+        np_ = [
+            (r["vec_id"], r["sim"])
+            for r in fn(emb, scorer="np").collect()
+        ]
+        assert np_ == hof, fn.__name__
+
+
+def test_np_scorer_zero_norm_guard(spark):
+    """All-zero corpus vectors get NULL sim from the numpy scorer too
+    (not NaN, not a crash)."""
+    from gclog_parser_spark.operators.similarity import cosine_topk
+
+    g = _lcg(3)
+    rows = [(0, [round(next(g), 6) for _ in range(EMB_DIM)], "a"),
+            (1, [0.0] * EMB_DIM, "a"),
+            (2, [round(next(g), 6) for _ in range(EMB_DIM)], "a")]
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, label string"
+    )
+    got = {r["vec_id"]: r["sim"]
+           for r in cosine_topk(emb, k=5, scorer="np").collect()}
+    assert got[1] is None
+    assert got[2] is not None
+
+
+def test_jaccard_hot_shingle_df_cap(spark):
+    """Shingles above the document-frequency cap are dropped BEFORE the
+    self-join: 10 docs sharing one stop-shingle produce 45 pairs with a
+    high cap and ZERO with a low cap (the hot postings list never
+    reaches the join)."""
+    from gclog_parser_spark.operators.dedup import jaccard_pairs
+
+    rows = [(1, "a b c d e", "s"), (2, "a b c d f", "s")]
+    rows += [(10 + i, "z z z", "s") for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+    capped = jaccard_pairs(docs, max_df=5).collect()
+    assert sorted((r["doc_a"], r["doc_b"]) for r in capped) == [(1, 2)]
+
+    uncapped = jaccard_pairs(docs, max_df=100).collect()
+    assert len(uncapped) == 1 + (10 * 9) // 2
+
+
+def test_jaccard_cap_oracle_lockstep(spark, tmp_path):
+    """Custom max_df stays in lockstep with the DuckDB oracle."""
+    from gclog_parser_spark.operators.dedup import jaccard_pairs
+    from gclog_parser_spark.oracle_text import dedup_jaccard_sql
+
+    rows = [(1, "a b c d e", "s"), (2, "a b c d f", "s")]
+    rows += [(10 + i, "z z z", "s") for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.parquet(path)
+
+    for max_df in (3, 100):
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs(docs, max_df=max_df).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{path}/*.parquet')"
+        )
+        want = sorted(
+            map(tuple, con.execute(
+                dedup_jaccard_sql(max_df=max_df)).fetchall())
+        )
+        con.close()
+        assert got == want, max_df
+
+
+def test_neardup_lsh_blocking(spark, tmp_path):
+    """Default near-dup blocking is the LSH bucket: a 'hot label' no
+    longer creates O(n²) candidates, near-identical vectors are still
+    found, and the result matches the DuckDB oracle."""
+    from gclog_parser_spark.operators.similarity import neardup_pairs
+    from gclog_parser_spark.oracle_text import emb_neardup_sql
+
+    g = _lcg(7)
+    rows = []
+    base = [round(next(g), 6) for _ in range(EMB_DIM)]
+    rows.append((0, base, "hot"))
+    # near-duplicate of vec 0: same direction, scaled
+    rows.append((1, [round(x * 1.25, 6) for x in base], "hot"))
+    for i in range(2, 40):  # everyone shares the 'hot' label
+        rows.append(
+            (i, [round(next(g), 6) for _ in range(EMB_DIM)], "hot")
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, label string"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    emb.coalesce(1).write.parquet(path)
+
+    got = sorted(
+        (r["vec_a"], r["vec_b"], r["sim"])
+        for r in neardup_pairs(emb).collect()
+    )
+    assert (0, 1) in {(a, b) for a, b, _ in got}  # recall survives
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(emb_neardup_sql()).fetchall()))
+    con.close()
+    assert got == want
+
+    # explicit attribute blocking is still available when asked for
+    labeled = neardup_pairs(emb, block_col="label")
+    assert {(r["vec_a"], r["vec_b"]) for r in labeled.collect()} >= {
+        (a, b) for a, b, _ in got
+    }
