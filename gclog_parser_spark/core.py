@@ -104,8 +104,15 @@ UNIFIED_TS_PAT = (
 )
 UNIFIED_START_RE = re.compile(
     rf"^(?:\[({UNIFIED_TS_PAT})\])?\[(\d+\.\d+)s\](?:\[[^\]]+\])*"
-    rf"\[gc(?:,[a-z]+)*\] +GC\(\d+\) "
+    rf"\[gc((?:,[a-z]+)*)\] +GC\(\d+\) "
 )
+#: unified tag sets that ARE events: the [gc] summary line and the
+#: [gc,marking] concurrent phases.  Everything else ([gc,start] begin
+#: markers, [gc,heap] region transitions, [gc,metaspace], [gc,cpu],
+#: [gc,phases] sub-phases …) is per-event metadata — IgnoredLine, like
+#: the reference discards inner ParNew pauses (Parser.scala:28-31) and
+#: non-event lines (Parser.scala:60).
+UNIFIED_EVENT_TAGS = {"", ",marking"}
 _UNIFIED_PAREN_RE = re.compile(r"\(([^()]*(?:\(\))?)\) *")
 _UNIFIED_HEAP_RE = re.compile(
     rf"({SIZE_PAT})->({SIZE_PAT})\(({SIZE_PAT})\)"
@@ -406,6 +413,8 @@ def parse_unified_line(line: str):
     m = UNIFIED_START_RE.match(line)
     if m is None:
         return None
+    if m.group(3) not in UNIFIED_EVENT_TAGS:
+        return None  # metadata tag set ([gc,heap], [gc,cpu], …)
     ts = parse_timestamp(m.group(1)) if m.group(1) else None
     age = float(m.group(2))
     body = line[m.end():]

@@ -63,6 +63,8 @@ G1LOG = "\n".join(
         "2015-05-26T16:23:09.120-0200: 66.222: [GC pause (G1 Evacuation Pause) (young) (to-space exhausted) 1694M->689M(2048M), 0.1158856 secs]",
         "2015-05-26T16:23:12.000-0200: 69.102: [Full GC (Allocation Failure) 5811M->1316M(6144M), 16.7476886 secs]",
         "2015-05-26T16:23:13.000-0200: 70.102: [GC pause (young) 1785M->1641M(4096M), 0.0121942 secs]",
+        "2015-05-26T16:23:14.100-0200: 71.202: [GC pause (G1 Humongous Allocation) (young) 1805M->1661M(4096M), 0.0131942 secs]",
+        "2015-05-26T16:23:15.100-0200: 72.202: [GC pause (Metadata GC Threshold) (young) (initial-mark) 1905M->1761M(4096M), 0.0141942 secs]",
     ]
 )
 
@@ -80,6 +82,18 @@ UNIFIED_LOG = "\n".join(
         "[0.640s][info][gc] GC(1) Pause Cleanup 20M->20M(256M) 0.104ms",
         "[1.234s][info][gc] GC(2) Pause Young (Mixed) (G1 Evacuation Pause) 187M->100M(256M) 10.221ms",
         "[2.000s][info][gc] GC(3) Pause Full (System.gc()) 187M->100M(256M) 102.521ms",
+        # JDK 17 shapes: [gc,start] begin marker, [gc,heap] region
+        # transitions, [gc,metaspace], [gc,cpu] — all per-event
+        # METADATA (ignored); only the [gc] summary line is the event.
+        "[2.500s][info][gc,start] GC(4) Pause Young (Prepare Mixed) (G1 Evacuation Pause)",
+        "[2.502s][info][gc,heap] GC(4) Eden regions: 24->0(153)",
+        "[2.502s][info][gc,heap] GC(4) Survivor regions: 3->4(20)",
+        "[2.502s][info][gc,heap] GC(4) Old regions: 50->60",
+        "[2.502s][info][gc,heap] GC(4) Humongous regions: 2->2",
+        "[2.502s][info][gc,metaspace] GC(4) Metaspace: 21995K->21995K(1069056K)",
+        "[2.503s][info][gc] GC(4) Pause Young (Prepare Mixed) (G1 Evacuation Pause) 98M->23M(256M) 3.100ms",
+        "[2.503s][info][gc,cpu] GC(4) User=0.01s Sys=0.00s Real=0.00s",
+        "[3.000s][info][gc] GC(5) Pause Young (Concurrent Start) (Metadata GC Threshold) 81M->30M(256M) 4.771ms",
     ]
 )
 

@@ -559,7 +559,7 @@ m AS (
     regexp_extract(line, 'GC\\(\\d+\\) (.*)$', 1) AS body
   FROM raw
   WHERE regexp_matches(line,
-    '^(\\[\\d{{4}}-[^\\]]+\\])?\\[\\d+\\.\\d+s\\](\\[[^\\]]+\\])*\\[gc(,[a-z]+)*\\] +GC\\(\\d+\\) ')
+    '^(\\[\\d{{4}}-[^\\]]+\\])?\\[\\d+\\.\\d+s\\](\\[[^\\]]+\\])*\\[gc(,marking)?\\] +GC\\(\\d+\\) ')
 ),
 f AS (
   SELECT line_no, iso, CAST(age_s AS DOUBLE) AS age,

@@ -22,13 +22,14 @@ def g1_events():
 
 
 def test_g1_counts_and_classes(g1_events):
-    assert len(g1_events) == 14
+    assert len(g1_events) == 16
     by_class = {}
     for e in g1_events:
         by_class[e["gc_class"]] = by_class.get(e["gc_class"], 0) + 1
     # 6 concurrent phases + remark = 'g1'; pauses/cleanup/Full GC carry
-    # heap and are structurally basic
-    assert by_class == {"g1": 7, "basic": 7}
+    # heap and are structurally basic (incl. the humongous-allocation
+    # and metadata-threshold initial-mark variants)
+    assert by_class == {"g1": 7, "basic": 9}
 
 
 def test_g1_evacuation_pause_fields(g1_events):
@@ -117,10 +118,10 @@ def test_g1_spark_path_routes_families(spark, tmp_path):
         for r in routed.groupBy("sink").agg(F.count("*").alias("n")).collect()
     }
     assert fams == {
-        "g1_young": 4,       # young ×2 (one cause-less), initial-mark,
-                             # to-space exhausted
+        "g1_young": 6,       # young ×2 (one cause-less), initial-mark
+                             # ×2, to-space exhausted, humongous alloc
         "g1_mixed": 1,
         "g1_concurrent": 8,  # 6 concurrent + remark + cleanup
         "full": 1,
     }
-    assert events.count() == 14
+    assert events.count() == 16

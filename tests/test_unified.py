@@ -19,7 +19,9 @@ def uni_events():
 
 
 def test_unified_counts_and_fields(uni_events):
-    assert len(uni_events) == 7
+    # 9 events: the [gc,start]/[gc,heap]/[gc,metaspace]/[gc,cpu] JDK 17
+    # metadata lines are NOT events (only the [gc] summary is)
+    assert len(uni_events) == 9
     first = uni_events[0]
     assert first["gc_type"] == "Pause Young (Normal)"
     assert first["gc_cause"] == "G1 Evacuation Pause"
@@ -40,11 +42,25 @@ def test_unified_phase_events(uni_events):
 
 
 def test_unified_full_gc_cause(uni_events):
-    full = uni_events[-1]
+    full = uni_events[6]
     assert full["gc_type"] == "Pause Full"
     assert full["gc_cause"] == "System.gc()"
     assert full["gc_class"] == "basic"
     assert full["pause"] == 0.102521
+
+
+def test_unified_jdk17_variants(uni_events):
+    """JDK 17 shapes: Prepare Mixed / Concurrent Start tags fold into
+    the type; the surrounding [gc,start]/[gc,heap]/[gc,metaspace]/
+    [gc,cpu] metadata lines yield no events."""
+    prep = uni_events[7]
+    assert prep["gc_type"] == "Pause Young (Prepare Mixed)"
+    assert prep["gc_cause"] == "G1 Evacuation Pause"
+    assert prep["heap"] == ("98M", "23M", "256M")
+    assert prep["pause"] == 0.0031
+    conc = uni_events[8]
+    assert conc["gc_type"] == "Pause Young (Concurrent Start)"
+    assert conc["gc_cause"] == "Metadata GC Threshold"
 
 
 def test_unified_spark_both_stitch_strategies(spark, tmp_path):
@@ -58,7 +74,7 @@ def test_unified_spark_both_stitch_strategies(spark, tmp_path):
     pages = read_gc_logs(spark, str(p))
     narrow = parse_events(pages, require_marker=False)
     window = parse_events(pages, stitch="window", require_marker=False)
-    assert narrow.count() == 7
+    assert narrow.count() == 9
     cols = ["event_idx", "gc_class", "gc_type", "jvm_age_seconds",
             "heap_before_bytes", "pause_seconds"]
     assert sorted(map(tuple, narrow.select(*cols).collect())) == sorted(
@@ -72,7 +88,7 @@ def test_unified_spark_both_stitch_strategies(spark, tmp_path):
         .collect()
     }
     assert fams == {
-        "g1_young": 1,
+        "g1_young": 3,  # Normal + Prepare Mixed + Concurrent Start
         "g1_mixed": 1,
         "full": 1,
         "g1_concurrent": 4,
