@@ -42,6 +42,8 @@ from gclog_parser_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     ivf_topk,
     lsh_bucket_topk,
+    neardup_pairs,
+    neardup_pairs_multiband,
 )
 from gclog_parser_spark.plans.ledger import run_checkpointed  # noqa: F401
 from gclog_parser_spark.plans.pipeline import (  # noqa: F401

@@ -342,3 +342,24 @@ def neardup_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def neardup_pairs_multiband(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    seeds=(42, 1042, 2042),
+) -> DataFrame:
+    """Multi-band near-dup: union the LSH-blocked pair sets of several
+    independent plane sets and dedup — the multi-band MinHash-LSH
+    recall amplifier.  A true near-dup pair missed by one plane set
+    (split by an unlucky hyperplane) is caught by another; false
+    negatives decay exponentially with the band count while shuffle
+    cost grows only linearly (one blocked join per seed — still never
+    O(n²)).  Dedup is one exact groupBy on (vec_a, vec_b)."""
+    out = None
+    for s in seeds:
+        part = neardup_pairs(emb, threshold=threshold, seed=s)
+        out = part if out is None else out.unionByName(part)
+    return out.groupBy("vec_a", "vec_b").agg(
+        F.first("sim").alias("sim")
+    )

@@ -187,3 +187,32 @@ def test_neardup_lsh_blocking(spark, tmp_path):
     assert {(r["vec_a"], r["vec_b"]) for r in labeled.collect()} >= {
         (a, b) for a, b, _ in got
     }
+
+
+def test_neardup_multiband_recall(spark):
+    """The multi-seed union finds at least every single-seed pair, with
+    no duplicate (vec_a, vec_b) rows."""
+    from gclog_parser_spark.operators.similarity import (
+        neardup_pairs,
+        neardup_pairs_multiband,
+    )
+
+    g = _lcg(11)
+    rows = []
+    for i in range(0, 30, 2):
+        v = [round(next(g), 6) for _ in range(EMB_DIM)]
+        rows.append((i, v, "x"))
+        # each even vec gets a scaled near-duplicate (cos = 1.0)
+        rows.append((i + 1, [round(c * 1.1, 6) for c in v], "x"))
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, label string"
+    )
+    single = {
+        (r["vec_a"], r["vec_b"]) for r in neardup_pairs(emb).collect()
+    }
+    multi_rows = neardup_pairs_multiband(emb).collect()
+    multi = {(r["vec_a"], r["vec_b"]) for r in multi_rows}
+    assert multi >= single
+    assert len(multi_rows) == len(multi)  # deduped
+    # every constructed near-dup pair is recalled by the union
+    assert multi >= {(i, i + 1) for i in range(0, 30, 2)}
