@@ -72,16 +72,21 @@ def _tdiv(a: int, b: int) -> int:
     return q if (a >= 0) == (b >= 0) else -q
 
 
-def _rate_events(key, pdf_iter, state):
+def _rate_events(key, pdf_iter, state, end_marker_col=None):
     """Grouped-map-with-state fn: events of one url, in arrival order."""
     if state.exists:
         prev_age_ms, prev_heap_after = state.get
     else:
         prev_age_ms, prev_heap_after = None, None
 
+    log_ended = False
     out = []
     for pdf in pdf_iter:
         pdf = pdf.sort_values(["event_idx"])
+        if end_marker_col is not None and bool(
+            pdf[end_marker_col].fillna(False).any()
+        ):
+            log_ended = True
         for rec in pdf.to_dict("records"):
             age_ms = int(rec["jvm_age_seconds"] * 1000)
             heap_before = rec["heap_before_bytes"]
@@ -116,26 +121,46 @@ def _rate_events(key, pdf_iter, state):
             )
             out.append(rec)
 
-    state.update((prev_age_ms, prev_heap_after))
+    if log_ended:
+        state.remove()  # bounded state: finished logs evict explicitly
+    else:
+        state.update((prev_age_ms, prev_heap_after))
     cols = [f.name for f in RATED_SCHEMA.fields]
     yield pd.DataFrame.from_records(out, columns=cols)
 
 
-def stateful_rates(events: DataFrame) -> DataFrame:
+def stateful_rates(
+    events: DataFrame, end_marker_col: str | None = None
+) -> DataFrame:
     """Streaming events (from ``parse_stream`` without rates) → events +
     rate columns, with the previous-event state carried across
-    micro-batches per url."""
-    return events.select(*_SCALAR_COLS).groupBy(
+    micro-batches per url.
+
+    ``end_marker_col`` names an optional boolean column; when any row of
+    a url's batch sets it, that url's state is removed after processing
+    — the explicit end-of-log eviction path (a tail-source would set it
+    on file close / session end).  Timeout-driven eviction is
+    unavailable in this PySpark build (see below), so this marker is
+    how state stays bounded on an unbounded url universe."""
+    cols = _SCALAR_COLS + (
+        [end_marker_col] if end_marker_col else []
+    )
+
+    def fn(key, pdf_iter, state):
+        return _rate_events(
+            key, pdf_iter, state, end_marker_col=end_marker_col
+        )
+
+    return events.select(*cols).groupBy(
         "url"
     ).applyInPandasWithState(
-        _rate_events,
+        fn,
         outputStructType=RATED_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         # NoTimeout: this PySpark build NPEs planning the timeout-driven
         # empty batch (PythonSQLMetrics on a null session).  State stays
-        # one 16-byte tuple per live log; at scale evict by restarting
-        # the query per processing epoch or state.remove() on an
-        # end-of-log marker event.
+        # one 16-byte tuple per live log; evict via ``end_marker_col``
+        # or by restarting the query per processing epoch.
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -70,3 +70,70 @@ def test_stateful_rates_across_batches(spark, tmp_path):
     want = [tuple(t) for t in calculate_rates(evs)]
     assert len(got) == 7
     assert got == want
+
+
+def test_stateful_rates_end_marker_evicts(spark, tmp_path):
+    """A log-end marker removes the url's state: a rotated log that
+    reuses the url starts rate accounting from scratch (first event
+    allocates its own heap_before), exactly like a fresh log."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.parse import parse_events
+
+    text = fixture_text("basic7")
+    evs = parse_log(text)
+    last_age = evs[-1]["age"]
+    url = "tail://app-2/gc.log"
+
+    inp = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+
+    def page(chunk, ts):
+        return spark.createDataFrame(
+            [(url, ts, None, chunk, "en")], PAGES_SCHEMA
+        )
+
+    # batch 1: the whole log (its last event carries the end marker);
+    # batch 2: the log again after rotation — same url, fresh state
+    page(text, datetime(2016, 11, 10, 4, 0, 0)).write.mode(
+        "append"
+    ).parquet(inp)
+    time.sleep(1.1)
+    page(text, datetime(2016, 11, 10, 5, 0, 0)).write.mode(
+        "append"
+    ).parquet(inp)
+
+    stream = parse_events(
+        stream_pages(spark, inp, max_files_per_trigger=1),
+        require_marker=False,
+    ).withColumn("log_end", F.col("jvm_age_seconds") == last_age)
+    q = (
+        stateful_rates(stream, end_marker_col="log_end")
+        .writeStream.format("memory")
+        .queryName("t_evict")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.sql(
+        "select * from t_evict order by warc_ts, jvm_age_seconds"
+    ).collect()
+    got = [
+        (
+            r["bytes_allocated_since_last"],
+            r["millis_since_last"],
+            r["heap_allocation_rate"],
+            r["promotion_rate"],
+        )
+        for r in rows
+    ]
+    want = [tuple(t) for t in calculate_rates(evs)]
+    # both halves equal the fresh-log rates — state did NOT leak across
+    # the marker (without eviction, replay rates would differ from the
+    # first event on)
+    assert len(got) == 14
+    assert got[:7] == want
+    assert got[7:] == want
