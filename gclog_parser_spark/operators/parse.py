@@ -296,11 +296,16 @@ def parse_events_window(
         "warc_ts",
         F.posexplode(F.split("gc_text", "\n")).alias("line_no", "line"),
     )
-    is_start = (
-        line.rlike(GC_START_RLIKE)
-        | line.rlike(APPSTOP_START_RLIKE)
-        | line.rlike(UNIFIED_START_RLIKE)
+    # ONE alternation regex for all three start shapes: each extra
+    # rlike is a full regex-engine pass over every one of the ~70
+    # lines/page, and the flags are needed twice (filter + carried
+    # column) — computing them once in a projection, then filtering on
+    # the materialized flags, keeps it to 2 regex passes per line
+    start_any = (
+        f"(?:{GC_START_RLIKE})|(?:{APPSTOP_START_RLIKE})"
+        f"|(?:{UNIFIED_START_RLIKE})"
     )
+    is_start = line.rlike(start_any)
     is_cont = line.rlike(CONT_RLIKE)
     if heap_stats:
         is_open = line.startswith("{Heap before")
@@ -312,23 +317,25 @@ def parse_events_window(
             | line.startswith(" ")
             | line.rlike(r"^\{?Heap (before|after)")
         )
-        keep = is_start | is_cont | is_open | is_close
     else:
         is_open = F.lit(False)
         is_close = F.lit(False)
-        keep = is_start | is_cont
 
     # Filler is dropped HERE, map-side, before the one shuffle: the
     # exchange carries only GC-candidate lines.
-    lines = lines.where(keep).select(
+    lines = lines.select(
         "url",
         "warc_ts",
         "line_no",
         "line",
         is_start.alias("is_start"),
+        is_cont.alias("is_cont"),
         is_open.cast("int").alias("opens"),
         is_close.cast("int").alias("closes"),
-    )
+    ).where(
+        F.col("is_start") | F.col("is_cont")
+        | (F.col("opens") == 1) | (F.col("closes") == 1)
+    ).drop("is_cont")
 
     w_prev = (
         Window.partitionBy("url")
