@@ -379,6 +379,48 @@ def q_rel_join_agg(spark, sf_dir):
     )
 
 
+def q_rel_semi_join(spark, sf_dir):
+    """Left SEMI join (EXISTS): customers with ≥1 urgent order — the
+    dim stays unduplicated, probe side streams."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(
+            urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_rel_anti_join(spark, sf_dir):
+    """Left ANTI join (NOT EXISTS): customers with no urgent order
+    (every customer has SOME order in this datagen, so the urgent
+    filter keeps the result non-trivial)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+def q_rel_rollup(spark, sf_dir):
+    """ROLLUP (grouping sets): order counts by (priority, status) with
+    subtotal and grand-total rows — partial-aggregatable like any hash
+    agg, so the hierarchy costs one shuffle."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("revenue_cents"),
+        )
+    )
+
+
 # --- training-data pipeline operators (dedup / text / similarity /
 # multimodal) over the documents & embeddings tables ------------------------
 
@@ -470,6 +512,20 @@ def q_media_meta(spark, sf_dir):
     return extract_media_meta(pages)
 
 
+def q_media_resize(spark, sf_dir):
+    """Fake-resize plumbing (stubbed decode, real mapInPandas shape)."""
+    from gclog_parser_spark.operators.multimodal import resize_media
+
+    return resize_media(pages_from_documents(spark, sf_dir))
+
+
+def q_media_frames(spark, sf_dir):
+    """Frame-sampling fan-out (one row per sampled 4 KiB window)."""
+    from gclog_parser_spark.operators.multimodal import sample_frames
+
+    return sample_frames(pages_from_documents(spark, sf_dir))
+
+
 #: queries with no DuckDB oracle (driver records a rows-only check) —
 #: none since round 2: the export formats now have independent DuckDB
 #: oracles (oracle.tsv_export_sql / graphite_export_sql) on top of the
@@ -492,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
         "media_meta": q_media_meta,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "gc_event_counts": q_gc_event_counts,
         "gc_events_full": q_gc_events_full,
         "gc_events_full_window": q_gc_events_full_window,
@@ -513,6 +571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_agg_lineitem": q_rel_agg_lineitem,
         "rel_topk_orders": q_rel_topk_orders,
         "rel_join_agg": q_rel_join_agg,
+        "rel_semi_join": q_rel_semi_join,
+        "rel_anti_join": q_rel_anti_join,
+        "rel_rollup": q_rel_rollup,
     }
 
 
@@ -653,6 +714,8 @@ def oracle_sql() -> dict[str, str]:
     out["ann_ivf_topk"] = ot.ann_ivf_sql()
     out["emb_neardup"] = ot.emb_neardup_sql()
     out["media_meta"] = ot.media_meta_sql()
+    out["media_resize"] = ot.media_resize_sql()
+    out["media_frames"] = ot.media_frames_sql()
 
     out["rel_agg_lineitem"] = (
         "SELECT l_returnflag, l_linestatus,"
@@ -678,5 +741,26 @@ def oracle_sql() -> dict[str, str]:
         "   AS BIGINT) AS revenue_cents"
         " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
         " GROUP BY 1"
+    )
+
+    out["rel_semi_join"] = (
+        "SELECT c_custkey, c_mktsegment FROM customer c"
+        " WHERE EXISTS (SELECT 1 FROM orders o"
+        "  WHERE o.o_custkey = c.c_custkey"
+        "  AND o.o_orderpriority = '1-URGENT')"
+    )
+
+    out["rel_anti_join"] = (
+        "SELECT c_custkey, c_nationkey FROM customer c"
+        " WHERE NOT EXISTS (SELECT 1 FROM orders o"
+        "  WHERE o.o_custkey = c.c_custkey"
+        "  AND o.o_orderpriority = '1-URGENT')"
+    )
+
+    out["rel_rollup"] = (
+        "SELECT o_orderpriority, o_orderstatus, count(*) AS orders,"
+        " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+        "   AS BIGINT) AS revenue_cents"
+        " FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
     )
     return out

@@ -92,6 +92,108 @@ def extract_media_meta(pages: DataFrame, payload_col: str = "html"):
     return pages.select("url", payload_col).mapInPandas(fn, META_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "url string, kind string, target_w int, target_h int, "
+    "resized_digest string"
+)
+
+
+def resize_media(
+    pages: DataFrame,
+    target_w: int = 16,
+    target_h: int = 16,
+    payload_col: str = "html",
+) -> DataFrame:
+    """Fake-resize every payload to ``target_w×target_h`` via the same
+    Arrow-batched ``mapInPandas`` shape a real thumbnailer uses (bytes
+    in → one feature row out, no shuffle, payload column only).
+
+    The pixel work is the documented stub (no codecs in this image):
+    the 'resized' artifact is a deterministic digest of
+    ``decoded_text + '<w>x<h>'`` so the DuckDB oracle can verify the
+    plumbing value-for-value.  A real deployment replaces ONLY the
+    digest line with the codec + resample call."""
+
+    def fn(batches):
+        for pdf in batches:
+            recs = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                _, kind = _sniff(b)
+                text = b.decode("utf-8", errors="replace")
+                recs.append(
+                    {
+                        "url": url,
+                        "kind": kind,
+                        "target_w": target_w,
+                        "target_h": target_h,
+                        "resized_digest": hashlib.md5(
+                            (text + f"{target_w}x{target_h}").encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "url", "kind", "target_w", "target_h",
+                    "resized_digest",
+                ],
+            )
+
+    return pages.select("url", payload_col).mapInPandas(
+        fn, RESIZE_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = "url string, frame_idx int, frame_digest string"
+FRAME_CHARS = 4096  # fake 'frame' = 4 KiB character window
+
+
+def sample_frames(
+    pages: DataFrame,
+    every_n: int = 2,
+    payload_col: str = "html",
+) -> DataFrame:
+    """Fake video frame sampling: one input row fans out to one row per
+    sampled frame — the real shape of a frame-extraction pass (row
+    explosion inside ``mapInPandas``, still shuffle-free; a 100 TB
+    video corpus maps to billions of frame rows without a single
+    exchange).
+
+    Frames are consecutive ``FRAME_CHARS`` windows of the decoded
+    payload; every ``every_n``-th window is 'decoded' (deterministic
+    digest stub, same contract as ``decode_stub``)."""
+
+    def fn(batches):
+        for pdf in batches:
+            recs = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                text = bytes(payload).decode("utf-8", errors="replace")
+                n_frames = (len(text) + FRAME_CHARS - 1) // FRAME_CHARS
+                for i in range(0, n_frames, every_n):
+                    chunk = text[i * FRAME_CHARS: (i + 1) * FRAME_CHARS]
+                    recs.append(
+                        {
+                            "url": url,
+                            "frame_idx": i,
+                            "frame_digest": hashlib.md5(
+                                chunk.encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame.from_records(
+                recs, columns=["url", "frame_idx", "frame_digest"]
+            )
+
+    return pages.select("url", payload_col).mapInPandas(
+        fn, FRAMES_SCHEMA
+    )
+
+
 def media_size_rollup(pages: DataFrame, payload_col: str = "html"):
     """Pure-native variant for the oracle: byte sizes straight off the
     binary column (column-pruned scan, codegen only)."""

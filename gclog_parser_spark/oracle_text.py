@@ -312,14 +312,49 @@ FROM blocked a JOIN blocked b
 WHERE {cos} >= {threshold}"""
 
 
+_HTML_EXPR = (
+    "'<html><body>' || d.text || chr(10) ||"
+    " '<pre class=\"gclog\">' || chr(10) || f.fixture_text ||"
+    " '</pre><!--gclog-->' || chr(10) || d.text || '</body></html>'"
+)
+
+
+def media_resize_sql(target_w: int = 16, target_h: int = 16) -> str:
+    """Oracle for the fake-resize plumbing: digest of text + 'WxH'."""
+    return f"""WITH {fixtures_values()},
+{PAGES_CTE.replace("f.fixture_text AS gc_text", f"{_HTML_EXPR} AS html_text")}
+SELECT url, 'text' AS kind,
+  {target_w} AS target_w, {target_h} AS target_h,
+  md5(html_text || '{target_w}x{target_h}') AS resized_digest
+FROM pages"""
+
+
+def media_frames_sql(every_n: int = 2, frame_chars: int = 4096) -> str:
+    """Oracle for the frame-sampling fan-out: one row per sampled
+    ``frame_chars`` character window."""
+    return f"""WITH {fixtures_values()},
+{PAGES_CTE.replace("f.fixture_text AS gc_text", f"{_HTML_EXPR} AS html_text")},
+framed AS (
+  SELECT url, html_text,
+    CAST(ceil(length(html_text) / {frame_chars}.0) AS INT) AS n_frames
+  FROM pages
+),
+idx AS (
+  SELECT url, html_text,
+    unnest(generate_series(0, n_frames - 1)) AS i
+  FROM framed
+)
+SELECT url, CAST(i AS INT) AS frame_idx,
+  md5(substr(html_text, i * {frame_chars} + 1, {frame_chars}))
+    AS frame_digest
+FROM idx
+WHERE i % {every_n} = 0"""
+
+
 def media_meta_sql() -> str:
     """Rebuilds the page html text and verifies the mapInPandas media
     metadata (byte sizes, magic sniff, fake-decode dims, digest)."""
-    html = (
-        "'<html><body>' || d.text || chr(10) ||"
-        " '<pre class=\"gclog\">' || chr(10) || f.fixture_text ||"
-        " '</pre><!--gclog-->' || chr(10) || d.text || '</body></html>'"
-    )
+    html = _HTML_EXPR
     return f"""WITH {fixtures_values()},
 {PAGES_CTE.replace("f.fixture_text AS gc_text", f"{html} AS html_text")}
 SELECT url,
