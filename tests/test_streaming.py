@@ -49,6 +49,41 @@ def test_stream_fanout_matches_batch(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == batch.count()
 
 
+def test_stream_fanout_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """At-least-once replay (crash after the write, before the offset
+    commit) must not duplicate rows: delete the last committed offset
+    from the checkpoint so the stream re-processes its final batch —
+    the (batch_id, sink) dynamic-overwrite write replaces instead of
+    appending."""
+    import os
+
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = _write_pages_in_slices(spark, sf_dir, inp)
+
+    q = run_fanout_stream(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    want = build_events(pages).count()
+    assert spark.read.parquet(out).count() == want
+
+    # simulate the crash window: last batch's work is on disk but its
+    # offset commit is gone → restart replays that batch
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):  # local-FS checksum shadow of the commit
+        os.remove(crc)
+
+    q2 = run_fanout_stream(spark, inp, out, ckpt)
+    q2.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == want  # replay replaced, did not append
+    assert got.select("url", "event_idx").distinct().count() == want
+
+
 def test_stream_hourly_agg_matches_batch(spark, sf_dir, tmp_path):
     inp = str(tmp_path / "pages")
     ckpt = str(tmp_path / "ckpt")
