@@ -185,6 +185,19 @@ def q_gc_g1_parse(spark, sf_dir):
     return _fixture_parse(spark, G1LOG, "g1://fixture/0")
 
 
+def q_gc_zgc_parse(spark, sf_dir):
+    """ZGC (percent-occupancy heap, generational seconds suffix) +
+    Shenandoah phases under unified logging — superset, independently
+    oracled.  ZGC heap_max is NULL by design (no capacity in the
+    summary line)."""
+    from gclog_parser_spark.fixtures import ZGC_LOG
+
+    ev = _fixture_parse(spark, ZGC_LOG, "zgc://fixture/0")
+    return ev.withColumn(
+        "heap_max_bytes", F.col("heap_max_bytes").cast("long")
+    )
+
+
 def q_gc_rates(spark, sf_dir):
     return with_rates(_events(spark, sf_dir)).select(
         "url",
@@ -556,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_limit_per_log": q_gc_limit_per_log,
         "gc_unified_parse": q_gc_unified_parse,
         "gc_g1_parse": q_gc_g1_parse,
+        "gc_zgc_parse": q_gc_zgc_parse,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -617,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["gc_unified_parse"] = oracle.unified_sql()
     out["gc_g1_parse"] = oracle.g1_legacy_sql()
+    out["gc_zgc_parse"] = oracle.zgc_sql()
 
     out["gc_tsv_export"] = oracle.tsv_export_sql()
     out["gc_graphite_export"] = oracle.graphite_export_sql()

@@ -118,6 +118,14 @@ _UNIFIED_HEAP_RE = re.compile(
     rf"({SIZE_PAT})->({SIZE_PAT})\(({SIZE_PAT})\)"
 )
 _UNIFIED_MS_RE = re.compile(r"(\d+\.\d+)ms\s*$")
+#: ZGC percent-occupancy heap transition '104M(10%)->88M(9%)' — no
+#: capacity in the summary line, so heap max stays NULL.
+_UNIFIED_ZHEAP_RE = re.compile(
+    rf"({SIZE_PAT})\(\d+%\)->({SIZE_PAT})\(\d+%\)\s*$"
+)
+#: generational-ZGC trailing seconds ('… 0.521s'); cannot collide with
+#: the ms suffix — 'ms' has a letter, not a digit, before the final 's'
+_UNIFIED_SEC_RE = re.compile(r"(\d+\.\d+)s\s*$")
 
 # -XX:+PrintGCApplicationStoppedTime, long form only: the short form
 # without 'Stopping threads took' is NOT an event (Parser.scala:60;
@@ -423,10 +431,20 @@ def parse_unified_line(line: str):
     pause = float(ms.group(1)) / 1000.0 if ms else 0.0
     if ms:
         body = body[: ms.start()]
+    else:
+        sec = _UNIFIED_SEC_RE.search(body)  # generational-ZGC suffix
+        if sec:
+            pause = float(sec.group(1))
+            body = body[: sec.start()]
     hm = _UNIFIED_HEAP_RE.search(body)
     heap = (hm.group(1), hm.group(2), hm.group(3)) if hm else None
     if hm:
         body = body[: hm.start()]
+    else:
+        zm = _UNIFIED_ZHEAP_RE.search(body)  # ZGC percent heap, no max
+        if zm:
+            heap = (zm.group(1), zm.group(2), None)
+            body = body[: zm.start()]
 
     parens = _UNIFIED_PAREN_RE.findall(body)
     head = _UNIFIED_PAREN_RE.sub("", body).strip()

@@ -97,6 +97,22 @@ UNIFIED_LOG = "\n".join(
     ]
 )
 
+#: ZGC (percent-occupancy heap, no capacity, optional generational
+#: seconds suffix) + Shenandoah (pause/concurrent phases with classic
+#: heap triples) under unified logging — SUPERSET, like UNIFIED_LOG.
+ZGC_LOG = "\n".join(
+    [
+        "[2026-08-17T02:00:00.123+0000][1.000s][info][gc] GC(0) Garbage Collection (Warmup) 104M(10%)->88M(9%)",
+        "[2.000s][info][gc] GC(1) Garbage Collection (Allocation Rate) 934M(91%)->422M(41%)",
+        "[2.500s][info][gc] GC(2) Minor Collection (Allocation Rate) 3462M(28%)->3252M(26%) 0.521s",
+        "[3.000s][info][gc] GC(3) Garbage Collection (Proactive) 110M(11%)->90M(9%)",
+        "[4.000s][info][gc] GC(4) Pause Init Mark 0.437ms",
+        "[4.010s][info][gc] GC(4) Concurrent marking 16M->17M(64M) 6.023ms",
+        "[4.020s][info][gc] GC(4) Pause Final Mark 0.698ms",
+        "[4.021s][info][gc] GC(4) Concurrent cleanup 17M->10M(64M) 0.325ms",
+    ]
+)
+
 #: class_id → (class_name, resource file or None for inline,
 #:             events in GcLine mode, events in heap-stats mode)
 #: GcLine-mode counts: ParserTest.scala:128-168,104-111,527-537;

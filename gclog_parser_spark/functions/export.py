@@ -73,7 +73,8 @@ def to_export_pairs(ev, rates=None):
             pairs.append(("heapBefore", to_bytes(heap[0])))
             pairs.append(("heapAfter", to_bytes(heap[1])))
             pairs.append(("heapReclaimed", reclaimed_bytes(heap)))
-            pairs.append(("heapMax", to_bytes(heap[2])))
+            if heap[2] is not None:  # absent on ZGC summary lines
+                pairs.append(("heapMax", to_bytes(heap[2])))
             for name, b, a, c in ev["generations"]:
                 pairs.append((f"{name}Before", to_bytes(b)))
                 pairs.append((f"{name}After", to_bytes(a)))
@@ -176,7 +177,8 @@ def row_export_pairs(row: dict):
             pairs.append(
                 ("heapReclaimed", _i(row["heap_reclaimed_bytes"]))
             )
-            pairs.append(("heapMax", _i(row["heap_max_bytes"])))
+            if not _null(row.get("heap_max_bytes")):  # ZGC: no max
+                pairs.append(("heapMax", _i(row["heap_max_bytes"])))
             gens = row.get("generations")
             for g in (gens if gens is not None else []):
                 n, b, a, c = (

@@ -37,6 +37,20 @@ def enrich_collector_family(events: DataFrame) -> DataFrame:
             )
             .when(t.startswith("Pause Full"), F.lit("full"))
             .when(
+                t.isin(
+                    "Garbage Collection",
+                    "Minor Collection",
+                    "Major Collection",
+                ),
+                F.lit("z_cycle"),
+            )
+            .when(
+                t.startswith("Pause Init")
+                | t.startswith("Pause Final")
+                | t.startswith("Pause Degenerated"),
+                F.lit("shen_pause"),
+            )
+            .when(
                 t.startswith("GC concurrent")
                 | t.startswith("Concurrent")
                 | t.isin(

@@ -144,7 +144,12 @@ def _event_record(url, warc_ts, event_idx, line_no, ev):
         "gc_cause": ev["gc_cause"],
         "heap_before_bytes": core.to_bytes(heap[0]) if heap else None,
         "heap_after_bytes": core.to_bytes(heap[1]) if heap else None,
-        "heap_max_bytes": core.to_bytes(heap[2]) if heap else None,
+        # ZGC summary lines carry no capacity → max stays NULL
+        "heap_max_bytes": (
+            core.to_bytes(heap[2])
+            if heap and heap[2] is not None
+            else None
+        ),
         "heap_reclaimed_bytes": (
             core.reclaimed_bytes(heap) if heap else None
         ),

@@ -539,14 +539,19 @@ def _size_bytes(field: str) -> str:
     )
 
 
-def unified_sql() -> str:
+def unified_sql(log_text: str | None = None) -> str:
     """Independent DuckDB reimplementation of the JDK 9+ unified-logging
-    parse (core.parse_unified_line): the UNIFIED_LOG fixture lines as a
-    VALUES list, fields re-derived with DuckDB regexps and list ops —
-    no shared code with the Spark path beyond the input literals."""
+    parse (core.parse_unified_line): the fixture lines as a VALUES
+    list, fields re-derived with DuckDB regexps and list ops — no
+    shared code with the Spark path beyond the input literals.
+    Handles the G1 shapes plus ZGC percent-occupancy heaps (no max,
+    optional generational seconds suffix) and Shenandoah phases."""
     from gclog_parser_spark.fixtures import UNIFIED_LOG
 
-    values = _fixture_values(UNIFIED_LOG)
+    values = _fixture_values(
+        log_text if log_text is not None else UNIFIED_LOG
+    )
+    zheap = "\\d+[KMG]\\(\\d+%\\)->\\d+[KMG]\\(\\d+%\\)"
     return f"""
 WITH raw(line_no, line) AS (VALUES
     {values}
@@ -561,22 +566,34 @@ m AS (
   WHERE regexp_matches(line,
     '^(\\[\\d{{4}}-[^\\]]+\\])?\\[\\d+\\.\\d+s\\](\\[[^\\]]+\\])*\\[gc(,marking)?\\] +GC\\(\\d+\\) ')
 ),
-f AS (
-  SELECT line_no, iso, CAST(age_s AS DOUBLE) AS age,
+t1 AS (
+  SELECT *,
     regexp_extract(body, '(\\d+\\.\\d+)ms\\s*$', 1) AS ms,
-    regexp_extract(body, '(\\d+)([KMG])->\\d+[KMG]\\(\\d+[KMG]\\)', ['n','u']) AS hb,
-    regexp_extract(body, '\\d+[KMG]->(\\d+)([KMG])\\(\\d+[KMG]\\)', ['n','u']) AS ha,
-    regexp_extract(body, '\\d+[KMG]->\\d+[KMG]\\((\\d+)([KMG])\\)', ['n','u']) AS hm,
-    regexp_matches(body, '\\d+[KMG]->\\d+[KMG]\\(\\d+[KMG]\\)') AS has_heap,
+    regexp_extract(body, '(\\d+\\.\\d+)s\\s*$', 1) AS secs,
+    -- strip the duration suffix (ms or generational-ZGC seconds)
+    regexp_replace(body, '\\s*\\d+\\.\\d+m?s\\s*$', '') AS body2
+  FROM m
+),
+f AS (
+  SELECT line_no, iso, CAST(age_s AS DOUBLE) AS age, ms, secs,
+    regexp_extract(body2, '(\\d+)([KMG])->\\d+[KMG]\\(\\d+[KMG]\\)', ['n','u']) AS hb,
+    regexp_extract(body2, '\\d+[KMG]->(\\d+)([KMG])\\(\\d+[KMG]\\)', ['n','u']) AS ha,
+    regexp_extract(body2, '\\d+[KMG]->\\d+[KMG]\\((\\d+)([KMG])\\)', ['n','u']) AS hm,
+    regexp_matches(body2, '\\d+[KMG]->\\d+[KMG]\\(\\d+[KMG]\\)') AS has_heap,
+    regexp_extract(body2, '(\\d+)([KMG])\\(\\d+%\\)->\\d+[KMG]\\(\\d+%\\)\\s*$', ['n','u']) AS zhb,
+    regexp_extract(body2, '\\d+[KMG]\\(\\d+%\\)->(\\d+)([KMG])\\(\\d+%\\)\\s*$', ['n','u']) AS zha,
+    regexp_matches(body2, '{zheap}\\s*$') AS has_zheap,
     regexp_extract_all(
-      regexp_replace(regexp_replace(body, '\\s*\\d+\\.\\d+ms\\s*$', ''),
+      regexp_replace(regexp_replace(body2,
                      '\\s*\\d+[KMG]->\\d+[KMG]\\(\\d+[KMG]\\)\\s*$', ''),
+                     '\\s*{zheap}\\s*$', ''),
       '\\(([^()]*(\\(\\))?)\\)', 1) AS parens,
     trim(regexp_replace(
-      regexp_replace(regexp_replace(body, '\\s*\\d+\\.\\d+ms\\s*$', ''),
+      regexp_replace(regexp_replace(body2,
                      '\\s*\\d+[KMG]->\\d+[KMG]\\(\\d+[KMG]\\)\\s*$', ''),
+                     '\\s*{zheap}\\s*$', ''),
       '\\(([^()]*(\\(\\))?)\\) *', '', 'g')) AS head
-  FROM m
+  FROM t1
 ),
 b AS (
   SELECT *,
@@ -584,25 +601,38 @@ b AS (
     CASE WHEN len(parens) > 1
          THEN head || ' (' || list_aggr(parens[1:len(parens)-1],
                                         'string_agg', ') (') || ')'
-         ELSE head END AS gc_type,
-    CASE u WHEN 'K' THEN 1024::BIGINT WHEN 'M' THEN 1048576::BIGINT
-           WHEN 'G' THEN 1073741824::BIGINT END AS _unused
-  FROM (SELECT *, hb['u'] AS u FROM f)
+         ELSE head END AS gc_type
+  FROM f
 )
 SELECT
   CAST(row_number() OVER (ORDER BY line_no) - 1 AS INT) AS event_idx,
   CAST(CASE WHEN iso <> '' THEN epoch_ms(strptime(iso, '%Y-%m-%dT%H:%M:%S.%g%z')) END AS BIGINT) AS event_epoch_ms,
   age AS jvm_age_seconds,
-  CASE WHEN has_heap THEN 'basic' ELSE 'g1' END AS gc_class,
+  CASE WHEN has_heap OR has_zheap THEN 'basic' ELSE 'g1' END AS gc_class,
   gc_type,
   cause AS gc_cause,
-  CAST(CASE WHEN has_heap THEN {_size_bytes('hb')} END AS BIGINT) AS heap_before_bytes,
-  CAST(CASE WHEN has_heap THEN {_size_bytes('ha')} END AS BIGINT) AS heap_after_bytes,
-  CAST(CASE WHEN has_heap THEN {_size_bytes('hm')} END AS BIGINT) AS heap_max_bytes,
-  CAST(round(coalesce(try_cast(nullif(ms, '') AS DOUBLE) / 1000.0, 0.0) * 10000000) AS BIGINT) AS pause_ticks
+  CAST(CASE WHEN has_heap THEN {_size_bytes('hb')}
+            WHEN has_zheap THEN {_size_bytes('zhb')} END AS BIGINT)
+    AS heap_before_bytes,
+  CAST(CASE WHEN has_heap THEN {_size_bytes('ha')}
+            WHEN has_zheap THEN {_size_bytes('zha')} END AS BIGINT)
+    AS heap_after_bytes,
+  CAST(CASE WHEN has_heap THEN {_size_bytes('hm')} END AS BIGINT)
+    AS heap_max_bytes,
+  CAST(round(coalesce(try_cast(nullif(ms, '') AS DOUBLE) / 1000.0,
+                      try_cast(nullif(secs, '') AS DOUBLE), 0.0)
+             * 10000000) AS BIGINT) AS pause_ticks
 FROM b
 ORDER BY line_no
 """
+
+
+def zgc_sql() -> str:
+    """ZGC + Shenandoah fixture through the same independent unified
+    oracle (the builder handles every unified shape)."""
+    from gclog_parser_spark.fixtures import ZGC_LOG
+
+    return unified_sql(ZGC_LOG)
 
 
 def g1_legacy_sql() -> str:

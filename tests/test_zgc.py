@@ -1,0 +1,91 @@
+"""ZGC + Shenandoah unified-logging support (SUPERSET — the reference
+predates both collectors)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gclog_parser_spark.core import parse_log
+from gclog_parser_spark.fixtures import ZGC_LOG
+from gclog_parser_spark.operators.parse import parse_events
+from gclog_parser_spark.operators.route import with_sink
+from gclog_parser_spark.sources.pages import read_gc_logs
+
+
+@pytest.fixture(scope="module")
+def zgc_events():
+    return parse_log(ZGC_LOG)
+
+
+def test_zgc_percent_heap_no_max(zgc_events):
+    first = zgc_events[0]
+    assert first["gc_type"] == "Garbage Collection"
+    assert first["gc_cause"] == "Warmup"
+    assert first["heap"] == ("104M", "88M", None)  # ZGC has no max
+    assert first["gc_class"] == "basic"
+    assert first["pause"] == 0.0
+    assert first["time"].isoformat() == "2026-08-17T02:00:00.123000+00:00"
+
+
+def test_zgc_generational_seconds_suffix(zgc_events):
+    gen = zgc_events[2]
+    assert gen["gc_type"] == "Minor Collection"
+    assert gen["gc_cause"] == "Allocation Rate"
+    assert gen["pause"] == 0.521
+    assert gen["heap"] == ("3462M", "3252M", None)
+
+
+def test_shenandoah_phases(zgc_events):
+    init = zgc_events[4]
+    assert init["gc_type"] == "Pause Init Mark"
+    assert init["gc_class"] == "g1"  # heap-less pause = phase event
+    assert init["pause"] == 0.000437
+    marking = zgc_events[5]
+    assert marking["gc_type"] == "Concurrent marking"
+    assert marking["heap"] == ("16M", "17M", "64M")
+    assert marking["gc_class"] == "basic"
+
+
+def test_zgc_spark_path_and_routing(spark, tmp_path):
+    p = tmp_path / "zgc.log"
+    p.write_text(ZGC_LOG)
+    events = parse_events(
+        read_gc_logs(spark, str(p)), require_marker=False
+    )
+    assert events.count() == 8
+    # ZGC rows carry NULL heap_max but real before/after bytes
+    z = events.where(F.col("gc_type") == "Garbage Collection").collect()
+    assert all(r["heap_max_bytes"] is None for r in z)
+    assert all(r["heap_before_bytes"] > 0 for r in z)
+    fams = {
+        r["sink"]: r["n"]
+        for r in with_sink(events)
+        .groupBy("sink")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert fams == {
+        "z_cycle": 4,        # 3 Garbage Collection + Minor Collection
+        "shen_pause": 2,     # Init Mark + Final Mark
+        "g1_concurrent": 2,  # Concurrent marking + cleanup
+    }
+
+
+def test_zgc_tsv_export_skips_heap_max(spark, tmp_path):
+    """The dynamic export layout simply omits heapMax when ZGC has
+    none — no crash, no empty field."""
+    from gclog_parser_spark.operators.export import tsv_export
+    from gclog_parser_spark.operators.rates import with_rates
+
+    p = tmp_path / "zgc.log"
+    p.write_text(ZGC_LOG)
+    events = with_rates(
+        parse_events(read_gc_logs(spark, str(p)), require_marker=False)
+    )
+    lines = [
+        r["line"]
+        for r in tsv_export(events).orderBy("line_no").collect()
+    ]
+    header = lines[0].split("\t")
+    assert "heapBefore" in header and "heapMax" not in header
