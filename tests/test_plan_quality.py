@@ -91,6 +91,49 @@ def test_rel_join_agg_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_export_single_shuffle_per_log(pages):
+    """Distributed TSV export: the per-log applyInPandas costs exactly
+    ONE exchange on hash(url) — formatting a 10^12-page corpus is one
+    shuffle plus embarrassingly-parallel group formatting."""
+    from gclog_parser_spark.operators.export import tsv_export
+
+    df = tsv_export(with_rates(parse_events(pages, stitch="narrow")))
+    plan = plan_of(df)
+    # rates window + export grouping share hash(url): Catalyst reuses
+    # the one exchange, so 2 url-clustered ops still cost ≤ 2 total
+    assert n_shuffles(plan) <= 2
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_np_scorer_no_extra_shuffle(spark, sf_dir):
+    """The Arrow/numpy corpus scan is a pure projection: no exchange
+    before the TakeOrderedAndProject top-k."""
+    from gclog_parser_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(cosine_topk(emb, scorer="np"))
+    assert n_shuffles(plan) == 0
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_jaccard_df_cap_feeds_join(spark):
+    """The postings self-join consumes the df-capped postings: the plan
+    carries the df<=cap filter on an aggregate BELOW the pair join."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s"), (2, "a b c e", "s")],
+        "doc_id long, text string, source string",
+    )
+    plan = plan_of(jaccard_pairs(docs, max_df=7))
+    assert re.search(r"\(?df#\d+L?\)? <= 7", plan) or "<= 7" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
 def test_partial_aggregation_map_side(pages):
     """count/sum/percentile_approx all pre-aggregate map-side: the
     HashAggregate below the exchange must carry partial functions, so
