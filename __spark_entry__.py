@@ -458,6 +458,12 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return minhash_band_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    from gclog_parser_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir))
+
+
 def q_dedup_simhash(spark, sf_dir):
     from gclog_parser_spark.operators.dedup import simhash_docs
 
@@ -550,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "text_quality": q_text_quality,
@@ -718,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["dedup_exact"] = ot.dedup_exact_sql()
     out["dedup_minhash_pairs"] = ot.dedup_minhash_sql()
+    out["dedup_clusters"] = ot.dedup_clusters_sql()
     out["dedup_simhash"] = ot.dedup_simhash_sql()
     out["dedup_jaccard"] = ot.dedup_jaccard_sql()
     out["text_quality"] = ot.text_quality_sql()

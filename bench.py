@@ -118,6 +118,7 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
 
     # --- training-data operators over the sf documents/embeddings ---
     from gclog_parser_spark.operators.dedup import (
+        dedup_clusters,
         exact_dedup,
         minhash_band_pairs,
         simhash_docs,
@@ -133,6 +134,7 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     t("dedup_exact_sf", lambda: exact_dedup(docs).count())
     t("dedup_minhash_sf", lambda: minhash_band_pairs(docs).count())
     t("dedup_simhash_sf", lambda: simhash_docs(docs).count())
+    t("dedup_clusters_sf", lambda: dedup_clusters(docs).count())
     t("text_quality_sf", lambda: quality_stats(docs).count())
     t("token_counts_sf", lambda: token_counts(docs)
         .agg(F.sum("tokens")).collect()[0][0])

@@ -197,6 +197,142 @@ def simhash_docs(docs: DataFrame, bits: int = 16) -> DataFrame:
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For every node u: connect each strictly-larger neighbor to
+    min(Γ(u) ∪ {u}).  One groupBy + one join, both on hash(u)."""
+    sym = _symmetrize(e)
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For every node u: connect all not-larger neighbors (and u itself)
+    to min(Γ(u) ∪ {u})."""
+    d = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _edge_sig(e: DataFrame):
+    # bit_xor is order-insensitive and cannot overflow (ANSI-safe)
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 32,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, component) for every node that appears in ``edges``;
+    component id = min node id in the component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the shape that holds
+    at 10^12 nodes: each round is two hash-partitioned groupBy+join
+    passes, edge count never grows beyond the input, and the round count
+    is O(log n) even on adversarial path graphs (plain min-label
+    propagation is O(diameter), which a crawl chain can push to
+    thousands).  Convergence is detected with an O(1)-size driver
+    checksum (count + hash sum), and each round is ``localCheckpoint``-ed
+    to truncate lineage — on a cluster this is ``checkpoint`` into the
+    job's checkpoint dir (plans/ledger.py pattern).
+
+    ``stats``: optional dict, receives {'rounds': r} for tests/metrics.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    rounds = 0
+    for _ in range(max_rounds):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        rounds += 1
+        sig = _edge_sig(e2)
+        e = e2
+        if sig == prev:
+            break
+        prev = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at the fixpoint every edge is (node, component_min)
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    return (
+        comp.union(roots)
+        .groupBy("node")
+        .agg(F.min("comp").alias("component"))
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Full near-dup pipeline stage 2: MinHash-LSH candidate pairs →
+    connected components → (doc_id, cluster_id, is_keeper).
+
+    The keeper (canonical document) is the cluster minimum — the row a
+    100 TB training-data pipeline retains; ``WHERE is_keeper`` is the
+    deduplicated corpus.  Docs outside every pair are their own
+    singleton cluster (left join + coalesce, no shuffle beyond the CC
+    rounds' own)."""
+    pairs = minhash_band_pairs(docs, num_hashes, bands).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(pairs, stats=stats).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     bucket_col: str = "source",

@@ -49,9 +49,11 @@ def dedup_exact_sql() -> str:
     )
 
 
-def dedup_minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """The shingles→signatures→bands CTE chain, reusable by both the
+    pair query and the connected-components cluster oracle."""
     rows = NUM_HASHES // BANDS
-    return f"""WITH {SHINGLES_CTE},
+    return f"""{SHINGLES_CTE},
 sig AS (
   SELECT doc_id,
     list_transform(generate_series(0, {NUM_HASHES - 1}), j ->
@@ -66,11 +68,41 @@ banded AS (
         r -> CAST(sig[b * {rows} + r] AS VARCHAR)), '_') AS band_key
   FROM sig, unnest(generate_series(0, {BANDS - 1})) AS t(b)
   WHERE sig[1] IS NOT NULL
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band_idx
+)"""
+
+
+_MINHASH_PAIRS_SELECT = """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band_idx
 FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
  AND a.doc_id < b.doc_id"""
+
+
+def dedup_minhash_sql() -> str:
+    return f"WITH {_minhash_ctes()}\n{_MINHASH_PAIRS_SELECT}"
+
+
+def dedup_clusters_sql() -> str:
+    """Cluster oracle: min label reachable over the candidate-pair graph
+    via a recursive CTE (the from-first-principles transitive closure —
+    independent of the Spark side's alternating-star algorithm), then a
+    left join back to all documents for the singleton clusters."""
+    return f"""WITH RECURSIVE {_minhash_ctes()},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+  (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c USING (doc_id)"""
 
 
 def dedup_simhash_sql(bits: int = 16) -> str:

@@ -1,0 +1,91 @@
+"""Connected-components dedup clustering (operators/dedup.py).
+
+The reference has no dedup at all — this is the training-data superset's
+stage 2 (pairs → clusters → canonical keeper).  Correctness here is
+pinned on adversarial graph shapes; end-to-end value parity vs the
+DuckDB recursive-CTE oracle runs in test_oracle_parity.py
+(``dedup_clusters``).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from gclog_parser_spark.operators.dedup import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    stats = {}
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(df, stats=stats, **kw).collect()
+    }
+    return out, stats
+
+
+def test_two_components(spark):
+    comp, _ = _cc(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_path_graph_converges_in_log_rounds(spark):
+    # a 64-node chain is the adversarial case for plain min-label
+    # propagation (O(diameter) = 63 rounds); alternating star must close
+    # it in O(log n)
+    n = 64
+    comp, stats = _cc(spark, [(i, i + 1) for i in range(n - 1)])
+    assert comp == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 8, stats
+
+
+def test_duplicate_and_reversed_edges(spark):
+    comp, _ = _cc(spark, [(2, 1), (1, 2), (2, 3), (3, 1), (3, 3)])
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_clusters_end_to_end(spark):
+    # three exact copies + one unique doc: the copies share every
+    # minhash band, so they form one cluster with the min doc_id keeping
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, dup, "en", "web", len(dup)),
+            (7, dup, "en", "web", len(dup)),
+            (4, dup, "en", "web", len(dup)),
+            (9, "completely different words entirely here now", "en",
+             "web", 44),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in dedup_clusters(docs).collect()
+    }
+    assert rows[1] == (1, True)
+    assert rows[4] == (1, False)
+    assert rows[7] == (1, False)
+    assert rows[9] == (9, True)
+
+
+def test_keeper_filter_is_the_deduped_corpus(spark):
+    dup = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(i, dup, "en", "web", len(dup)) for i in range(5)]
+        + [(99, "something else entirely different words", "en", "web", 39)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    kept = (
+        dedup_clusters(docs)
+        .where(F.col("is_keeper"))
+        .select("doc_id")
+        .collect()
+    )
+    assert sorted(r["doc_id"] for r in kept) == [0, 99]
