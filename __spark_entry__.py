@@ -464,6 +464,35 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_docs(spark, sf_dir))
 
 
+#: per-language sampling rates for the corpus_sample contract query
+SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+SAMPLE_DEFAULT_RATE = 0.1
+
+
+def q_corpus_split(spark, sf_dir):
+    from gclog_parser_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "split"
+    )
+
+
+def q_corpus_sample(spark, sf_dir):
+    from gclog_parser_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE,
+    ).select("doc_id", "lang", "source")
+
+
+def q_corpus_filter(spark, sf_dir):
+    from gclog_parser_spark.operators.textstats import corpus_filter
+
+    return corpus_filter(_docs(spark, sf_dir))
+
+
 def q_dedup_simhash(spark, sf_dir):
     from gclog_parser_spark.operators.dedup import simhash_docs
 
@@ -557,6 +586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_split": q_corpus_split,
+        "corpus_sample": q_corpus_sample,
+        "corpus_filter": q_corpus_filter,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "text_quality": q_text_quality,
@@ -726,6 +758,11 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_exact"] = ot.dedup_exact_sql()
     out["dedup_minhash_pairs"] = ot.dedup_minhash_sql()
     out["dedup_clusters"] = ot.dedup_clusters_sql()
+    out["corpus_split"] = ot.hash_split_sql()
+    out["corpus_sample"] = ot.stratified_sample_sql(
+        SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
+    )
+    out["corpus_filter"] = ot.corpus_filter_sql()
     out["dedup_simhash"] = ot.dedup_simhash_sql()
     out["dedup_jaccard"] = ot.dedup_jaccard_sql()
     out["text_quality"] = ot.text_quality_sql()

@@ -1,0 +1,84 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+At 100 TB the only sampling that survives production is *hash-based and
+deterministic*: `rand()` changes under task retry/preemption (a resumed
+partition re-rolls its dice, breaking exactly-once routing and any
+train/test split audit), whereas a content-keyed hash bucket is a pure
+projection — no shuffle, no state, reproducible on any cluster size,
+and stable across checkpoint resume (plans/ledger.py).  Every operator
+here is a scan-side filter/projection (zero exchanges) built on the
+portable md5-60bit hash (operators/dedup.md5_long) so the DuckDB oracle
+verifies assignments value-for-value.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from gclog_parser_spark.operators.dedup import md5_long
+
+#: hash-bucket resolution: rates are exact to 1e-6
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key_col, salt: str):
+    """Deterministic bucket in [0, BUCKETS) from (salt, key).  The salt
+    decorrelates independent samplings of the same corpus (a split salt
+    and a sample salt draw independent 'randomness')."""
+    return (
+        md5_long(F.concat_ws(":", F.lit(salt), key_col.cast("string")))
+        % BUCKETS
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    key: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default) by
+    hash bucket — disjoint, exhaustive, deterministic, and stable under
+    corpus growth (a doc's split never changes when other docs are
+    added, unlike sorted/percentile splits)."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    b = hash_bucket(F.col(key), salt)
+    names = list(weights)
+    cum = 0.0
+    thresholds = []
+    for name in names:
+        cum += weights[name] / total
+        thresholds.append((name, int(round(cum * BUCKETS))))
+    col = F.when(b < thresholds[0][1], F.lit(names[0]))
+    for name, thr in thresholds[1:-1]:
+        col = col.when(b < thr, F.lit(name))
+    col = col.otherwise(F.lit(names[-1]))
+    return docs.withColumn("split", col)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    default_rate: float = 0.0,
+    key: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows (e.g. down-sample dominant
+    languages, keep all of a rare one).  The rate lookup is a literal
+    CASE expression (no join — the strata map is query metadata, not
+    data), so the whole operator stays a codegen'd scan filter."""
+    b = hash_bucket(F.col(key), salt)
+    thr = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == value
+        lit = F.lit(int(round(rate * BUCKETS)))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = (
+        thr.otherwise(F.lit(int(round(default_rate * BUCKETS))))
+        if thr is not None
+        else F.lit(int(round(default_rate * BUCKETS)))
+    )
+    return docs.where(b < thr)

@@ -113,6 +113,55 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+#: corpus_filter thresholds (Gopher-style repetition/shape rules adapted
+#: to the cheap signals quality_stats computes)
+FILTER_DEFAULTS = {
+    "min_chars": 200,
+    "max_chars": 20000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 10.0,
+    "min_stopword_ratio": 0.05,
+    "max_punct_ratio": 0.3,
+}
+
+
+def corpus_filter(docs: DataFrame, **overrides) -> DataFrame:
+    """Quality-filter verdict per document: ``keep`` + the first failing
+    rule as ``reject_reason`` (NULL when kept) — the standard web-text
+    gating stage between raw crawl and training corpus.
+
+    Pure projection over quality_stats (itself codegen regexp counts):
+    no shuffle, no Python; at 100 TB this runs at scan speed and the
+    downstream ``WHERE keep`` predicate pushes into the corpus scan.
+    Rule order (first failure reported) is part of the contract."""
+    p = {**FILTER_DEFAULTS, **overrides}
+    q = quality_stats(docs)
+    reason = (
+        F.when(F.col("n_chars") < p["min_chars"], "too_short")
+        .when(F.col("n_chars") > p["max_chars"], "too_long")
+        .when(
+            F.col("mean_word_len") < p["min_mean_word_len"],
+            "word_len_low",
+        )
+        .when(
+            F.col("mean_word_len") > p["max_mean_word_len"],
+            "word_len_high",
+        )
+        .when(
+            F.col("stopword_ratio") < p["min_stopword_ratio"],
+            "low_stopwords",
+        )
+        .when(
+            F.col("punct_ratio") > p["max_punct_ratio"], "high_punct"
+        )
+    )
+    return q.select(
+        "doc_id",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
 def fingerprints(docs: DataFrame, k: int = 4) -> DataFrame:
     """Bottom-k sketch fingerprint: the k smallest md5-60bit hashes of
     the document's word 3-shingles, joined into a stable string.  Equal

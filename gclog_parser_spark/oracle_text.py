@@ -184,6 +184,70 @@ def text_quality_sql() -> str:
 FROM documents"""
 
 
+def _bucket_sql(key: str, salt: str) -> str:
+    h = _hex60(f"'{salt}:' || CAST({key} AS VARCHAR)")
+    return f"({h} % 1000000)"
+
+
+def hash_split_sql(
+    weights=None, key: str = "doc_id", salt: str = "split"
+) -> str:
+    from gclog_parser_spark.operators.sampling import BUCKETS
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    names = list(weights)
+    cum = 0.0
+    cases = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cases.append(f"WHEN b < {int(round(cum * BUCKETS))} THEN '{name}'")
+    case = (
+        "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    )
+    return f"""WITH b AS (
+  SELECT doc_id, lang, source, {_bucket_sql(key, salt)} AS b
+  FROM documents
+)
+SELECT doc_id, lang, source, {case} AS split FROM b"""
+
+
+def stratified_sample_sql(
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    default_rate: float = 0.0,
+    key: str = "doc_id",
+    salt: str = "sample",
+) -> str:
+    from gclog_parser_spark.operators.sampling import BUCKETS
+
+    cases = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN {int(round(r * BUCKETS))}"
+        for v, r in sorted(rates.items())
+    )
+    thr = f"CASE {cases} ELSE {int(round(default_rate * BUCKETS))} END"
+    return f"""SELECT doc_id, lang, source FROM documents
+WHERE {_bucket_sql(key, salt)} < {thr}"""
+
+
+def corpus_filter_sql(**overrides) -> str:
+    from gclog_parser_spark.operators.textstats import FILTER_DEFAULTS
+
+    p = {**FILTER_DEFAULTS, **overrides}
+    reason = f"""CASE
+    WHEN n_chars < {p["min_chars"]} THEN 'too_short'
+    WHEN n_chars > {p["max_chars"]} THEN 'too_long'
+    WHEN mean_word_len < {p["min_mean_word_len"]} THEN 'word_len_low'
+    WHEN mean_word_len > {p["max_mean_word_len"]} THEN 'word_len_high'
+    WHEN stopword_ratio < {p["min_stopword_ratio"]} THEN 'low_stopwords'
+    WHEN punct_ratio > {p["max_punct_ratio"]} THEN 'high_punct'
+  END"""
+    return f"""WITH q AS ({text_quality_sql()})
+SELECT doc_id, {reason} AS reject_reason,
+  ({reason} IS NULL) AS keep
+FROM q"""
+
+
 def lang_id_sql() -> str:
     langs = sorted(LANG_MARKERS)
     scores = ", ".join(

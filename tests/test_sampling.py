@@ -1,0 +1,120 @@
+"""Deterministic hash sampling / splitting / quality filtering
+(operators/sampling.py, textstats.corpus_filter).
+
+Value parity vs DuckDB runs in test_oracle_parity.py (corpus_split /
+corpus_sample / corpus_filter); here we pin the determinism and
+distribution properties the 100 TB design depends on.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from gclog_parser_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+)
+from gclog_parser_spark.operators.textstats import corpus_filter
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text for doc "), F.col("id")).alias("text"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+        F.lit("src0").alias("source"),
+    ).cache()
+
+
+def test_split_is_deterministic_and_exhaustive(docs):
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    assert len(a) == 2000
+
+
+def test_split_fractions_approximate_weights(docs):
+    counts = (
+        hash_split(docs).groupBy("split").count().collect()
+    )
+    by = {r["split"]: r["count"] / 2000 for r in counts}
+    assert abs(by["train"] - 0.9) < 0.03
+    assert abs(by["val"] - 0.05) < 0.02
+    assert abs(by["test"] - 0.05) < 0.02
+
+
+def test_split_stable_under_corpus_growth(spark, docs):
+    """A doc's split must not change when new docs arrive — the property
+    sorted/percentile splits lack."""
+    small = docs.where(F.col("doc_id") < 500)
+    full = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    sub = {r["doc_id"]: r["split"] for r in hash_split(small).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_split_salt_decorrelates(docs):
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, salt="other").collect()
+    }
+    assert a != b  # different draws
+    assert set(b.values()) == {"train", "val", "test"}
+
+
+def test_stratified_rates_respected(docs):
+    out = stratified_sample(
+        docs, rates={"en": 0.5, "de": 0.1}, default_rate=0.0
+    )
+    counts = {
+        r["lang"]: r["count"]
+        for r in out.groupBy("lang").count().collect()
+    }
+    # per-stratum base: ~667 docs each
+    assert abs(counts["en"] / 667 - 0.5) < 0.08
+    assert abs(counts.get("de", 0) / 667 - 0.1) < 0.05
+    assert "fr" not in counts  # default_rate=0 drops the stratum
+
+
+def test_sample_is_subset_and_deterministic(docs):
+    out = stratified_sample(docs, rates={"en": 0.3}, default_rate=0.05)
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in out.collect()}
+    assert ids1 == ids2
+    assert ids1 <= {r["doc_id"] for r in docs.collect()}
+
+
+def test_corpus_filter_reasons(spark):
+    long_ok = (
+        "the quick brown fox and the lazy dog walk to the old town "
+    ) * 8  # ~470 chars, sane ratios
+    rows = [
+        (1, "tiny", "en", "s"),                       # too_short
+        (2, long_ok, "en", "s"),                      # keep
+        (3, "x" * 30000, "en", "s"),                  # too_long
+        (4, ("qwertyuiopasdfghjkl " * 30), "en", "s"),  # low_stopwords
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source"]
+    )
+    out = {
+        r["doc_id"]: (r["keep"], r["reject_reason"])
+        for r in corpus_filter(docs).collect()
+    }
+    assert out[1] == (False, "too_short")
+    assert out[2] == (True, None)
+    assert out[3] == (False, "too_long")
+    assert out[4][0] is False
+    assert out[4][1] in ("low_stopwords", "word_len_high")
+
+
+def test_filter_plan_is_scan_side(docs):
+    """No exchange anywhere: filter + split + sample are projections."""
+    plan = corpus_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    plan2 = hash_split(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan2
