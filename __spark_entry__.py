@@ -493,6 +493,41 @@ def q_corpus_filter(spark, sf_dir):
     return corpus_filter(_docs(spark, sf_dir))
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup in the correctness gate: the pages table
+    UNION a simulated re-crawl (same text bytes, different urls), fed as
+    a multi-micro-batch file stream through
+    ``dropDuplicatesWithinWatermark`` on the content hash.  The output's
+    distinct-hash set must equal DISTINCT md5(page text) in DuckDB.
+    The watermark (48 h) covers the whole event-time span so no sighting
+    is late-dropped — which makes the hash set deterministic regardless
+    of file→batch packing."""
+    import tempfile
+
+    from gclog_parser_spark.streaming.stream import run_dedup_stream
+
+    base = tempfile.mkdtemp(prefix="gps_sdedup_")
+    pages = pages_from_documents(spark, sf_dir)
+    recrawl = pages.withColumn(
+        "url", F.concat(F.lit("recrawl/"), F.col("url"))
+    )
+    pages.unionByName(recrawl).repartition(3).write.parquet(
+        f"{base}/pages"
+    )
+    q = run_dedup_stream(
+        spark,
+        f"{base}/pages",
+        f"{base}/out",
+        f"{base}/ckpt",
+        watermark="48 hours",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(f"{base}/out").select("text_hash").distinct()
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from gclog_parser_spark.operators.dedup import simhash_docs
 
@@ -616,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_per_sink_hourly": q_gc_per_sink_hourly,
         "gc_per_sink_hourly_salted": q_gc_per_sink_hourly_salted,
         "gc_stream_hourly": q_gc_stream_hourly,
+        "gc_stream_dedup": q_stream_dedup,
         "gc_events_per_collector": q_gc_events_per_collector,
         "gc_appstopped": q_gc_appstopped,
         "gc_region_deltas": q_gc_region_deltas,
@@ -763,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
     )
     out["corpus_filter"] = ot.corpus_filter_sql()
+    out["gc_stream_dedup"] = ot.stream_dedup_sql()
     out["dedup_simhash"] = ot.dedup_simhash_sql()
     out["dedup_jaccard"] = ot.dedup_jaccard_sql()
     out["text_quality"] = ot.text_quality_sql()

@@ -158,6 +158,26 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     t("ann_cosine_np_50k",
       lambda: cosine_topk(embs_big, scorer="np").count())
 
+    # production-width embeddings (512 dims): the HOF expression is
+    # interpreted per element so its cost grows with dimension, while
+    # the numpy scorer's BLAS matvec barely notices — this is the pair
+    # that shows why the np path is the production scan
+    n_wide = int(os.environ.get("SPARK_GRAFT_BENCH_EMBS_WIDE", "20000"))
+    wide_path = f"/tmp/bench_embs512_{n_wide}"
+    if not os.path.exists(wide_path):
+        spark.range(n_wide).select(
+            F.col("id").cast("int").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(512)),
+                lambda i: F.sin(F.col("id") * i).cast("float"),
+            ).alias("embedding"),
+            F.lit("x").alias("label"),
+        ).write.mode("overwrite").parquet(wide_path)
+    embs_wide = spark.read.parquet(wide_path)
+    t("ann_cosine_hof_512d", lambda: cosine_topk(embs_wide).count())
+    t("ann_cosine_np_512d",
+      lambda: cosine_topk(embs_wide, scorer="np").count())
+
     extras["synth_pages"] = pages_n
     extras["synth_events"] = n_events
     extras["docs_per_sec"] = round(pages_n / dt_narrow, 1)

@@ -408,6 +408,21 @@ FROM blocked a JOIN blocked b
 WHERE {cos} >= {threshold}"""
 
 
+def stream_dedup_sql() -> str:
+    """Oracle for the streaming exact-dedup gate query: the distinct
+    content-hash set of the pages table (the re-crawled copies share
+    the text bytes, so they add nothing to the set).  Rebuilds the page
+    ``text`` column exactly as datagen._page_cols does."""
+    text = (
+        "d.text || chr(10) || '<pre class=\"gclog\">' || chr(10) || "
+        "f.fixture_text || '</pre><!--gclog-->' || chr(10) || d.text"
+    )
+    return f"""WITH {fixtures_values()}
+SELECT DISTINCT md5({text}) AS text_hash
+FROM documents d
+JOIN fixtures f ON f.class_id = CAST(d.doc_id % 10 AS INT)"""
+
+
 _HTML_EXPR = (
     "'<html><body>' || d.text || chr(10) ||"
     " '<pre class=\"gclog\">' || chr(10) || f.fixture_text ||"

@@ -108,6 +108,49 @@ def run_fanout_stream(
     return writer.start()
 
 
+def dedup_stream(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on the content hash with **bounded state**:
+    ``dropDuplicatesWithinWatermark`` keeps a seen-hash entry only until
+    the event-time watermark passes it, so state size is proportional to
+    the watermark window, not the corpus — the only shape that survives
+    an unbounded 10^12-doc ingestion stream (a plain ``dropDuplicates``
+    would accrete state forever).  Duplicates arriving within the
+    watermark of the first sighting are dropped; later re-crawls fall
+    to the batch dedup stage (operators/dedup.py), which is the
+    standard two-tier (online + offline) dedup split."""
+    return (
+        pages.withColumn("text_hash", F.md5("text"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous ingestion dedup: pages stream → watermarked hash dedup
+    → parquet file sink (the sink's own transaction log gives
+    exactly-once files)."""
+    deduped = dedup_stream(
+        stream_pages(spark, input_dir, max_files_per_trigger),
+        watermark=watermark,
+    ).select("url", "warc_ts", "text_hash")
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def hourly_sink_counts(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

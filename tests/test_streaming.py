@@ -84,6 +84,48 @@ def test_stream_fanout_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert got.select("url", "event_idx").distinct().count() == want
 
 
+def test_stream_dedup_bounded_state(spark, tmp_path):
+    """Cross-micro-batch exact dedup: duplicate texts arriving in later
+    files (inside the watermark) are dropped; distinct texts all pass."""
+    import datetime as dt
+
+    from gclog_parser_spark.streaming.stream import run_dedup_stream
+
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows1 = [
+        (f"http://a/{i}", t0, None, f"text body {i % 4}", "en")
+        for i in range(8)  # 4 distinct texts, each duplicated
+    ]
+    rows2 = [
+        # same texts again a few minutes later (inside the watermark)
+        (f"http://b/{i}", t0 + dt.timedelta(minutes=5), None,
+         f"text body {i % 4}", "en")
+        for i in range(4)
+    ] + [
+        (f"http://c/{i}", t0 + dt.timedelta(minutes=6), None,
+         f"fresh text {i}", "en")
+        for i in range(3)
+    ]
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    spark.createDataFrame(rows1, PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    spark.createDataFrame(rows2, PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    q = run_dedup_stream(spark, inp, out, ckpt, watermark="1 hour")
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # 4 distinct dup'd texts + 3 fresh ones
+    assert got.count() == 7
+    assert got.select("text_hash").distinct().count() == 7
+
+
 def test_stream_hourly_agg_matches_batch(spark, sf_dir, tmp_path):
     inp = str(tmp_path / "pages")
     ckpt = str(tmp_path / "ckpt")
