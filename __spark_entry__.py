@@ -582,6 +582,20 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(_embs(spark, sf_dir))
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF with TRAINED centroids: 2 Lloyd's iterations on the corpus,
+    then the probe-cell top-k — vs the oracle's full SQL re-derivation
+    of the same training."""
+    from gclog_parser_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train,
+    )
+
+    emb = _embs(spark, sf_dir)
+    cents = ivf_train(emb, iters=2)
+    return ivf_topk(emb, cents=cents)
+
+
 def q_emb_neardup(spark, sf_dir):
     from gclog_parser_spark.operators.similarity import neardup_pairs
 
@@ -633,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained_topk": q_ann_ivf_trained,
         "emb_neardup": q_emb_neardup,
         "media_meta": q_media_meta,
         "media_resize": q_media_resize,
@@ -809,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
     out["ann_cosine_topk"] = ot.ann_cosine_sql()
     out["ann_lsh_topk"] = ot.ann_lsh_sql()
     out["ann_ivf_topk"] = ot.ann_ivf_sql()
+    out["ann_ivf_trained_topk"] = ot.ann_ivf_trained_sql()
     out["emb_neardup"] = ot.emb_neardup_sql()
     out["media_meta"] = ot.media_meta_sql()
     out["media_resize"] = ot.media_resize_sql()

@@ -215,12 +215,17 @@ def centroid_components(
     ]
 
 
-def ivf_assign(emb: DataFrame, seed: int = 7) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame, seed: int = 7, cents=None
+) -> DataFrame:
     """(vec_id, embedding, cell) — cell = argmax over centroids of the
     dot product (spherical coarse quantization).  Computed scan-side;
     at 10^12 scale the assignment is a one-pass projection and the
-    cell becomes the table's partition key."""
-    cents = centroid_components(seed=seed)
+    cell becomes the table's partition key.
+
+    ``cents``: explicit centroid components (e.g. from ``ivf_train``);
+    defaults to the deterministic pseudo-random quantizer."""
+    cents = cents if cents is not None else centroid_components(seed=seed)
     scores = [
         _dot(F.col("embedding"), F.array(*[F.lit(c) for c in cent]))
         for cent in cents
@@ -234,6 +239,66 @@ def ivf_assign(emb: DataFrame, seed: int = 7) -> DataFrame:
     )
 
 
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    iters: int = 2,
+    seed: int = 7,
+    dim: int = EMB_DIM,
+):
+    """Spherical k-means for the IVF coarse quantizer (Dhillon & Modha
+    2001): deterministic LCG init → repeat (assign to argmax-dot cell,
+    recompute centroid as the NORMALIZED member mean, rounded to 6 dp).
+    The normalization is what makes the dot-product objective monotone
+    non-decreasing across iterations (the unit vector maximizing
+    Σ⟨xᵢ, μ⟩ is the normalized mean); a raw mean would shrink centroid
+    norms and break the guarantee.  Returns the trained centroid
+    component lists (k × dim Python floats).
+
+    Spark shape per iteration: scan-side assignment (literal argmax —
+    no join), then ONE shuffle of (cell, pos) partial sums via
+    posexplode + two-phase hash aggregate; the k×dim result (512 values
+    here) collects to the driver and broadcasts back as literals for
+    the next pass — the canonical k-means-on-Spark loop, linear scans
+    and O(k·dim) driver state at any corpus size.  The 6-dp rounding
+    makes every iteration's centroids portable across engines (the
+    DuckDB oracle re-derives them value-for-value); empty cells and
+    zero-norm means keep their previous centroid."""
+    import math
+
+    cents = centroid_components(n_cells, dim, seed)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents=cents)
+        stats = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in stats:
+            means.setdefault(r["cell"], {})[r["pos"]] = r["s"] / r["n"]
+        new = []
+        for c in range(n_cells):
+            m = means.get(c)
+            norm = (
+                math.sqrt(sum(v * v for v in m.values())) if m else 0.0
+            )
+            if not m or norm == 0.0:
+                new.append(cents[c])  # empty/degenerate cell
+            else:
+                new.append(
+                    [round(m[p] / norm, 6) for p in range(dim)]
+                )
+        cents = new
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int = 0,
@@ -241,6 +306,7 @@ def ivf_topk(
     n_probe: int = 2,
     seed: int = 7,
     scorer: str = "hof",
+    cents=None,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine, but only within the
     ``n_probe`` cells whose centroids score highest for the query —
@@ -248,9 +314,10 @@ def ivf_topk(
     equi-join on the cell id (shuffle ∝ corpus, never ∝ pairs); at
     scale the cells are partition-pruned instead of joined.
     ``scorer='np'`` uses the Arrow/numpy batch scorer on the candidate
-    scan (see ``cosine_topk``)."""
-    assigned = ivf_assign(emb, seed)
-    cents = centroid_components(seed=seed)
+    scan (see ``cosine_topk``); ``cents`` swaps in trained centroids
+    (``ivf_train``)."""
+    cents = cents if cents is not None else centroid_components(seed=seed)
+    assigned = ivf_assign(emb, cents=cents)
     q = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q")
     )

@@ -389,6 +389,85 @@ WHERE e.vec_id <> {query_vec_id}
 ORDER BY sim DESC, e.vec_id ASC LIMIT {k}"""
 
 
+def ann_ivf_trained_sql(
+    query_vec_id: int = 0,
+    k: int = 5,
+    n_probe: int = 2,
+    iters: int = 2,
+    seed: int = 7,
+) -> str:
+    """Independent re-derivation of the TRAINED IVF index
+    (similarity.ivf_train + ivf_topk): the same Lloyd's iterations in
+    pure SQL — init centroids as a VALUES table, then per iteration
+    (argmax-dot assignment via row_number, member-mean centroids
+    rounded to 6 dp, empty-cell fallback via LEFT JOIN coalesce) —
+    followed by the probe-cell top-k.  Ties break to the lowest cell
+    in both engines."""
+    from gclog_parser_spark.operators.similarity import (
+        centroid_components,
+    )
+
+    cents = centroid_components(seed=seed)
+    n, dim = len(cents), len(cents[0])
+    c0 = ", ".join(
+        f"({c}, {p}, {cents[c][p]})"
+        for c in range(n)
+        for p in range(dim)
+    )
+    parts = [
+        f"c0(cell, pos, val) AS (VALUES {c0})",
+        "e AS (SELECT vec_id,"
+        " generate_subscripts(embedding, 1) - 1 AS pos,"
+        " unnest(embedding::DOUBLE[]) AS val FROM embeddings)",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts += [
+            f"s{i} AS (SELECT e.vec_id, c.cell, sum(e.val * c.val) AS s"
+            f" FROM e JOIN {prev} c USING (pos) GROUP BY 1, 2)",
+            f"a{i} AS (SELECT vec_id, cell FROM ("
+            f"SELECT vec_id, cell, row_number() OVER ("
+            f"PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn"
+            f" FROM s{i}) WHERE rn = 1)",
+            f"m{i} AS (SELECT a.cell, e.pos,"
+            f" sum(e.val) / count(*) AS mval"
+            f" FROM a{i} a JOIN e USING (vec_id) GROUP BY 1, 2)",
+            f"n{i} AS (SELECT cell, sqrt(sum(mval * mval)) AS nrm"
+            f" FROM m{i} GROUP BY 1)",
+            # spherical k-means: centroid = normalized member mean;
+            # empty cells / zero-norm means keep the previous centroid
+            f"c{i} AS (SELECT c.cell, c.pos, coalesce("
+            f"CASE WHEN n.nrm <> 0 THEN round(m.mval / n.nrm, 6) END,"
+            f" c.val) AS val"
+            f" FROM {prev} c LEFT JOIN m{i} m"
+            f" ON m.cell = c.cell AND m.pos = c.pos"
+            f" LEFT JOIN n{i} n ON n.cell = c.cell)",
+        ]
+        prev = f"c{i}"
+    parts += [
+        f"sf AS (SELECT e.vec_id, c.cell, sum(e.val * c.val) AS s"
+        f" FROM e JOIN {prev} c USING (pos) GROUP BY 1, 2)",
+        "af AS (SELECT vec_id, cell FROM ("
+        "SELECT vec_id, cell, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn"
+        " FROM sf) WHERE rn = 1)",
+        f"qcells AS (SELECT cell FROM sf WHERE vec_id = {query_vec_id}"
+        f" ORDER BY s DESC, cell ASC LIMIT {n_probe})",
+        f"q AS (SELECT embedding AS q FROM embeddings"
+        f" WHERE vec_id = {query_vec_id})",
+    ]
+    cos = _cos_guarded("e2.embedding", "q.q")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT e2.vec_id, {cos} AS sim
+FROM embeddings e2
+JOIN af ON af.vec_id = e2.vec_id
+JOIN qcells ON qcells.cell = af.cell, q
+WHERE e2.vec_id <> {query_vec_id}
+ORDER BY sim DESC, e2.vec_id ASC LIMIT {k}"""
+    )
+
+
 def emb_neardup_sql(threshold: float = 0.9) -> str:
     """LSH-bucket-blocked near-dup (same sign-bit planes as
     similarity.lsh_buckets / ann_lsh_sql)."""

@@ -216,3 +216,57 @@ def test_neardup_multiband_recall(spark):
     assert len(multi_rows) == len(multi)  # deduped
     # every constructed near-dup pair is recalled by the union
     assert multi >= {(i, i + 1) for i in range(0, 30, 2)}
+
+
+def test_ivf_train_improves_quantizer(spark):
+    """Lloyd's iterations must not worsen the assignment objective
+    (mean best-centroid dot product) — the k-means monotonicity
+    guarantee; and the trained index still returns an exact top-k
+    within its probe cells."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.similarity import (
+        centroid_components,
+        ivf_assign,
+        ivf_topk,
+        ivf_train,
+        _dot,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+
+    def objective(cents):
+        scores = F.greatest(
+            *[
+                _dot(
+                    F.col("embedding"),
+                    F.array(*[F.lit(c) for c in cent]),
+                )
+                for cent in cents
+            ]
+        )
+        return emb.agg(F.avg(scores)).collect()[0][0]
+
+    # spherical k-means monotonicity: the dot-product objective is
+    # non-decreasing between (unit-norm) iterations.  (The LCG init is
+    # not unit-norm, so iteration 0 is not comparable by scale.)
+    one = ivf_train(emb, iters=1)
+    trained = ivf_train(emb, iters=2)
+    assert objective(trained) >= objective(one) - 1e-6
+    # trained centroids are unit vectors (up to 6-dp rounding)
+    import math
+
+    for cent in trained:
+        assert abs(math.sqrt(sum(c * c for c in cent)) - 1.0) < 1e-3
+
+    out = ivf_topk(emb, cents=trained).collect()
+    assert len(out) == 5
+    sims = [r["sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+    # trained cells are actually used: every cell id is in range
+    cells = {
+        r["cell"] for r in ivf_assign(emb, cents=trained).collect()
+    }
+    assert cells <= set(range(len(trained)))
