@@ -487,6 +487,18 @@ def q_corpus_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_text_repetition(spark, sf_dir):
+    from gclog_parser_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_text_scrub(spark, sf_dir):
+    from gclog_parser_spark.operators.textstats import scrub_pii
+
+    return scrub_pii(_docs(spark, sf_dir))
+
+
 def q_corpus_filter(spark, sf_dir):
     from gclog_parser_spark.operators.textstats import corpus_filter
 
@@ -638,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
         "corpus_filter": q_corpus_filter,
+        "text_repetition": q_text_repetition,
+        "text_scrub": q_text_scrub,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "text_quality": q_text_quality,
@@ -815,6 +829,8 @@ def oracle_sql() -> dict[str, str]:
     )
     out["corpus_filter"] = ot.corpus_filter_sql()
     out["gc_stream_dedup"] = ot.stream_dedup_sql()
+    out["text_repetition"] = ot.repetition_stats_sql()
+    out["text_scrub"] = ot.scrub_pii_sql()
     out["dedup_simhash"] = ot.dedup_simhash_sql()
     out["dedup_jaccard"] = ot.dedup_jaccard_sql()
     out["text_quality"] = ot.text_quality_sql()

@@ -113,6 +113,89 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Repetition signals (the Gopher rules the shape-based
+    quality_stats can't see): duplicate-line fraction and the share of
+    the document covered by its most frequent word bigram.
+
+    The line part is purely scan-side (array ops per row, no shuffle).
+    The bigram mode needs a frequency count, done relationally —
+    explode → count per (doc, bigram) → max per doc — because a
+    per-row HOF frequency scan would be O(words²) interpreted; the
+    shuffle carries one row per distinct (doc, bigram), i.e. ∝ corpus
+    tokens, the same postings shape as the search-index build."""
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    base = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.round(
+            (n_lines - n_distinct) / F.greatest(n_lines, F.lit(1)), 6
+        ).alias("dup_line_ratio"),
+        _words(F.col("text")).alias("w"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.explode(_shingle_expr(F.col("w"), k=2)).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "n_words", "bg")
+        .count()
+        .groupBy("doc_id", "n_words")
+        .agg(F.max("count").alias("top_bigram_count"))
+        .select(
+            "doc_id",
+            # fraction of the doc's bigrams taken by the modal one
+            F.round(
+                F.col("top_bigram_count")
+                / F.greatest(F.col("n_words") - 1, F.lit(1)),
+                6,
+            ).alias("top_bigram_ratio"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_lines", "dup_line_ratio")
+        .join(top, "doc_id", "left")
+        .withColumn(
+            "top_bigram_ratio",
+            F.coalesce("top_bigram_ratio", F.lit(0.0)),
+        )
+    )
+
+
+#: PII scrub patterns, applied in order (url first so email-shaped
+#: fragments inside urls are already gone)
+PII_PATTERNS = [
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """Redact emails / urls / phone-shaped spans, reporting per-doc hit
+    counts and the digest of the scrubbed text (the digest is what the
+    oracle value-checks — the full scrubbed column flows on to the
+    next pipeline stage in production).  Chained native
+    ``regexp_replace``/``regexp_count``: codegen, zero shuffle."""
+    text = F.col("text")
+    counts = [
+        _count_re(text, pat).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = text
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
 #: corpus_filter thresholds (Gopher-style repetition/shape rules adapted
 #: to the cheap signals quality_stats computes)
 FILTER_DEFAULTS = {

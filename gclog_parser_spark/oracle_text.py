@@ -248,6 +248,54 @@ SELECT doc_id, {reason} AS reject_reason,
 FROM q"""
 
 
+def repetition_stats_sql() -> str:
+    return """WITH base AS (
+  SELECT doc_id,
+    len(string_split(text, chr(10))) AS n_lines,
+    len(list_distinct(string_split(text, chr(10)))) AS n_distinct,
+    string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, len(w) AS n_words,
+    unnest(list_transform(
+      generate_series(1, greatest(len(w) - 1, 0)),
+      i -> w[i] || ' ' || w[i + 1])) AS b
+  FROM base
+),
+freq AS (
+  SELECT doc_id, n_words, b, count(*) AS c
+  FROM bg GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT doc_id,
+    round(max(c) / greatest(n_words - 1, 1), 6) AS top_bigram_ratio
+  FROM freq GROUP BY doc_id, n_words
+)
+SELECT base.doc_id, n_lines,
+  round((n_lines - n_distinct) / greatest(n_lines, 1), 6)
+    AS dup_line_ratio,
+  coalesce(top.top_bigram_ratio, 0.0) AS top_bigram_ratio
+FROM base LEFT JOIN top USING (doc_id)"""
+
+
+def scrub_pii_sql() -> str:
+    from gclog_parser_spark.operators.textstats import PII_PATTERNS
+
+    counts = ", ".join(
+        f"{_count_re('text', pat)} AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrub = "text"
+    for _, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        scrub = f"regexp_replace({scrub}, '{p}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id, {counts}, md5({scrub}) AS scrubbed_hash"
+        f" FROM documents"
+    )
+
+
 def lang_id_sql() -> str:
     langs = sorted(LANG_MARKERS)
     scores = ", ".join(

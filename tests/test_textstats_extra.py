@@ -1,0 +1,75 @@
+"""Repetition signals and PII scrubbing (operators/textstats.py) —
+value parity vs DuckDB runs in test_oracle_parity.py; here the
+semantics are pinned on constructed documents."""
+
+import pyspark.sql.functions as F
+
+from gclog_parser_spark.operators.textstats import (
+    repetition_stats,
+    scrub_pii,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def test_repetition_ratios(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b\na b\na b\nc d"),       # 4 lines, 2 distinct
+            (2, "one two three four five"),  # no repetition
+            (3, "spam ham " * 20),           # dominant bigram
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_ratio"] == 0.5
+    assert out[2]["dup_line_ratio"] == 0.0
+    # doc 3: 40 words, "ham spam" appears 19 times / 39 bigrams
+    assert out[3]["top_bigram_ratio"] > 0.45
+    assert out[2]["top_bigram_ratio"] == 0.25  # all bigrams unique
+
+
+def test_repetition_single_word_doc(spark):
+    out = repetition_stats(_docs(spark, [(1, "word")])).collect()[0]
+    assert out["top_bigram_ratio"] == 0.0  # no bigrams at all
+
+
+def test_scrub_counts_and_redacts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at bob@example.com or visit "
+                "https://example.com/x?y=1 now"),
+            (2, "call +1 555-123-4567 today"),
+            (3, "clean text with no pii here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_url"] == 1
+    assert out[2]["n_phone"] == 1
+    assert (
+        out[3]["n_email"] == out[3]["n_url"] == out[3]["n_phone"] == 0
+    )
+
+
+def test_scrub_digest_changes_only_with_pii(spark):
+    docs = _docs(
+        spark,
+        [(1, "clean text stays identical"), (2, "mail a@b.co now")],
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    # doc 1 untouched: digest equals digest of the original text
+    got = spark.createDataFrame(
+        [("clean text stays identical",)], ["t"]
+    ).select(F.md5("t").alias("h")).collect()[0]["h"]
+    assert out[1]["scrubbed_hash"] == got
+    redacted = spark.createDataFrame(
+        [("mail <EMAIL> now",)], ["t"]
+    ).select(F.md5("t").alias("h")).collect()[0]["h"]
+    assert out[2]["scrubbed_hash"] == redacted
