@@ -1,0 +1,130 @@
+"""spark-submit entry for the training-data prep pipeline: quality
+filter → dedup (exact + MinHash-LSH clusters) → deterministic split.
+
+Usage (sandbox / local):
+
+    zip -qr /tmp/gps.zip gclog_parser_spark
+    spark-submit --master 'local[32]' --py-files /tmp/gps.zip \
+        jobs/corpus_pipeline.py \
+        --input /root/testdata/sf0.01/documents.parquet \
+        --output /data/corpus_out
+
+Outputs under ``--output``:
+    corpus/   surviving documents with (cluster_id, split) columns —
+              the deduplicated, quality-gated, split-assigned corpus
+    stats/    one-row parquet of per-stage counts (auditing)
+
+Every stage is deterministic (content-keyed hashes, no rand()), so a
+re-run over the same input produces byte-identical assignments — the
+property that makes the corpus reproducible across cluster sizes and
+retries.  Composes the oracle-checked operators:
+textstats.corpus_filter, dedup.exact_dedup/dedup_clusters,
+sampling.hash_split.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_REPO, "gclog_parser_spark")):
+    sys.path.insert(0, _REPO)
+
+
+def run_corpus(spark, docs, out, split_weights=None):
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.dedup import dedup_clusters
+    from gclog_parser_spark.operators.sampling import hash_split
+    from gclog_parser_spark.operators.textstats import corpus_filter
+
+    n_input = docs.count()
+
+    # 1. quality gate
+    verdict = corpus_filter(docs)
+    kept = docs.join(
+        verdict.where(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    reject_counts = {
+        r["reject_reason"]: r["n"]
+        for r in verdict.where(~F.col("keep"))
+        .groupBy("reject_reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    # 2. near-dup clustering on the gated docs; keep cluster minima
+    clusters = dedup_clusters(kept)
+    surviving = kept.join(
+        clusters.where(F.col("is_keeper")).select(
+            "doc_id", "cluster_id"
+        ),
+        "doc_id",
+    )
+
+    # 3. deterministic split assignment
+    final = hash_split(surviving, weights=split_weights)
+    final.write.mode("overwrite").parquet(f"{out}/corpus")
+
+    final_back = spark.read.parquet(f"{out}/corpus")
+    n_kept = kept.count()
+    n_final = final_back.count()
+    split_counts = {
+        r["split"]: r["n"]
+        for r in final_back.groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    stats = {
+        "n_input": n_input,
+        "n_quality_rejected": n_input - n_kept,
+        "n_dup_removed": n_kept - n_final,
+        "n_final": n_final,
+        **{f"reject_{k}": v for k, v in sorted(reject_counts.items())},
+        **{f"split_{k}": v for k, v in sorted(split_counts.items())},
+    }
+    spark.createDataFrame([stats]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/stats")
+    return stats
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="documents parquet path")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--train", type=float, default=0.9)
+    ap.add_argument("--val", type=float, default=0.05)
+    ap.add_argument("--test", type=float, default=0.05)
+    ap.add_argument("--master", default=None,
+                    help="override (tests); normally spark-submit's")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName("corpus_pipeline")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+    stats = run_corpus(
+        spark,
+        spark.read.parquet(args.input),
+        args.output,
+        split_weights={
+            "train": args.train, "val": args.val, "test": args.test
+        },
+    )
+    import json
+
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -145,3 +145,19 @@ def test_partial_aggregation_map_side(pages):
     assert "partial_count" in before_exchange
     assert "partial_sum" in before_exchange
     assert "partial_percentile" in before_exchange
+
+
+def test_repetition_bounded_shuffles_and_scrub_scan_side(spark, sf_dir):
+    """repetition_stats: the bigram postings count + per-doc max + join
+    back share partitionings — ≤2 exchanges total; scrub_pii is a pure
+    codegen projection (zero exchanges)."""
+    from gclog_parser_spark.operators.textstats import (
+        repetition_stats,
+        scrub_pii,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(repetition_stats(docs))
+    assert n_shuffles(plan) <= 2
+    plan2 = plan_of(scrub_pii(docs))
+    assert "Exchange" not in plan2

@@ -147,3 +147,45 @@ def test_spark_submit_job_end_to_end(spark, sf_dir, tmp_path):
     assert s2["events"] == s1["events"]
     agg = spark.read.parquet(f"{out}/agg")
     assert agg.where(F.col("sink") == "full").count() > 0
+
+
+@pytest.mark.slow
+def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The training-data prep job: filter → dedup clusters → split,
+    deterministic across re-runs."""
+    out = str(tmp_path / "corpus_out")
+
+    def run():
+        res = subprocess.run(
+            [
+                sys.executable,
+                "jobs/corpus_pipeline.py",
+                "--master", "local[8]",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", out,
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    s1 = run()
+    assert s1["n_input"] == 500
+    assert (
+        s1["n_input"]
+        == s1["n_quality_rejected"] + s1["n_dup_removed"] + s1["n_final"]
+    )
+    assert s1["n_final"] > 0
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == s1["n_final"]
+    assert {"cluster_id", "split"} <= set(corpus.columns)
+    # every surviving doc is its own cluster keeper
+    assert corpus.where(
+        F.col("doc_id") != F.col("cluster_id")
+    ).count() == 0
+    # deterministic: a re-run reproduces identical stats
+    s2 = run()
+    assert s2 == s1
