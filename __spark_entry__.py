@@ -493,6 +493,12 @@ def q_text_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_text_boilerplate(spark, sf_dir):
+    from gclog_parser_spark.operators.textstats import strip_boilerplate
+
+    return strip_boilerplate(_docs(spark, sf_dir))
+
+
 def q_text_scrub(spark, sf_dir):
     from gclog_parser_spark.operators.textstats import scrub_pii
 
@@ -652,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "text_repetition": q_text_repetition,
         "text_scrub": q_text_scrub,
+        "text_boilerplate": q_text_boilerplate,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "text_quality": q_text_quality,
@@ -831,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_stream_dedup"] = ot.stream_dedup_sql()
     out["text_repetition"] = ot.repetition_stats_sql()
     out["text_scrub"] = ot.scrub_pii_sql()
+    out["text_boilerplate"] = ot.strip_boilerplate_sql()
     out["dedup_simhash"] = ot.dedup_simhash_sql()
     out["dedup_jaccard"] = ot.dedup_jaccard_sql()
     out["text_quality"] = ot.text_quality_sql()

@@ -165,6 +165,61 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def strip_boilerplate(docs: DataFrame, max_df: int = 10) -> DataFrame:
+    """Remove boilerplate lines — lines whose exact text appears in more
+    than ``max_df`` documents (nav bars, cookie banners, footers) — and
+    return (doc_id, n_lines, n_removed, cleaned_hash).
+
+    Relational shape: explode lines with position → line document
+    frequency (two-phase hash agg over the line text — the postings
+    count) → anti-join the hot lines → re-assemble in line order with
+    the same array_sort(collect_list(struct(pos, line))) pattern the
+    window parse uses.  Shuffle ∝ total lines (index-build shape); the
+    hot-line set itself is tiny and broadcast by AQE.  The digest is
+    the oracle-checked value; production would carry the cleaned text
+    column forward instead."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("line", F.lit(True).alias("is_hot"))
+    )
+    marked = lines.join(hot, "line", "left")
+    cleaned = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.when(F.col("is_hot"), 1).otherwise(0)
+            ).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_hot").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("cleaned"),
+        )
+    )
+    return cleaned.select(
+        "doc_id",
+        "n_lines",
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5("cleaned").alias("cleaned_hash"),
+    )
+
+
 #: PII scrub patterns, applied in order (url first so email-shaped
 #: fragments inside urls are already gone)
 PII_PATTERNS = [

@@ -279,6 +279,30 @@ SELECT base.doc_id, n_lines,
 FROM base LEFT JOIN top USING (doc_id)"""
 
 
+def strip_boilerplate_sql(max_df: int = 10) -> str:
+    return f"""WITH lines AS (
+  SELECT doc_id,
+    generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+    unnest(string_split(text, chr(10))) AS line
+  FROM documents
+),
+hot AS (
+  SELECT line FROM lines
+  GROUP BY line HAVING count(DISTINCT doc_id) > {max_df}
+),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line, h.line IS NOT NULL AS is_hot
+  FROM lines l LEFT JOIN hot h ON h.line = l.line
+)
+SELECT doc_id,
+  count(*) AS n_lines,
+  CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  md5(coalesce(
+    string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_hot),
+    '')) AS cleaned_hash
+FROM marked GROUP BY doc_id"""
+
+
 def scrub_pii_sql() -> str:
     from gclog_parser_spark.operators.textstats import PII_PATTERNS
 

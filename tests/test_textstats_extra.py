@@ -73,3 +73,39 @@ def test_scrub_digest_changes_only_with_pii(spark):
         [("mail <EMAIL> now",)], ["t"]
     ).select(F.md5("t").alias("h")).collect()[0]["h"]
     assert out[2]["scrubbed_hash"] == redacted
+
+
+def test_strip_boilerplate(spark):
+    from gclog_parser_spark.operators.textstats import strip_boilerplate
+
+    nav = "Home | About | Contact"
+    docs = _docs(
+        spark,
+        [(i, f"{nav}\nunique content {i}\ncopyright footer")
+         for i in range(5)]
+        + [(99, "standalone doc with no boilerplate")],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(docs, max_df=3).collect()
+    }
+    # nav + footer appear in 5 docs (> 3) → removed from each
+    assert out[0]["n_lines"] == 3 and out[0]["n_removed"] == 2
+    assert out[99]["n_removed"] == 0
+    # cleaned text of doc 2 is exactly its unique line
+    want = spark.createDataFrame(
+        [("unique content 2",)], ["t"]
+    ).select(F.md5("t").alias("h")).collect()[0]["h"]
+    assert out[2]["cleaned_hash"] == want
+
+
+def test_strip_boilerplate_all_lines_hot(spark):
+    from gclog_parser_spark.operators.textstats import strip_boilerplate
+
+    docs = _docs(spark, [(i, "same line") for i in range(4)])
+    out = strip_boilerplate(docs, max_df=2).collect()
+    assert all(r["n_removed"] == 1 for r in out)
+    empty = spark.createDataFrame([("",)], ["t"]).select(
+        F.md5("t").alias("h")
+    ).collect()[0]["h"]
+    assert all(r["cleaned_hash"] == empty for r in out)
