@@ -109,3 +109,50 @@ def test_strip_boilerplate_all_lines_hot(spark):
         F.md5("t").alias("h")
     ).collect()[0]["h"]
     assert all(r["cleaned_hash"] == empty for r in out)
+
+
+def test_corpus_ops_survive_hostile_text(spark):
+    """One battery of adversarial documents through every corpus
+    operator: no exceptions, row counts preserved.  (The pure-Python
+    parser has its own hypothesis fuzz; these are the Spark-expression
+    ops, exercised on the inputs that break naive regex/split logic.)"""
+    from gclog_parser_spark.operators.dedup import dedup_clusters
+    from gclog_parser_spark.operators.sampling import (
+        hash_split,
+        stratified_sample,
+    )
+    from gclog_parser_spark.operators.textstats import (
+        corpus_filter,
+        quality_stats,
+        repetition_stats,
+        scrub_pii,
+        strip_boilerplate,
+    )
+
+    hostile = [
+        "",                                   # empty
+        " ",                                  # whitespace only
+        "\n\n\n",                             # newlines only
+        "x" * 50_000,                         # one huge token
+        "a@b.c " * 1000,                      # email storm
+        "((((((((",                           # regex metachars
+        "\\d+\\s*[KMG]->",                    # pattern-looking text
+        "héllo wörld é世界",     # non-ascii
+        "\t\t mixed \r whitespace  ",
+        "💥 emoji 🚀 text 🎉",
+        "'; DROP TABLE documents; --",
+        "∑ ∫ √ math " * 50,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(hostile)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    n = len(hostile)
+    assert quality_stats(docs).count() == n
+    assert corpus_filter(docs).count() == n
+    assert repetition_stats(docs).count() == n
+    assert scrub_pii(docs).count() == n
+    assert strip_boilerplate(docs).count() == n
+    assert dedup_clusters(docs).count() == n
+    assert hash_split(docs).count() == n
+    assert stratified_sample(docs, rates={"en": 1.0}).count() == n
