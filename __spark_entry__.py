@@ -458,6 +458,12 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return minhash_band_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_verified_pairs(spark, sf_dir):
+    from gclog_parser_spark.operators.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(_docs(spark, sf_dir))
+
+
 def q_dedup_clusters(spark, sf_dir):
     from gclog_parser_spark.operators.dedup import dedup_clusters
 
@@ -652,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_verified_pairs": q_dedup_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
@@ -829,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["dedup_exact"] = ot.dedup_exact_sql()
     out["dedup_minhash_pairs"] = ot.dedup_minhash_sql()
+    out["dedup_verified_pairs"] = ot.minhash_verified_sql()
     out["dedup_clusters"] = ot.dedup_clusters_sql()
     out["corpus_split"] = ot.hash_split_sql()
     out["corpus_sample"] = ot.stratified_sample_sql(

@@ -136,10 +136,21 @@ def minhash_band_pairs(
     One row per (doc_a < doc_b, band_idx).  The join key is
     (band_idx, band signature) so the shuffle carries doc×band rows —
     this is the piece that keeps near-dup at 10^12 docs tractable."""
-    rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes).where(
         F.element_at("sig", 1).isNotNull()  # docs with no shingles
     )
+    return band_pairs_from_sigs(sigs, num_hashes, bands)
+
+
+def band_pairs_from_sigs(
+    sigs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """The banding + equi-join half of `minhash_band_pairs`, split out
+    so callers that also need the signatures (the verify stage) compute
+    them once."""
+    rows = num_hashes // bands
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -195,6 +206,53 @@ def simhash_docs(docs: DataFrame, bits: int = 16) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, 2**b).otherwise(0)
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def minhash_verified_pairs(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The verify stage between LSH candidate generation and
+    clustering: each candidate pair gets the MinHash-estimated Jaccard
+    (fraction of agreeing signature positions — the unbiased estimator)
+    and pairs below ``threshold`` are discarded.  Banding alone admits
+    pairs sharing one lucky band; thresholding the estimate is the
+    standard precision repair, and it costs only two hash-joins of the
+    tiny (doc_id, sig) relation against the candidate pairs — never a
+    rescan of the text."""
+    sigs = minhash_signatures(docs, num_hashes).where(
+        F.element_at("sig", 1).isNotNull()
+    )
+    pairs = (
+        band_pairs_from_sigs(sigs, num_hashes, bands)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / num_hashes, 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:
@@ -307,6 +365,7 @@ def dedup_clusters(
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
     stats: dict | None = None,
+    min_est: float | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline stage 2: MinHash-LSH candidate pairs →
     connected components → (doc_id, cluster_id, is_keeper).
@@ -315,10 +374,18 @@ def dedup_clusters(
     100 TB training-data pipeline retains; ``WHERE is_keeper`` is the
     deduplicated corpus.  Docs outside every pair are their own
     singleton cluster (left join + coalesce, no shuffle beyond the CC
-    rounds' own)."""
-    pairs = minhash_band_pairs(docs, num_hashes, bands).select(
-        "doc_a", "doc_b"
-    )
+    rounds' own).  ``min_est`` inserts the verify stage: only pairs
+    whose MinHash-estimated Jaccard clears it feed the clustering
+    (`minhash_verified_pairs`) — without it, one lucky shared band is
+    enough to merge two clusters."""
+    if min_est is not None:
+        pairs = minhash_verified_pairs(
+            docs, num_hashes, bands, threshold=min_est
+        ).select("doc_a", "doc_b")
+    else:
+        pairs = minhash_band_pairs(docs, num_hashes, bands).select(
+            "doc_a", "doc_b"
+        )
     comp = connected_components(pairs, stats=stats).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

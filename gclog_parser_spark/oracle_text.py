@@ -81,6 +81,22 @@ def dedup_minhash_sql() -> str:
     return f"WITH {_minhash_ctes()}\n{_MINHASH_PAIRS_SELECT}"
 
 
+def minhash_verified_sql(threshold: float = 0.5) -> str:
+    """Verify-stage oracle: distinct candidate pairs joined back to
+    both signatures; estimated Jaccard = agreeing positions / hashes."""
+    return f"""WITH {_minhash_ctes()},
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM ({_MINHASH_PAIRS_SELECT})),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+    round(len(list_filter(generate_series(1, {NUM_HASHES}),
+      i -> sa.sig[i] = sb.sig[i])) / {NUM_HASHES}.0, 6) AS est_jaccard
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+)
+SELECT * FROM est WHERE est_jaccard >= {threshold}"""
+
+
 def dedup_clusters_sql() -> str:
     """Cluster oracle: min label reachable over the candidate-pair graph
     via a recursive CTE (the from-first-principles transitive closure —

@@ -89,3 +89,42 @@ def test_keeper_filter_is_the_deduped_corpus(spark):
         .collect()
     )
     assert sorted(r["doc_id"] for r in kept) == [0, 99]
+
+
+def test_verified_pairs_filter_lucky_bands(spark):
+    """est_jaccard = agreeing-signature fraction; exact copies estimate
+    1.0, and a strict min_est keeps partial matches from merging."""
+    from gclog_parser_spark.operators.dedup import (
+        minhash_verified_pairs,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = dup.replace("kappa", "lambda mu nu xi omicron pi rho")
+    docs = spark.createDataFrame(
+        [
+            (1, dup, "en", "web", len(dup)),
+            (2, dup, "en", "web", len(dup)),
+            (3, near, "en", "web", len(near)),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_verified_pairs(docs, threshold=0.0).collect()
+    }
+    assert est[(1, 2)] == 1.0
+    strict = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_verified_pairs(docs, threshold=1.0).collect()
+    }
+    assert (1, 2) in strict
+    assert all(p == (1, 2) for p in strict)
+
+    from gclog_parser_spark.operators.dedup import dedup_clusters
+
+    rows = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, min_est=1.0).collect()
+    }
+    assert rows[1] == rows[2] == 1
+    assert rows[3] == 3  # near-match survives under strict verification
