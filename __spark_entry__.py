@@ -493,6 +493,12 @@ def q_corpus_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_corpus_shards(spark, sf_dir):
+    from gclog_parser_spark.operators.sampling import shard_by_tokens
+
+    return shard_by_tokens(_docs(spark, sf_dir))
+
+
 def q_text_repetition(spark, sf_dir):
     from gclog_parser_spark.operators.textstats import repetition_stats
 
@@ -662,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
+        "corpus_shards": q_corpus_shards,
         "corpus_filter": q_corpus_filter,
         "text_repetition": q_text_repetition,
         "text_scrub": q_text_scrub,
@@ -843,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
     )
     out["corpus_filter"] = ot.corpus_filter_sql()
+    out["corpus_shards"] = ot.shard_by_tokens_sql()
     out["gc_stream_dedup"] = ot.stream_dedup_sql()
     out["text_repetition"] = ot.repetition_stats_sql()
     out["text_scrub"] = ot.scrub_pii_sql()

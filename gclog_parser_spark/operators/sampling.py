@@ -14,7 +14,7 @@ verifies assignments value-for-value.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from gclog_parser_spark.operators.dedup import md5_long
 
@@ -56,6 +56,54 @@ def hash_split(
         col = col.when(b < thr, F.lit(name))
     col = col.otherwise(F.lit(names[-1]))
     return docs.withColumn("split", col)
+
+
+def shard_by_tokens(
+    docs: DataFrame,
+    tokens_per_shard: int = 4096,
+    n_groups: int = 8,
+    key: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Assign documents to ~``tokens_per_shard``-token output shards —
+    the write-side packing stage of a training pipeline (shard =
+    output file / tar member of bounded token budget).
+
+    Scale shape: a GLOBAL running sum would serialize on one task, so
+    docs first hash into ``n_groups`` independent groups and the
+    running token total is a ``partitionBy(group)`` window ordered by
+    the (bucket, key) hash order — parallel across groups, one
+    exchange, deterministic.  ``shard = (group, floor(cum/size))``;
+    each group packs its shards independently, so shard token totals
+    land in [target, target + max_doc_tokens).  At 10^12 docs raise
+    n_groups to O(executors); determinism (content-keyed order, no
+    rand/monotonically_increasing_id) makes re-runs byte-stable."""
+    from gclog_parser_spark.operators.textstats import TOKEN_RE
+
+    b = hash_bucket(F.col(key), salt)
+    toks = F.regexp_count(F.col("text"), F.lit(TOKEN_RE))
+    base = docs.select(
+        F.col(key),
+        (b % n_groups).cast("int").alias("shard_group"),
+        b.alias("order_key"),
+        toks.cast("long").alias("doc_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_group")
+        .orderBy("order_key", key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("doc_tokens").over(w)
+    return base.select(
+        key,
+        "shard_group",
+        "doc_tokens",
+        # subtract the doc's own tokens so a doc spanning the boundary
+        # stays in the shard it started in
+        F.floor((cum - F.col("doc_tokens")) / tokens_per_shard)
+        .cast("int")
+        .alias("shard_idx"),
+    )
 
 
 def stratified_sample(

@@ -246,6 +246,31 @@ def stratified_sample_sql(
 WHERE {_bucket_sql(key, salt)} < {thr}"""
 
 
+def shard_by_tokens_sql(
+    tokens_per_shard: int = 4096,
+    n_groups: int = 8,
+    key: str = "doc_id",
+    salt: str = "shard",
+) -> str:
+    from gclog_parser_spark.operators.textstats import TOKEN_RE
+
+    b = _bucket_sql(key, salt)
+    toks = _count_re("text", TOKEN_RE)
+    return f"""WITH base AS (
+  SELECT {key},
+    CAST({b} % {n_groups} AS INT) AS shard_group,
+    {b} AS order_key,
+    CAST({toks} AS BIGINT) AS doc_tokens
+  FROM documents
+)
+SELECT {key}, shard_group, doc_tokens,
+  CAST(floor((sum(doc_tokens) OVER (
+      PARTITION BY shard_group ORDER BY order_key, {key}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    - doc_tokens) / {tokens_per_shard}) AS INT) AS shard_idx
+FROM base"""
+
+
 def corpus_filter_sql(**overrides) -> str:
     from gclog_parser_spark.operators.textstats import FILTER_DEFAULTS
 

@@ -118,3 +118,53 @@ def test_filter_plan_is_scan_side(docs):
     assert "Exchange" not in plan
     plan2 = hash_split(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan2
+
+
+def test_shard_by_tokens_budget_and_determinism(spark):
+    from gclog_parser_spark.operators.sampling import shard_by_tokens
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.lit(f"w{j}") for j in range(20)]
+        ).alias("text"),
+    )
+    out = shard_by_tokens(docs, tokens_per_shard=200, n_groups=4)
+    rows = out.collect()
+    assert len(rows) == 1000
+    again = {
+        (r["doc_id"], r["shard_group"], r["shard_idx"])
+        for r in shard_by_tokens(
+            docs, tokens_per_shard=200, n_groups=4
+        ).collect()
+    }
+    assert {(r["doc_id"], r["shard_group"], r["shard_idx"])
+            for r in rows} == again  # deterministic
+    # every shard's token total lands in [target, target + max_doc)
+    # except each group's final partial shard
+    totals = (
+        out.groupBy("shard_group", "shard_idx")
+        .agg(
+            F.sum("doc_tokens").alias("t"),
+            F.max("shard_idx").alias("_"),
+        )
+        .collect()
+    )
+    per_group_last = {}
+    for r in totals:
+        g = r["shard_group"]
+        per_group_last[g] = max(
+            per_group_last.get(g, -1), r["shard_idx"]
+        )
+    max_doc = 20
+    for r in totals:
+        if r["shard_idx"] != per_group_last[r["shard_group"]]:
+            assert 200 <= r["t"] < 200 + max_doc, r
+    # parallel shape: groups partition the docs evenly-ish
+    sizes = [
+        r["n"]
+        for r in out.groupBy("shard_group")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 4 and min(sizes) > 100
