@@ -10,8 +10,9 @@ Usage (sandbox / local):
         --output /data/corpus_out
 
 Outputs under ``--output``:
-    corpus/   surviving documents with (cluster_id, split) columns —
-              the deduplicated, quality-gated, split-assigned corpus
+    corpus/   surviving documents with (cluster_id, split, doc_tokens,
+              shard_group, shard_idx) columns — the deduplicated,
+              quality-gated, split-assigned, shard-packed corpus
     stats/    one-row parquet of per-stage counts (auditing)
 
 Every stage is deterministic (content-keyed hashes, no rand()), so a
@@ -64,8 +65,15 @@ def run_corpus(spark, docs, out, split_weights=None):
         "doc_id",
     )
 
-    # 3. deterministic split assignment
-    final = hash_split(surviving, weights=split_weights)
+    # 3. deterministic split assignment + token-budget shard packing
+    from gclog_parser_spark.operators.sampling import shard_by_tokens
+
+    final = hash_split(surviving, weights=split_weights).join(
+        shard_by_tokens(surviving).select(
+            "doc_id", "doc_tokens", "shard_group", "shard_idx"
+        ),
+        "doc_id",
+    )
     final.write.mode("overwrite").parquet(f"{out}/corpus")
 
     final_back = spark.read.parquet(f"{out}/corpus")
