@@ -198,6 +198,15 @@ def q_gc_zgc_parse(spark, sf_dir):
     )
 
 
+def q_gc_sessions(spark, sf_dir):
+    """Gaps-and-islands sessionization of the event stream (activity
+    bursts per JVM, 30 s age gap) — oracled as the identical
+    lag-flag/running-sum SQL."""
+    from gclog_parser_spark.operators.aggregate import session_stats
+
+    return session_stats(_events(spark, sf_dir))
+
+
 def q_gc_rates(spark, sf_dir):
     return with_rates(_events(spark, sf_dir)).select(
         "url",
@@ -697,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
+        "gc_sessions": q_gc_sessions,
         "gc_pause_by_family": q_gc_pause_by_family,
         "gc_per_sink_hourly": q_gc_per_sink_hourly,
         "gc_per_sink_hourly_salted": q_gc_per_sink_hourly_salted,
@@ -765,6 +775,30 @@ def oracle_sql() -> dict[str, str]:
         "SELECT url, event_idx, bytes_allocated_since_last,"
         " millis_since_last, heap_allocation_rate, promotion_rate"
         " FROM rates"
+    )
+
+    out["gc_sessions"] = g(
+        """sess_flagged AS (
+  SELECT url, event_idx, jvm_age_seconds, pause_seconds,
+    CASE WHEN lag(jvm_age_seconds) OVER w IS NULL
+           OR jvm_age_seconds - lag(jvm_age_seconds) OVER w > 30.0
+         THEN 1 ELSE 0 END AS is_new
+  FROM gc_events
+  WINDOW w AS (PARTITION BY url ORDER BY event_idx)
+),
+sessions AS (
+  SELECT *, CAST(sum(is_new) OVER (
+      PARTITION BY url ORDER BY event_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT)
+    AS session_id
+  FROM sess_flagged
+)"""
+    ) + (
+        "SELECT url, session_id, count(*) AS n_events,"
+        " round(min(jvm_age_seconds), 6) AS start_age,"
+        " round(max(jvm_age_seconds), 6) AS end_age,"
+        " round(sum(pause_seconds), 6) AS total_pause"
+        " FROM sessions GROUP BY 1, 2"
     )
 
     out["gc_pause_by_family"] = g(fam) + (

@@ -89,3 +89,42 @@ def events_per_collector(events: DataFrame) -> DataFrame:
         F.count("*").alias("events"),
         F.sum("heap_reclaimed_bytes").alias("heap_reclaimed_sum"),
     )
+
+
+def session_stats(
+    events: DataFrame, gap_seconds: float = 30.0
+) -> DataFrame:
+    """Gaps-and-islands sessionization on the JVM-age axis: events in a
+    log separated by more than ``gap_seconds`` of JVM age start a new
+    session — the classic two-window pattern (lag flag → running sum),
+    here yielding GC "activity bursts" per JVM with their pause budget.
+
+    Both windows and the final aggregate cluster on hash(url), so the
+    whole operator costs ONE exchange; like the rates window it scales
+    with the number of logs, not events-per-reducer."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("event_idx")
+    prev_age = F.lag("jvm_age_seconds").over(w)
+    is_new = F.when(
+        prev_age.isNull()
+        | (F.col("jvm_age_seconds") - prev_age > gap_seconds),
+        1,
+    ).otherwise(0)
+    flagged = events.select(
+        "url",
+        "event_idx",
+        "jvm_age_seconds",
+        "pause_seconds",
+        is_new.alias("is_new"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.withColumn(
+        "session_id", (F.sum("is_new").over(wc) - 1).cast("int")
+    )
+    return sess.groupBy("url", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("jvm_age_seconds"), 6).alias("start_age"),
+        F.round(F.max("jvm_age_seconds"), 6).alias("end_age"),
+        F.round(F.sum("pause_seconds"), 6).alias("total_pause"),
+    )

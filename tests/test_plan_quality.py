@@ -161,3 +161,12 @@ def test_repetition_bounded_shuffles_and_scrub_scan_side(spark, sf_dir):
     assert n_shuffles(plan) <= 2
     plan2 = plan_of(scrub_pii(docs))
     assert "Exchange" not in plan2
+
+
+def test_sessions_single_shuffle(pages):
+    """Sessionization: lag window + running-sum window + final agg all
+    cluster on hash(url) — exactly one exchange."""
+    from gclog_parser_spark.operators.aggregate import session_stats
+
+    plan = plan_of(session_stats(parse_events(pages, stitch="narrow")))
+    assert n_shuffles(plan) == 1

@@ -111,3 +111,31 @@ def test_fanout_and_aggregate(spark, events, tmp_path):
     fam = {r["family"]: r["events"] for r in
            events_per_collector(events).collect()}
     assert sum(fam.values()) == events.count()
+
+
+def test_session_stats_gaps_and_islands(spark):
+    """Constructed event stream: ages 1,2,3 | 100,101 | 500 with a 30 s
+    gap must yield exactly three sessions with the right pause sums."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.aggregate import session_stats
+
+    rows = [
+        ("u", i, age, pause)
+        for i, (age, pause) in enumerate(
+            [(1.0, 0.1), (2.0, 0.2), (3.0, 0.3),
+             (100.0, 0.4), (101.0, 0.5), (500.0, 0.6)]
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows, "url string, event_idx int, jvm_age_seconds double,"
+        " pause_seconds double"
+    )
+    out = {
+        r["session_id"]: r
+        for r in session_stats(ev, gap_seconds=30.0).collect()
+    }
+    assert len(out) == 3
+    assert out[0]["n_events"] == 3 and out[0]["total_pause"] == 0.6
+    assert out[1]["n_events"] == 2 and out[1]["start_age"] == 100.0
+    assert out[2]["n_events"] == 1 and out[2]["end_age"] == 500.0
