@@ -136,6 +136,8 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     t("dedup_simhash_sf", lambda: simhash_docs(docs).count())
     t("dedup_clusters_sf", lambda: dedup_clusters(docs).count())
     t("text_quality_sf", lambda: quality_stats(docs).count())
+    from gclog_parser_spark.operators.textstats import strip_boilerplate
+    t("text_boilerplate_sf", lambda: strip_boilerplate(docs).count())
     t("token_counts_sf", lambda: token_counts(docs)
         .agg(F.sum("tokens")).collect()[0][0])
     t("ann_cosine_sf", lambda: cosine_topk(embs).count())
@@ -174,7 +176,10 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
             F.lit("x").alias("label"),
         ).write.mode("overwrite").parquet(wide_path)
     embs_wide = spark.read.parquet(wide_path)
-    t("ann_cosine_hof_512d", lambda: cosine_topk(embs_wide).count())
+    # the HOF side is the documented slow path — one rep is evidence
+    # enough and saves ~13 s of bench wall; the np side keeps min-of-2
+    _timeit(timings, "ann_cosine_hof_512d",
+            lambda: cosine_topk(embs_wide).count(), quiet, reps=1)
     t("ann_cosine_np_512d",
       lambda: cosine_topk(embs_wide, scorer="np").count())
 
