@@ -443,6 +443,32 @@ def q_rel_rollup(spark, sf_dir):
     )
 
 
+def q_rel_cube(spark, sf_dir):
+    """CUBE (all grouping-set combinations) over lineitem flags, with
+    the GROUPING() bitmask distinguishing NULL-as-subtotal from
+    NULL-as-data — still one shuffle: Spark expands the grouping sets
+    map-side and partial-aggregates each."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.grouping_id().alias("grouping_id"),
+        )
+    )
+
+
+def q_gc_urls_per_sink(spark, sf_dir):
+    """Exact distinct-count aggregate: JVMs (urls) per sink — the
+    two-phase distinct shape (partial dedup map-side, exact merge)."""
+    ev = with_sink(_events(spark, sf_dir))
+    return ev.groupBy("sink").agg(
+        F.count_distinct("url").alias("urls"),
+        F.count("*").alias("events"),
+    )
+
+
 # --- training-data pipeline operators (dedup / text / similarity /
 # multimodal) over the documents & embeddings tables ------------------------
 
@@ -723,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_semi_join": q_rel_semi_join,
         "rel_anti_join": q_rel_anti_join,
         "rel_rollup": q_rel_rollup,
+        "rel_cube": q_rel_cube,
+        "gc_urls_per_sink": q_gc_urls_per_sink,
     }
 
 
@@ -949,5 +977,21 @@ sessions AS (
         " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
         "   AS BIGINT) AS revenue_cents"
         " FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
+    )
+
+    out["rel_cube"] = (
+        "SELECT l_returnflag, l_linestatus, count(*) AS items,"
+        " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,"
+        " CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)"
+        "   AS grouping_id"
+        " FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    )
+
+    out["gc_urls_per_sink"] = g(fam) + (
+        "SELECT coalesce(f.family, CASE WHEN e.gc_type LIKE 'CMS%'"
+        " THEN 'cms_concurrent' ELSE 'other' END) AS sink,"
+        " count(DISTINCT e.url) AS urls, count(*) AS events"
+        " FROM gc_events e LEFT JOIN family_dim f USING (gc_type)"
+        " GROUP BY 1"
     )
     return out
