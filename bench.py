@@ -473,13 +473,14 @@ def main(argv=None):
         eff = result["scaling"].get("efficiency")
         if eff is not None and eff >= 0.8:
             try:
-                # 3 rounds / 180 s: a single co-tenant burst spans about
-                # one round, so two extra chances are what turns "one
+                # 3 rounds / 240 s on a 240k corpus (~75-90 s/round in
+                # quiet windows): a single co-tenant burst spans about
+                # one round, so the extra chances are what turns "one
                 # unclean 0.65 reading" into a fair quiet-window sample
                 # (early-exits on the first clean >=0.85 round)
                 result["scaling"]["secondary_4v16"] = measure_scaling(
                     result, cpus_small=4, cpus_big=16,
-                    pages_n=320000, n_rounds=3, budget_s=180,
+                    pages_n=240000, n_rounds=3, budget_s=240,
                 )
             except Exception as e:  # aux block must never kill the run
                 result["scaling"]["secondary_4v16"] = {
