@@ -469,6 +469,44 @@ def q_gc_urls_per_sink(spark, sf_dir):
     )
 
 
+def q_rel_except(spark, sf_dir):
+    """Set difference (EXCEPT/INTERSECT distinct semantics): customers
+    who ordered in 1995 but never in 1996.  Spark plans `except` as a
+    left-anti join over distinct rows — the same shuffle shape as the
+    anti-join query, but with set (not bag) semantics."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    y95 = orders.where(F.year("o_orderdate") == 1995).select(
+        "o_custkey"
+    )
+    y96 = orders.where(F.year("o_orderdate") == 1996).select(
+        "o_custkey"
+    )
+    return y95.subtract(y96)  # EXCEPT (set) semantics
+
+
+def q_gc_pivot_family(spark, sf_dir):
+    """PIVOT: per-hour event counts spread into one fixed column per
+    sink (explicit value list, so Catalyst plans a single pass of
+    conditional partial aggregates — never a per-value scan)."""
+    sinks = [
+        "parallel_minor", "full", "cms_concurrent",
+        "promotion_failure", "app_stopped",
+    ]
+    ev = with_sink(_events(spark, sf_dir))
+    return (
+        ev.select(
+            F.unix_seconds(
+                F.date_trunc("hour", "warc_ts")
+            ).alias("hour_epoch"),
+            "sink",
+        )
+        .groupBy("hour_epoch")
+        .pivot("sink", sinks)
+        .count()
+        .na.fill(0, sinks)
+    )
+
+
 # --- training-data pipeline operators (dedup / text / similarity /
 # multimodal) over the documents & embeddings tables ------------------------
 
@@ -750,7 +788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_anti_join": q_rel_anti_join,
         "rel_rollup": q_rel_rollup,
         "rel_cube": q_rel_cube,
+        "rel_except": q_rel_except,
         "gc_urls_per_sink": q_gc_urls_per_sink,
+        "gc_pivot_family": q_gc_pivot_family,
     }
 
 
@@ -985,6 +1025,29 @@ sessions AS (
         " CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)"
         "   AS grouping_id"
         " FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    )
+
+    out["rel_except"] = (
+        "SELECT o_custkey FROM orders"
+        " WHERE year(o_orderdate) = 1995"
+        " EXCEPT"
+        " SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996"
+    )
+
+    pivot_cols = ", ".join(
+        f'count(*) FILTER (WHERE sink = \'{s}\') AS "{s}"'
+        for s in (
+            "parallel_minor", "full", "cms_concurrent",
+            "promotion_failure", "app_stopped",
+        )
+    )
+    out["gc_pivot_family"] = g(fam) + (
+        "SELECT CAST(epoch(date_trunc('hour', e.warc_ts)) AS BIGINT)"
+        " AS hour_epoch, " + pivot_cols +
+        " FROM (SELECT *, coalesce(f.family, CASE WHEN gc_type"
+        " LIKE 'CMS%' THEN 'cms_concurrent' ELSE 'other' END) AS sink"
+        " FROM gc_events LEFT JOIN family_dim f USING (gc_type)) e"
+        " GROUP BY 1"
     )
 
     out["gc_urls_per_sink"] = g(fam) + (
