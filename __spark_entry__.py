@@ -350,6 +350,19 @@ def q_gc_heap_mode_counts(spark, sf_dir):
     )
 
 
+def q_gc_heap_mode_counts_window(spark, sf_dir):
+    """The hard parse path in the gate: `{Heap before/after}` block
+    mode THROUGH THE WINDOW STITCH (brace-depth grouping across the
+    exploded line stream) — same oracle as the narrow-path twin, so the
+    two physical strategies are proven equal at driver scale."""
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        parse_events(pages, mode="heap_stats", stitch="window")
+        .groupBy("gc_class")
+        .agg(F.count("*").alias("events"))
+    )
+
+
 # --- relational operators over the TPC-H-ish tables (SURVEY.md §2.5) --------
 
 
@@ -781,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_region_deltas": q_gc_region_deltas,
         "gc_region_kind_rollup": q_gc_region_kind_rollup,
         "gc_heap_mode_counts": q_gc_heap_mode_counts,
+        "gc_heap_mode_counts_window": q_gc_heap_mode_counts_window,
         "rel_agg_lineitem": q_rel_agg_lineitem,
         "rel_topk_orders": q_rel_topk_orders,
         "rel_join_agg": q_rel_join_agg,
@@ -942,6 +956,7 @@ sessions AS (
         " WHERE depth = 0 AND regexp_matches(line,"
         " '^(@TS@: )?@AGE@: " + oracle.APPSTOP_BODY + "')"
     )
+    out["gc_heap_mode_counts_window"] = out["gc_heap_mode_counts"]
 
     out["dedup_exact"] = ot.dedup_exact_sql()
     out["dedup_minhash_pairs"] = ot.dedup_minhash_sql()
