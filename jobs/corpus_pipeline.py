@@ -34,14 +34,29 @@ if os.path.isdir(os.path.join(_REPO, "gclog_parser_spark")):
     sys.path.insert(0, _REPO)
 
 
-def run_corpus(spark, docs, out, split_weights=None):
+def run_corpus(
+    spark, docs, out, split_weights=None,
+    sample_rates=None, sample_default=1.0,
+):
     import pyspark.sql.functions as F
 
     from gclog_parser_spark.operators.dedup import dedup_clusters
-    from gclog_parser_spark.operators.sampling import hash_split
+    from gclog_parser_spark.operators.sampling import (
+        hash_split,
+        stratified_sample,
+    )
     from gclog_parser_spark.operators.textstats import corpus_filter
 
     n_input = docs.count()
+
+    # 0. optional per-language down-sampling (deterministic)
+    n_sampled_out = 0
+    if sample_rates:
+        sampled = stratified_sample(
+            docs, rates=sample_rates, default_rate=sample_default
+        )
+        n_sampled_out = n_input - sampled.count()
+        docs = sampled
 
     # 1. quality gate
     verdict = corpus_filter(docs)
@@ -87,7 +102,8 @@ def run_corpus(spark, docs, out, split_weights=None):
     }
     stats = {
         "n_input": n_input,
-        "n_quality_rejected": n_input - n_kept,
+        "n_sampled_out": n_sampled_out,
+        "n_quality_rejected": (n_input - n_sampled_out) - n_kept,
         "n_dup_removed": n_kept - n_final,
         "n_final": n_final,
         **{f"reject_{k}": v for k, v in sorted(reject_counts.items())},
@@ -109,7 +125,17 @@ def main(argv=None):
     ap.add_argument("--test", type=float, default=0.05)
     ap.add_argument("--master", default=None,
                     help="override (tests); normally spark-submit's")
+    ap.add_argument("--sample", default=None,
+                    help="per-stratum rates, e.g. 'en=0.5,de=0.25'")
+    ap.add_argument("--sample-default", type=float, default=1.0)
     args = ap.parse_args(argv)
+
+    sample_rates = None
+    if args.sample:
+        sample_rates = {
+            k: float(v)
+            for k, v in (p.split("=") for p in args.sample.split(","))
+        }
 
     from pyspark.sql import SparkSession
 
@@ -127,6 +153,8 @@ def main(argv=None):
         split_weights={
             "train": args.train, "val": args.val, "test": args.test
         },
+        sample_rates=sample_rates,
+        sample_default=args.sample_default,
     )
     import json
 

@@ -189,3 +189,27 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     # deterministic: a re-run reproduces identical stats
     s2 = run()
     assert s2 == s1
+
+
+@pytest.mark.slow
+def test_corpus_pipeline_with_sampling(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus_sampled")
+    res = subprocess.run(
+        [
+            sys.executable, "jobs/corpus_pipeline.py",
+            "--master", "local[8]",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", out,
+            "--sample", "en=0.5,de=0.25",
+            "--sample-default", "0.1",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    s = json.loads(res.stdout.strip().splitlines()[-1])
+    assert s["n_sampled_out"] > 0
+    assert (
+        s["n_input"]
+        == s["n_sampled_out"] + s["n_quality_rejected"]
+        + s["n_dup_removed"] + s["n_final"]
+    )
