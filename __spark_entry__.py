@@ -198,6 +198,15 @@ def q_gc_zgc_parse(spark, sf_dir):
     )
 
 
+def q_gc_unified_cms_parse(spark, sf_dir):
+    """JDK 9-13 CMS phases under unified logging (initial-mark/remark
+    heap triples + concurrent ms phases) — superset breadth, same
+    independent parameterized oracle builder."""
+    from gclog_parser_spark.fixtures import CMS_UNIFIED_LOG
+
+    return _fixture_parse(spark, CMS_UNIFIED_LOG, "cmsu://fixture/0")
+
+
 def q_gc_sessions(spark, sf_dir):
     """Gaps-and-islands sessionization of the event stream (activity
     bursts per JVM, 30 s age gap) — oracled as the identical
@@ -470,6 +479,20 @@ def q_rel_cube(spark, sf_dir):
             F.grouping_id().alias("grouping_id"),
         )
     )
+
+
+def q_rel_intersect(spark, sf_dir):
+    """INTERSECT (set) semantics: customers ordering in both 1995 and
+    1996 — Spark plans `intersect` as a left-semi join over distinct
+    rows (the complement of `rel_except`)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    y95 = orders.where(F.year("o_orderdate") == 1995).select(
+        "o_custkey"
+    )
+    y96 = orders.where(F.year("o_orderdate") == 1996).select(
+        "o_custkey"
+    )
+    return y95.intersect(y96)
 
 
 def q_gc_urls_per_sink(spark, sf_dir):
@@ -780,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_unified_parse": q_gc_unified_parse,
         "gc_g1_parse": q_gc_g1_parse,
         "gc_zgc_parse": q_gc_zgc_parse,
+        "gc_unified_cms_parse": q_gc_unified_cms_parse,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -803,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": q_rel_rollup,
         "rel_cube": q_rel_cube,
         "rel_except": q_rel_except,
+        "rel_intersect": q_rel_intersect,
         "gc_urls_per_sink": q_gc_urls_per_sink,
         "gc_pivot_family": q_gc_pivot_family,
     }
@@ -849,6 +874,9 @@ def oracle_sql() -> dict[str, str]:
     out["gc_unified_parse"] = oracle.unified_sql()
     out["gc_g1_parse"] = oracle.g1_legacy_sql()
     out["gc_zgc_parse"] = oracle.zgc_sql()
+    from gclog_parser_spark.fixtures import CMS_UNIFIED_LOG
+
+    out["gc_unified_cms_parse"] = oracle.unified_sql(CMS_UNIFIED_LOG)
 
     out["gc_tsv_export"] = oracle.tsv_export_sql()
     out["gc_graphite_export"] = oracle.graphite_export_sql()
@@ -1046,6 +1074,12 @@ sessions AS (
         "SELECT o_custkey FROM orders"
         " WHERE year(o_orderdate) = 1995"
         " EXCEPT"
+        " SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996"
+    )
+    out["rel_intersect"] = (
+        "SELECT o_custkey FROM orders"
+        " WHERE year(o_orderdate) = 1995"
+        " INTERSECT"
         " SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996"
     )
 

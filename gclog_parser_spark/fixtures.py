@@ -113,6 +113,23 @@ ZGC_LOG = "\n".join(
     ]
 )
 
+#: JDK 9-13 CMS under unified logging (-Xlog:gc with
+#: -XX:+UseConcMarkSweepGC, removed in JDK 14): initial-mark/remark
+#: pauses carry heap triples, concurrent phases ms durations —
+#: SUPERSET, parsed by the same unified classifier.
+CMS_UNIFIED_LOG = "\n".join(
+    [
+        "[2026-08-17T03:00:00.500+0000][0.234s][info][gc] GC(3) Pause Initial Mark 34M->34M(247M) 1.122ms",
+        "[0.240s][info][gc] GC(3) Concurrent Mark 5.132ms",
+        "[0.245s][info][gc] GC(3) Concurrent Preclean 0.113ms",
+        "[0.250s][info][gc] GC(3) Pause Remark 36M->36M(247M) 0.878ms",
+        "[0.260s][info][gc] GC(3) Concurrent Sweep 2.001ms",
+        "[0.266s][info][gc] GC(3) Concurrent Reset 0.044ms",
+        "[0.300s][info][gc] GC(4) Pause Young (Allocation Failure) 62M->15M(241M) 4.500ms",
+        "[0.350s][info][gc] GC(5) Pause Full (Allocation Failure) 93M->10M(247M) 21.742ms",
+    ]
+)
+
 #: class_id → (class_name, resource file or None for inline,
 #:             events in GcLine mode, events in heap-stats mode)
 #: GcLine-mode counts: ParserTest.scala:128-168,104-111,527-537;
