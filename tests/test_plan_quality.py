@@ -170,3 +170,20 @@ def test_sessions_single_shuffle(pages):
 
     plan = plan_of(session_stats(parse_events(pages, stitch="narrow")))
     assert n_shuffles(plan) == 1
+
+
+def test_set_ops_and_pivot_plan_shapes(spark, sf_dir):
+    """EXCEPT → left-anti join, INTERSECT → left-semi join (both over
+    distinct rows); PIVOT with an explicit value list is one
+    conditional-aggregate pass (a single partial/final HashAggregate
+    pair — no per-value scan)."""
+    import __spark_entry__ as entry
+
+    p_ex = plan_of(entry.q_rel_except(spark, sf_dir))
+    assert "LeftAnti" in p_ex
+    p_in = plan_of(entry.q_rel_intersect(spark, sf_dir))
+    assert "LeftSemi" in p_in
+    p_pv = plan_of(entry.q_gc_pivot_family(spark, sf_dir))
+    scans = p_pv.count("FileScan")
+    assert scans <= 1  # fixture dim is a local relation; one pass
+    assert p_pv.count("HashAggregate") <= 4  # partial+final (+pivot)
