@@ -282,6 +282,7 @@ def q_gc_stream_hourly(spark, sf_dir):
     (availableNow file source) → parse → watermarked per-(sink, hour)
     windowed aggregate, compared against the SAME DuckDB oracle as the
     batch aggregate — stream results must equal batch results."""
+    import shutil
     import tempfile
 
     from gclog_parser_spark.streaming.stream import run_hourly_stream
@@ -294,7 +295,11 @@ def q_gc_stream_hourly(spark, sf_dir):
     q = run_hourly_stream(
         spark, inp, f"{base}/ckpt", query_name=qname
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("gc_stream_hourly: stream timed out (600 s)")
+    # memory-sink rows live in the driver — the staging dir can go now
+    shutil.rmtree(base, ignore_errors=True)
     out = spark.table(qname)
     return out.select(
         "sink",
@@ -450,6 +455,39 @@ def q_rel_anti_join(spark, sf_dir):
     )
 
 
+def q_rel_shuffle_join(spark, sf_dir):
+    """Fact-to-fact SHUFFLE join (TPC-H Q4/Q12 shape, north rule
+    BASELINE.json:2): lineitem ⋈ orders on the orderkey — both sides
+    are fact-sized, so the right 100 TB plan is a SortMergeJoin with
+    both sides hash-partitioned on the key (AQE handles skew at
+    runtime); the ``merge`` hints pin that strategy so the driver-scale
+    run exercises the same physical path a 100 TB run would (without
+    them Catalyst would broadcast the sandbox-small side).  Post-join
+    filter (late lines: shipped after the order date) + per-priority
+    aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        li.hint("merge")
+        .join(
+            orders.hint("merge"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("items"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
 def q_rel_rollup(spark, sf_dir):
     """ROLLUP (grouping sets): order counts by (priority, status) with
     subtotal and grand-total rows — partial-aggregatable like any hash
@@ -602,10 +640,16 @@ def q_corpus_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+#: shard_by_tokens group count for the contract query — pinned (the
+#: operator default auto-sizes from defaultParallelism, which the
+#: static DuckDB oracle text cannot see)
+SHARD_GROUPS = 32
+
+
 def q_corpus_shards(spark, sf_dir):
     from gclog_parser_spark.operators.sampling import shard_by_tokens
 
-    return shard_by_tokens(_docs(spark, sf_dir))
+    return shard_by_tokens(_docs(spark, sf_dir), n_groups=SHARD_GROUPS)
 
 
 def q_text_repetition(spark, sf_dir):
@@ -641,6 +685,7 @@ def q_stream_dedup(spark, sf_dir):
     The watermark (48 h) covers the whole event-time span so no sighting
     is late-dropped — which makes the hash set deterministic regardless
     of file→batch packing."""
+    import shutil
     import tempfile
 
     from gclog_parser_spark.streaming.stream import run_dedup_stream
@@ -661,10 +706,16 @@ def q_stream_dedup(spark, sf_dir):
         watermark="48 hours",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(600)
-    return (
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("gc_stream_dedup: stream timed out (600 s)")
+    # materialize the small distinct-hash set so the staging dir can be
+    # removed before the driver compares the result
+    rows = (
         spark.read.parquet(f"{base}/out").select("text_hash").distinct()
-    )
+    ).collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "text_hash string")
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -822,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_agg_lineitem": q_rel_agg_lineitem,
         "rel_topk_orders": q_rel_topk_orders,
         "rel_join_agg": q_rel_join_agg,
+        "rel_shuffle_join": q_rel_shuffle_join,
         "rel_semi_join": q_rel_semi_join,
         "rel_anti_join": q_rel_anti_join,
         "rel_rollup": q_rel_rollup,
@@ -995,7 +1047,7 @@ sessions AS (
         SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
     )
     out["corpus_filter"] = ot.corpus_filter_sql()
-    out["corpus_shards"] = ot.shard_by_tokens_sql()
+    out["corpus_shards"] = ot.shard_by_tokens_sql(n_groups=SHARD_GROUPS)
     out["gc_stream_dedup"] = ot.stream_dedup_sql()
     out["text_repetition"] = ot.repetition_stats_sql()
     out["text_scrub"] = ot.scrub_pii_sql()
@@ -1038,6 +1090,15 @@ sessions AS (
         " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))"
         "   AS BIGINT) AS revenue_cents"
         " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        " GROUP BY 1"
+    )
+
+    out["rel_shuffle_join"] = (
+        "SELECT o.o_orderpriority, count(*) AS items,"
+        " CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)"
+        "   * 100) AS BIGINT)) AS BIGINT) AS revenue_cents"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " WHERE l.l_shipdate > o.o_orderdate"
         " GROUP BY 1"
     )
 

@@ -336,16 +336,27 @@ def connected_components(
     )
     prev = None
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         e2 = _small_star(_large_star(e)).localCheckpoint()
         rounds += 1
         sig = _edge_sig(e2)
         e = e2
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # the trailing min-aggregate below yields WRONG labels off the
+        # star fixpoint — never return them silently
+        raise RuntimeError(
+            f"connected_components did not reach the star fixpoint in"
+            f" {max_rounds} rounds (alternating-star converges in"
+            f" O(log n); raise max_rounds)"
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
     # at the fixpoint every edge is (node, component_min)
     comp = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     roots = (

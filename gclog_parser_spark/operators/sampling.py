@@ -61,7 +61,7 @@ def hash_split(
 def shard_by_tokens(
     docs: DataFrame,
     tokens_per_shard: int = 4096,
-    n_groups: int = 8,
+    n_groups: int | None = None,
     key: str = "doc_id",
     salt: str = "shard",
 ) -> DataFrame:
@@ -74,11 +74,20 @@ def shard_by_tokens(
     running token total is a ``partitionBy(group)`` window ordered by
     the (bucket, key) hash order — parallel across groups, one
     exchange, deterministic.  ``shard = (group, floor(cum/size))``;
-    each group packs its shards independently, so shard token totals
-    land in [target, target + max_doc_tokens).  At 10^12 docs raise
-    n_groups to O(executors); determinism (content-keyed order, no
+    each group packs its shards independently; a doc that overshoots a
+    boundary stays in the shard it started in (shortening the next), so
+    shard token totals land in (target - max_doc_tokens, target +
+    max_doc_tokens).  ``n_groups`` defaults
+    to the cluster's ``defaultParallelism`` (= O(executor cores)), so
+    the running-sum stage parallelizes with the cluster instead of
+    capping at a constant; pass it explicitly when shard assignment
+    must be reproducible across differently-sized clusters.
+    Determinism at a fixed n_groups (content-keyed order, no
     rand/monotonically_increasing_id) makes re-runs byte-stable."""
     from gclog_parser_spark.operators.textstats import TOKEN_RE
+
+    if n_groups is None:
+        n_groups = docs.sparkSession.sparkContext.defaultParallelism
 
     b = hash_bucket(F.col(key), salt)
     toks = F.regexp_count(F.col("text"), F.lit(TOKEN_RE))

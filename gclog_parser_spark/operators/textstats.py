@@ -221,7 +221,9 @@ def strip_boilerplate(docs: DataFrame, max_df: int = 10) -> DataFrame:
 
 
 #: PII scrub patterns, applied in order (url first so email-shaped
-#: fragments inside urls are already gone)
+#: fragments inside urls are already gone — both the replacement chain
+#: AND the hit counts run on the progressively-scrubbed text, so
+#: n_email/n_phone equal the number of <EMAIL>/<PHONE> insertions)
 PII_PATTERNS = [
     ("url", r"https?://\S+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
@@ -236,13 +238,12 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
     oracle value-checks — the full scrubbed column flows on to the
     next pipeline stage in production).  Chained native
     ``regexp_replace``/``regexp_count``: codegen, zero shuffle."""
-    text = F.col("text")
-    counts = [
-        _count_re(text, pat).alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
-    scrubbed = text
-    for _, pat, repl in PII_PATTERNS:
+    scrubbed = F.col("text")
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        # count against the text as scrubbed SO FAR: an email inside an
+        # already-replaced <URL> is not double-counted
+        counts.append(_count_re(scrubbed, pat).alias(f"n_{name}"))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return docs.select(
         "doc_id",

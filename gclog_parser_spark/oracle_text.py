@@ -347,14 +347,15 @@ FROM marked GROUP BY doc_id"""
 def scrub_pii_sql() -> str:
     from gclog_parser_spark.operators.textstats import PII_PATTERNS
 
-    counts = ", ".join(
-        f"{_count_re('text', pat)} AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
+    # counts run on the progressively-scrubbed text, mirroring
+    # operators/textstats.scrub_pii's chain exactly
+    parts = []
     scrub = "text"
-    for _, pat, repl in PII_PATTERNS:
+    for name, pat, repl in PII_PATTERNS:
+        parts.append(f"{_count_re(scrub, pat)} AS n_{name}")
         p = pat.replace("'", "''")
         scrub = f"regexp_replace({scrub}, '{p}', '{repl}', 'g')"
+    counts = ", ".join(parts)
     return (
         f"SELECT doc_id, {counts}, md5({scrub}) AS scrubbed_hash"
         f" FROM documents"

@@ -91,6 +91,23 @@ def test_rel_join_agg_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_rel_shuffle_join_is_sort_merge(spark, sf_dir):
+    """Fact-to-fact join: SortMergeJoin with BOTH sides exchanged on
+    the join key, AQE on, and no broadcast of either fact side — the
+    physical path a 100 TB orders⋈lineitem must take."""
+    import __spark_entry__ as entry
+
+    assert (
+        spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    )  # AQE stays on; the merge hint (not a conf bypass) picks SMJ
+    plan = plan_of(entry.q_rel_shuffle_join(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    # both fact sides shuffle on the key (plus the final agg exchange)
+    assert n_shuffles(plan) >= 2
+
+
 def test_export_single_shuffle_per_log(pages):
     """Distributed TSV export: the per-log applyInPandas costs exactly
     ONE exchange on hash(url) — formatting a 10^12-page corpus is one

@@ -168,3 +168,49 @@ def test_shard_by_tokens_budget_and_determinism(spark):
         .collect()
     ]
     assert len(sizes) == 4 and min(sizes) > 100
+
+
+def test_shard_budget_holds_at_32_groups(spark):
+    """The contract runs n_groups=32 (SHARD_GROUPS): token budgets must
+    hold per (group, shard) at cluster-scale group counts too."""
+    from gclog_parser_spark.operators.sampling import shard_by_tokens
+
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.lit(f"w{j}") for j in range(20)]
+        ).alias("text"),
+    )
+    out = shard_by_tokens(docs, tokens_per_shard=100, n_groups=32)
+    max_doc = out.agg(F.max("doc_tokens")).collect()[0][0]
+    totals = (
+        out.groupBy("shard_group", "shard_idx")
+        .agg(F.sum("doc_tokens").alias("t"))
+        .collect()
+    )
+    last = {}
+    for r in totals:
+        last[r["shard_group"]] = max(
+            last.get(r["shard_group"], -1), r["shard_idx"]
+        )
+    # a doc overshooting a boundary stays in the shard it started in,
+    # shortening the next one: totals land in (target-max, target+max)
+    for r in totals:
+        if r["shard_idx"] != last[r["shard_group"]]:
+            assert 100 - max_doc < r["t"] < 100 + max_doc, r
+    groups = {r["shard_group"] for r in totals}
+    assert groups == set(range(32))  # all 32 groups carry work
+
+
+def test_shard_groups_default_to_parallelism(spark):
+    """Default n_groups tracks defaultParallelism — the running-sum
+    window parallelizes with the cluster, not a constant 8."""
+    from gclog_parser_spark.operators.sampling import shard_by_tokens
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    dp = spark.sparkContext.defaultParallelism
+    out = shard_by_tokens(docs)
+    n = out.select("shard_group").distinct().count()
+    assert n == min(dp, 4000) == dp
