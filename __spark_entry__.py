@@ -207,6 +207,32 @@ def q_gc_unified_cms_parse(spark, sf_dir):
     return _fixture_parse(spark, CMS_UNIFIED_LOG, "cmsu://fixture/0")
 
 
+def q_gc_unified_regions(spark, sf_dir):
+    """JDK 9+ unified-logging heap-region transitions ([gc,heap]
+    `GC(n) Eden regions: 24->0(153)` lines) — the unified twin of the
+    legacy `{Heap before/after}` mode (gc_region_deltas), parsed by a
+    pure-codegen regexp path and independently re-derived in DuckDB."""
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import UNIFIED_HEAP_LOG
+    from gclog_parser_spark.operators.enrich import unified_region_deltas
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "uniheap://fixture/0",
+                datetime(2026, 8, 17, 4, 0, 0),
+                None,
+                UNIFIED_HEAP_LOG,
+                "en",
+            )
+        ],
+        PAGES_SCHEMA,
+    )
+    return unified_region_deltas(pages)
+
+
 def q_gc_sessions(spark, sf_dir):
     """Gaps-and-islands sessionization of the event stream (activity
     bursts per JVM, 30 s age gap) — oracled as the identical
@@ -855,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_g1_parse": q_gc_g1_parse,
         "gc_zgc_parse": q_gc_zgc_parse,
         "gc_unified_cms_parse": q_gc_unified_cms_parse,
+        "gc_unified_regions": q_gc_unified_regions,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -929,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
     from gclog_parser_spark.fixtures import CMS_UNIFIED_LOG
 
     out["gc_unified_cms_parse"] = oracle.unified_sql(CMS_UNIFIED_LOG)
+    out["gc_unified_regions"] = oracle.unified_regions_sql()
 
     out["gc_tsv_export"] = oracle.tsv_export_sql()
     out["gc_graphite_export"] = oracle.graphite_export_sql()

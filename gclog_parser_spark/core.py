@@ -469,6 +469,34 @@ def parse_unified_line(line: str):
     return ev
 
 
+#: unified-logging heap-region transition ('-Xlog:gc+heap=info'):
+#: 'GC(n) Eden regions: 24->0(153)' — before/after REGION COUNTS with
+#: an optional parenthesised target (Old/Humongous/Archive omit it).
+#: The unified twin of the legacy '{Heap before/after}' region stats
+#: (Parser.scala:78-97); SUPERSET, the reference predates JDK 9.
+UNIFIED_HEAP_LINE_RE = re.compile(
+    r"^(?:\[[^\]]*\])*\[gc,heap\] GC\((\d+)\)"
+    r" ([A-Za-z]+) regions: (\d+)->(\d+)(?:\((\d+)\))?\s*$"
+)
+
+
+def parse_unified_heap_line(line: str):
+    """One '[gc,heap]' region line → (gc_id, region_name,
+    regions_before, regions_after, target_regions|None), or None.
+    Reference parity anchor for the columnar operator
+    (operators/enrich.unified_region_deltas) and its DuckDB oracle."""
+    m = UNIFIED_HEAP_LINE_RE.match(line.split("\n", 1)[0])
+    if m is None:
+        return None
+    return (
+        int(m.group(1)),
+        m.group(2),
+        int(m.group(3)),
+        int(m.group(4)),
+        int(m.group(5)) if m.group(5) else None,
+    )
+
+
 def parse_gc_line(block: str):
     """GcLine (Parser.scala:66-73): '[ts: ] age: ' then collection stats or
     the long-form app-stopped message.  Returns an event dict or None.

@@ -113,6 +113,39 @@ ZGC_LOG = "\n".join(
     ]
 )
 
+#: JDK 9+ unified-logging G1 log WITH heap-region transition lines
+#: (-Xlog:gc,gc+heap=info): each collection emits one ``[gc,heap]``
+#: line per region kind (`GC(n) Eden regions: B->A(T)`; Old/Humongous/
+#: Archive carry no target) between the [gc,start] marker and the [gc]
+#: summary — the unified twin of the legacy `{Heap before/after}` block
+#: mode (gc_region_deltas).  SUPERSET; counts pinned in test_unified.
+UNIFIED_HEAP_LOG = "\n".join(
+    [
+        "[2026-08-17T04:00:00.100+0000][0.300s][info][gc,start] GC(0) Pause Young (Normal) (G1 Evacuation Pause)",
+        "[0.302s][info][gc,heap] GC(0) Eden regions: 24->0(153)",
+        "[0.302s][info][gc,heap] GC(0) Survivor regions: 3->4(20)",
+        "[0.302s][info][gc,heap] GC(0) Old regions: 50->60",
+        "[0.302s][info][gc,heap] GC(0) Humongous regions: 2->2",
+        "[0.302s][info][gc,metaspace] GC(0) Metaspace: 21995K->21995K(1069056K)",
+        "[0.303s][info][gc] GC(0) Pause Young (Normal) (G1 Evacuation Pause) 98M->23M(256M) 3.100ms",
+        "[1.100s][info][gc,start] GC(1) Pause Young (Concurrent Start) (Metadata GC Threshold)",
+        "[1.102s][info][gc,heap] GC(1) Eden regions: 120->0(140)",
+        "[1.102s][info][gc,heap] GC(1) Survivor regions: 4->6(18)",
+        "[1.102s][info][gc,heap] GC(1) Old regions: 60->60",
+        "[1.102s][info][gc,heap] GC(1) Humongous regions: 2->3",
+        "[1.102s][info][gc,heap] GC(1) Archive regions: 2->2",
+        "[1.102s][info][gc,metaspace] GC(1) Metaspace: 30100K->30100K(1069056K)",
+        "[1.103s][info][gc] GC(1) Pause Young (Concurrent Start) (Metadata GC Threshold) 150M->40M(256M) 4.200ms",
+        "[2.400s][info][gc,start] GC(2) Pause Full (System.gc())",
+        "[2.450s][info][gc,heap] GC(2) Eden regions: 10->0(153)",
+        "[2.450s][info][gc,heap] GC(2) Survivor regions: 6->0(20)",
+        "[2.450s][info][gc,heap] GC(2) Old regions: 80->41",
+        "[2.450s][info][gc,heap] GC(2) Humongous regions: 3->2",
+        "[2.450s][info][gc,metaspace] GC(2) Metaspace: 30100K->29800K(1069056K)",
+        "[2.455s][info][gc] GC(2) Pause Full (System.gc()) 200M->80M(256M) 95.300ms",
+    ]
+)
+
 #: JDK 9-13 CMS under unified logging (-Xlog:gc with
 #: -XX:+UseConcMarkSweepGC, removed in JDK 14): initial-mark/remark
 #: pauses carry heap triples, concurrent phases ms durations —

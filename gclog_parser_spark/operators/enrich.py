@@ -66,6 +66,62 @@ def enrich_collector_family(events: DataFrame) -> DataFrame:
     )
 
 
+#: Spark-side mirror of core.UNIFIED_HEAP_LINE_RE (Java regex)
+_UNIFIED_HEAP_LINE = (
+    r"^(?:\[[^\]]*\])*\[gc,heap\] GC\((\d+)\)"
+    r" ([A-Za-z]+) regions: (\d+)->(\d+)(?:\((\d+)\))?\s*$"
+)
+
+
+def unified_region_deltas(pages: DataFrame) -> DataFrame:
+    """JDK 9+ unified-logging heap-region transitions
+    (``-Xlog:gc+heap=info`` — core.parse_unified_heap_line): one row per
+    ``[gc,heap]`` line, the unified twin of the legacy
+    ``{Heap before/after}`` block mode (gc_region_deltas shape).
+
+    Plan: posexplode lines → codegen rlike filter + regexp_extract
+    projections (no Python anywhere) → ONE exchange on (url, block_idx)
+    for the in-block region order.  At 100 TB the filter prunes to the
+    tiny [gc,heap] subset before the only shuffle, so shuffle volume is
+    ∝ region lines, never ∝ page text."""
+    from pyspark.sql import Window
+
+    lines = pages.select(
+        "url",
+        F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
+    )
+    m = lines.where(F.col("line").rlike(_UNIFIED_HEAP_LINE)).select(
+        "url",
+        "line_no",
+        F.regexp_extract("line", _UNIFIED_HEAP_LINE, 1)
+        .cast("int")
+        .alias("block_idx"),
+        F.regexp_extract("line", _UNIFIED_HEAP_LINE, 2).alias(
+            "region_name"
+        ),
+        F.regexp_extract("line", _UNIFIED_HEAP_LINE, 3)
+        .cast("int")
+        .alias("regions_before"),
+        F.regexp_extract("line", _UNIFIED_HEAP_LINE, 4)
+        .cast("int")
+        .alias("regions_after"),
+        F.when(
+            F.regexp_extract("line", _UNIFIED_HEAP_LINE, 5) != "",
+            F.regexp_extract("line", _UNIFIED_HEAP_LINE, 5).cast("int"),
+        ).alias("target_regions"),
+    )
+    w = Window.partitionBy("url", "block_idx").orderBy("line_no")
+    return m.select(
+        "url",
+        "block_idx",
+        (F.row_number().over(w) - 1).cast("int").alias("region_pos"),
+        "region_name",
+        "regions_before",
+        "regions_after",
+        "target_regions",
+    )
+
+
 def explode_region_deltas(events: DataFrame) -> DataFrame:
     """Unnest the region deltas of detailed events and enrich each with
     its region kind (young/old/perm/meta/survivor_space) via broadcast

@@ -701,3 +701,50 @@ SELECT
 FROM t
 ORDER BY line_no
 """
+
+
+def unified_regions_sql(
+    log_text: str | None = None, url: str = "uniheap://fixture/0"
+) -> str:
+    """Independent DuckDB reimplementation of the unified-logging
+    heap-region parse (core.parse_unified_heap_line /
+    operators/enrich.unified_region_deltas): fixture lines as VALUES,
+    fields re-derived with DuckDB regexps, in-block order via
+    row_number — no shared code with the Spark path beyond the
+    input literals."""
+    from gclog_parser_spark.fixtures import UNIFIED_HEAP_LOG
+
+    values = _fixture_values(
+        log_text if log_text is not None else UNIFIED_HEAP_LOG
+    )
+    pat = (
+        r"^(\[[^\]]*\])*\[gc,heap\] GC\((\d+)\)"
+        r" ([A-Za-z]+) regions: (\d+)->(\d+)(\((\d+)\))?\s*$"
+    )
+    return f"""
+WITH raw(line_no, line) AS (VALUES
+    {values}
+),
+r AS (
+  SELECT line_no,
+    CAST(regexp_extract(line, '\\[gc,heap\\] GC\\((\\d+)\\)', 1) AS INT)
+      AS block_idx,
+    regexp_extract(line, 'GC\\(\\d+\\) ([A-Za-z]+) regions:', 1)
+      AS region_name,
+    CAST(regexp_extract(line, 'regions: (\\d+)->', 1) AS INT)
+      AS regions_before,
+    CAST(regexp_extract(line, 'regions: \\d+->(\\d+)', 1) AS INT)
+      AS regions_after,
+    CASE WHEN regexp_matches(line, 'regions: \\d+->\\d+\\(\\d+\\)')
+      THEN CAST(regexp_extract(line,
+        'regions: \\d+->\\d+\\((\\d+)\\)', 1) AS INT)
+    END AS target_regions
+  FROM raw
+  WHERE regexp_matches(line, '{pat}')
+)
+SELECT '{url}' AS url, block_idx,
+  CAST(row_number() OVER (PARTITION BY block_idx ORDER BY line_no) - 1
+    AS INT) AS region_pos,
+  region_name, regions_before, regions_after, target_regions
+FROM r
+"""

@@ -64,11 +64,32 @@ def stream_to_socket(
     port: int = DEFAULT_GRAPHITE_PORT,
     checkpoint: str | None = None,
     available_now: bool = True,
+    transform=None,
 ):
-    """Streaming variant: at-least-once socket delivery per micro-batch
-    (graphite dedups by (metric, timestamp), so replays are benign)."""
+    """Streaming variant of the socket sink.
+
+    Delivery semantics (documented, test-pinned in
+    tests/test_socket_sink.py): **at-least-once per micro-batch**.  The
+    checkpoint commits a batch's offsets only AFTER its socket write
+    returns, so a crash inside the window between send and commit
+    replays the whole batch on restart — a socket has no transaction to
+    make that atomic.  Replays are benign for the graphite line
+    protocol because a line is fully identified by
+    ``(metric_path, value, timestamp)``: the receiver overwrites the
+    same datapoint, so delivery is idempotent at the sink even though
+    the transport is at-least-once (the reference's single-threaded
+    SocketSink, output/OutputSink.scala:18-36, has the same property
+    one process at a time).  A cleanly-committed batch is never re-sent
+    on restart.
+
+    ``transform``: optional batch-DataFrame → lines-DataFrame callable
+    applied INSIDE ``foreachBatch`` — analytic windows and
+    ``applyInPandas`` (rates, graphite formatting) are legal there on
+    the micro-batch even though a streaming DF rejects them."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         write_socket(batch_df, host, port)
 
     writer = lines_stream.writeStream.foreachBatch(write_batch)

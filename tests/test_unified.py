@@ -93,3 +93,86 @@ def test_unified_spark_both_stitch_strategies(spark, tmp_path):
         "full": 1,
         "g1_concurrent": 4,
     }
+
+
+# --- unified heap-region transitions (gc+heap=info) ------------------------
+
+
+def test_parse_unified_heap_line():
+    from gclog_parser_spark.core import parse_unified_heap_line
+
+    assert parse_unified_heap_line(
+        "[0.302s][info][gc,heap] GC(0) Eden regions: 24->0(153)"
+    ) == (0, "Eden", 24, 0, 153)
+    assert parse_unified_heap_line(
+        "[2.450s][info][gc,heap] GC(2) Old regions: 80->41"
+    ) == (2, "Old", 80, 41, None)
+    # summary / metaspace / legacy lines are not region lines
+    assert parse_unified_heap_line(
+        "[0.303s][info][gc] GC(0) Pause Young (Normal) (G1 Evacuation"
+        " Pause) 98M->23M(256M) 3.100ms"
+    ) is None
+    assert parse_unified_heap_line(
+        "[0.302s][info][gc,metaspace] GC(0) Metaspace:"
+        " 21995K->21995K(1069056K)"
+    ) is None
+
+
+def test_unified_region_deltas_counts_and_values(spark):
+    """Pinned fixture counts: GC(0)=4 regions, GC(1)=5 (Archive),
+    GC(2)=4 — 13 rows; values match core.parse_unified_heap_line."""
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import UNIFIED_HEAP_LOG
+    from gclog_parser_spark.operators.enrich import unified_region_deltas
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [("u0", datetime(2026, 8, 17), None, UNIFIED_HEAP_LOG, "en")],
+        PAGES_SCHEMA,
+    )
+    rows = unified_region_deltas(pages).collect()
+    assert len(rows) == 13
+    by_block = {}
+    for r in rows:
+        by_block.setdefault(r["block_idx"], []).append(r)
+    assert {k: len(v) for k, v in by_block.items()} == {0: 4, 1: 5, 2: 4}
+    first = sorted(by_block[0], key=lambda r: r["region_pos"])[0]
+    assert (
+        first["region_name"],
+        first["regions_before"],
+        first["regions_after"],
+        first["target_regions"],
+    ) == ("Eden", 24, 0, 153)
+    old = [r for r in by_block[2] if r["region_name"] == "Old"][0]
+    assert (old["regions_before"], old["regions_after"]) == (80, 41)
+    assert old["target_regions"] is None
+    # in-block order follows log order
+    for b, rs in by_block.items():
+        poss = sorted(r["region_pos"] for r in rs)
+        assert poss == list(range(len(rs)))
+
+
+def test_unified_region_plan_no_python(spark):
+    """The region path is pure codegen: no Python eval anywhere, and
+    exactly one exchange (the in-block order window)."""
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import UNIFIED_HEAP_LOG
+    from gclog_parser_spark.operators.enrich import unified_region_deltas
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [("u0", datetime(2026, 8, 17), None, UNIFIED_HEAP_LOG, "en")],
+        PAGES_SCHEMA,
+    )
+    plan = (
+        unified_region_deltas(pages)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
