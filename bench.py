@@ -30,20 +30,32 @@ import time
 import pyspark.sql.functions as F
 
 
-def _timeit(timings, name, fn, quiet, reps=2):
+def _timeit(timings, name, fn, quiet, reps=3, steals=None):
     """min of ``reps`` runs — steady-state timing (run 1 may still pay
     worker spawn / shuffle-service init / page-cache faults that a
     long-lived cluster job amortizes away; on this co-tenant host extra
-    reps also dodge steal bursts)."""
-    best, out = None, None
+    reps also dodge steal bursts).  ``steals`` (dict) receives the
+    host steal_pct observed during the BEST rep's window, so every
+    headline number is attributable: a slow reading with visible steal
+    is co-tenant noise, one with 0.0 steal is the algorithm."""
+    best, out, best_steal = None, None, None
     for _ in range(reps):
+        t0c, i0, s0 = _cpu_snap()
         t0 = time.perf_counter()
         out = fn()
         dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
+        t1c, _, s1 = _cpu_snap()
+        steal = round(100 * (s1 - s0) / max(1, t1c - t0c), 1)
+        if best is None or dt < best:
+            best, best_steal = dt, steal
     timings[name] = round(best, 3)
+    if steals is not None:
+        steals[name] = best_steal
     if not quiet:
-        print(f"  {name}: {best:.2f}s -> {out}", file=sys.stderr)
+        print(
+            f"  {name}: {best:.2f}s (steal {best_steal}%) -> {out}",
+            file=sys.stderr,
+        )
     return out, best
 
 
@@ -91,8 +103,11 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     ).count()
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
-    t = lambda name, fn: _timeit(timings, name, fn, quiet)  # noqa: E731
+    steals: dict[str, float] = {}
+    extras: dict = {}
+    t = lambda name, fn: _timeit(  # noqa: E731
+        timings, name, fn, quiet, steals=steals
+    )
 
     # --- sf-dir pipeline (driver-comparable, small) ---
     pages_sf = pages_from_documents(spark, sf_dir)
@@ -134,7 +149,15 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     t("dedup_exact_sf", lambda: exact_dedup(docs).count())
     t("dedup_minhash_sf", lambda: minhash_band_pairs(docs).count())
     t("dedup_simhash_sf", lambda: simhash_docs(docs).count())
-    t("dedup_clusters_sf", lambda: dedup_clusters(docs).count())
+    cc_stats: dict = {}
+
+    def _clusters():
+        cc_stats.clear()  # reports the final rep's round breakdown
+        return dedup_clusters(docs, stats=cc_stats).count()
+
+    t("dedup_clusters_sf", _clusters)
+    extras["cc_rounds"] = cc_stats.get("rounds")
+    extras["cc_round_secs"] = cc_stats.get("round_secs")
     t("text_quality_sf", lambda: quality_stats(docs).count())
     from gclog_parser_spark.operators.textstats import strip_boilerplate
     t("text_boilerplate_sf", lambda: strip_boilerplate(docs).count())
@@ -179,7 +202,8 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     # the HOF side is the documented slow path — one rep is evidence
     # enough and saves ~13 s of bench wall; the np side keeps min-of-2
     _timeit(timings, "ann_cosine_hof_512d",
-            lambda: cosine_topk(embs_wide).count(), quiet, reps=1)
+            lambda: cosine_topk(embs_wide).count(), quiet, reps=1,
+            steals=steals)
     t("ann_cosine_np_512d",
       lambda: cosine_topk(embs_wide, scorer="np").count())
 
@@ -195,6 +219,11 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query host steal during each best rep (min-of-3): the
+        # attribution channel — nonzero steal marks a co-tenant-noisy
+        # reading, 0.0 marks a clean one
+        "query_steal": steals,
+        "pinned": os.environ.get("GPS_BENCH_PINNED") == "1",
         "sf": sf,
         "cpus": cpus,
         **extras,
@@ -442,11 +471,43 @@ def measure_scaling(spark_gone_result: dict, cpus_small: int | None = None,
     return out
 
 
+def _run_bench_pinned(cpus: int | None) -> dict:
+    """Run the headline stage as a ``taskset``-pinned fresh-JVM
+    subprocess (the scaling stage's discipline applied to the headline
+    numbers): pinning keeps the Spark JVM + Python workers on an
+    explicit core set so /proc/stat steal sampled around each query
+    describes the cores the job actually ran on, and the fresh process
+    clears any accumulated JVM/page-cache state from the calling
+    session.  Falls back to in-process when taskset is unavailable."""
+    import subprocess
+
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if not shutil.which("taskset") or os.environ.get(
+        "GPS_BENCH_PINNED"
+    ) == "1":
+        return run_bench(cpus=cpus)
+    env = dict(os.environ, GPS_BENCH_PINNED="1")
+    res = subprocess.run(
+        ["taskset", "-c", f"0-{n - 1}", sys.executable,
+         os.path.abspath(__file__), "--main-only",
+         *(["--cpus", str(cpus)] if cpus else [])],
+        capture_output=True, text=True, timeout=3600, env=env,
+    )
+    if res.returncode != 0 or not res.stdout.strip():
+        sys.stderr.write(res.stderr[-2000:])
+        raise RuntimeError(
+            f"pinned headline stage failed rc={res.returncode}"
+        )
+    sys.stderr.write(res.stderr[-4000:])  # per-query progress lines
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
 def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser()
     p.add_argument("--parse-only", action="store_true")
+    p.add_argument("--main-only", action="store_true")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--pages-path", default=None)
     p.add_argument("--pages-n", type=int, default=None)
@@ -459,8 +520,11 @@ def main(argv=None):
             args.cpus or 8, args.pages_path, args.pages_n,
             reps=args.reps)))
         return
+    if args.main_only:
+        print(json.dumps(run_bench(cpus=args.cpus)))
+        return
 
-    result = run_bench(cpus=args.cpus)
+    result = _run_bench_pinned(args.cpus)
     if not args.no_scaling and os.environ.get(
         "SPARK_GRAFT_SCALING", "1"
     ) != "0":

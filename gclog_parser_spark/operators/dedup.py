@@ -19,6 +19,8 @@ scale to 10^12 documents:
 
 from __future__ import annotations
 
+import time
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -337,10 +339,13 @@ def connected_components(
     prev = None
     rounds = 0
     converged = False
+    round_secs: list[float] = []
     for _ in range(max_rounds):
+        t0 = time.perf_counter()
         e2 = _small_star(_large_star(e)).localCheckpoint()
         rounds += 1
         sig = _edge_sig(e2)
+        round_secs.append(round(time.perf_counter() - t0, 3))
         e = e2
         if sig == prev:
             converged = True
@@ -357,6 +362,7 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
+        stats["round_secs"] = round_secs
     # at the fixpoint every edge is (node, component_min)
     comp = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     roots = (
