@@ -514,6 +514,83 @@ def q_rel_shuffle_join(spark, sf_dir):
     )
 
 
+def q_rel_asof_join(spark, sf_dir):
+    """Backward AS-OF join (pandas merge_asof / kdb aj semantics —
+    Spark has no primitive for it): each click joined to the latest
+    at-or-before purchase of the same user, via the union-tag +
+    running last(ignoreNulls) window plan (ONE key exchange, O(1)
+    window state; operators/temporal.py).  The DuckDB oracle uses its
+    native ASOF LEFT JOIN — a genuinely different algorithm."""
+    from gclog_parser_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    j = asof_join(
+        clicks, purch, key="user_id",
+        right_cols=["purchase_id", "purchase_value"],
+    )
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("asof_purchase_id").alias("purchase_id"),
+        F.col("asof_purchase_value").alias("purchase_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("us_since"),
+    )
+
+
+def q_rel_range_join(spark, sf_dir):
+    """Interval range join with NO equi key (incident windows ⊇
+    events), bucketed to an equi-join instead of the BNLJ plan a bare
+    inequality join gets (operators/temporal.py): error events open a
+    10-minute window; every event inside any window is attributed to
+    it, then aggregated per incident.  Oracle = DuckDB's native
+    inequality (IE) join."""
+    from gclog_parser_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    inc = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("istart"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("iend"),
+    )
+    facts = ev.select("event_id", "ts", "user_id", "value")
+    return (
+        range_join(facts, inc, bucket_secs=600)
+        .groupBy("incident_id", "istart")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_text_decontam(spark, sf_dir):
+    """Benchmark decontamination (eval-overlap scan): corpus docs
+    sharing ≥1 distinct word 5-gram with the held-out benchmark slice
+    (doc_id % 17 == 0), flagged at ≥3 shared shingles.  The benchmark
+    shingle set is broadcast — the corpus side never shuffles until
+    the per-doc count."""
+    from gclog_parser_spark.operators.textstats import ngram_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return ngram_decontaminate(corpus, bench, k=5, min_hits=3)
+
+
 def q_rel_rollup(spark, sf_dir):
     """ROLLUP (grouping sets): order counts by (priority, status) with
     subtotal and grand-total rows — partial-aggregatable like any hash
@@ -901,6 +978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_topk_orders": q_rel_topk_orders,
         "rel_join_agg": q_rel_join_agg,
         "rel_shuffle_join": q_rel_shuffle_join,
+        "rel_asof_join": q_rel_asof_join,
+        "rel_range_join": q_rel_range_join,
+        "text_decontam": q_text_decontam,
         "rel_semi_join": q_rel_semi_join,
         "rel_anti_join": q_rel_anti_join,
         "rel_rollup": q_rel_rollup,
@@ -1129,6 +1209,30 @@ sessions AS (
         " WHERE l.l_shipdate > o.o_orderdate"
         " GROUP BY 1"
     )
+
+    out["rel_asof_join"] = (
+        "SELECT l.event_id AS click_id, l.user_id, l.ts AS click_ts,"
+        " r.event_id AS purchase_id, r.value AS purchase_value,"
+        " epoch_us(l.ts) - epoch_us(r.ts) AS us_since"
+        " FROM (SELECT * FROM events WHERE event_type = 'click') l"
+        " ASOF LEFT JOIN"
+        " (SELECT * FROM events WHERE event_type = 'purchase') r"
+        " ON l.user_id = r.user_id AND l.ts >= r.ts"
+    )
+
+    out["rel_range_join"] = (
+        "WITH inc AS (SELECT event_id AS incident_id, ts AS istart,"
+        " ts + INTERVAL 10 MINUTE AS iend FROM events"
+        " WHERE event_type = 'error')"
+        " SELECT i.incident_id, i.istart, count(*) AS n_events,"
+        " round(sum(e.value), 6) AS sum_value,"
+        " count(DISTINCT e.user_id) AS n_users"
+        " FROM inc i JOIN events e"
+        " ON e.ts >= i.istart AND e.ts < i.iend"
+        " GROUP BY 1, 2"
+    )
+
+    out["text_decontam"] = ot.decontam_sql()
 
     out["rel_semi_join"] = (
         "SELECT c_custkey, c_mktsegment FROM customer c"

@@ -163,6 +163,25 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     t("text_boilerplate_sf", lambda: strip_boilerplate(docs).count())
     t("token_counts_sf", lambda: token_counts(docs)
         .agg(F.sum("tokens")).collect()[0][0])
+    from gclog_parser_spark.operators.temporal import asof_join, range_join
+    from gclog_parser_spark.operators.textstats import ngram_decontaminate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"))
+    t("asof_join_sf", lambda: asof_join(
+        clicks, purch, key="user_id").count())
+    inc = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("istart"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("iend"))
+    t("range_join_sf", lambda: range_join(
+        ev.select("event_id", "ts", "user_id"), inc).count())
+    t("decontam_sf", lambda: ngram_decontaminate(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0)).count())
     t("ann_cosine_sf", lambda: cosine_topk(embs).count())
 
     # HOF (oracle-parity) vs Arrow/numpy scorer on a corpus large

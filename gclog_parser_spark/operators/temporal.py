@@ -38,6 +38,13 @@ import pyspark.sql.functions as F
 _SIDE, _TS = "_asof_side", "_asof_ts"
 
 
+def _micros(col):
+    """unix_micros over either TIMESTAMP or TIMESTAMP_NTZ (parquet
+    event times land as NTZ; sessions run in UTC, so the cast is
+    exact)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -105,15 +112,23 @@ def asof_join(
         .withColumnRenamed(_TS, left_ts)
     )
     if tolerance_secs is not None:
-        stale = (
-            F.unix_micros(F.col(left_ts))
-            - F.unix_micros(F.col(f"{prefix}{right_ts}"))
-        ) > int(tolerance_secs * 1_000_000)
+        # materialize the staleness flag FIRST — nulling the matched
+        # ts in place would corrupt the predicate for the later columns
+        out = out.withColumn(
+            "_asof_stale",
+            (
+                _micros(F.col(left_ts))
+                - _micros(F.col(f"{prefix}{right_ts}"))
+            ) > int(tolerance_secs * 1_000_000),
+        )
         for c in rcols:
             out = out.withColumn(
                 f"{prefix}{c}",
-                F.when(stale, F.lit(None)).otherwise(F.col(f"{prefix}{c}")),
+                F.when(F.col("_asof_stale"), F.lit(None)).otherwise(
+                    F.col(f"{prefix}{c}")
+                ),
             )
+        out = out.drop("_asof_stale")
     return out
 
 
@@ -139,18 +154,24 @@ def range_join(
     columns (caller guarantees disjoint names).
     """
     b = F.lit(int(bucket_secs) * 1_000_000)
+
+    def _bkt(x):
+        # integer-exact floor division: (x - x % b) is an exact
+        # multiple of b in long arithmetic, so the double division
+        # rounds to the exact quotient (a bare x / b can land one ulp
+        # under an exact boundary and floor a fact into the wrong
+        # bucket)
+        return ((x - x % b) / b).cast("long")
+
     iv = intervals.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(start)) / b).cast("long"),
-                (F.unix_micros(F.col(end)) / b).cast("long"),
+                _bkt(_micros(F.col(start))), _bkt(_micros(F.col(end)))
             )
         ),
     )
-    fc = facts.withColumn(
-        "_bkt", (F.unix_micros(F.col(fact_ts)) / b).cast("long")
-    )
+    fc = facts.withColumn("_bkt", _bkt(_micros(F.col(fact_ts))))
     return (
         iv.join(fc, "_bkt")
         .filter(

@@ -322,3 +322,39 @@ def fingerprints(docs: DataFrame, k: int = 4) -> DataFrame:
     return docs.select(
         "doc_id", _words(F.col("text")).alias("w")
     ).select("doc_id", fp.alias("fingerprint"))
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    min_hits: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count the
+    distinct word ``k``-grams it shares with ANY benchmark document
+    (the GPT-3/PaLM eval-overlap check).  Returns
+    ``(doc_id, n_hits, flagged)`` for documents with ≥1 hit;
+    ``flagged`` marks docs at or above ``min_hits``.
+
+    Scale shape: eval sets are tiny next to a 10^12-doc corpus, so the
+    benchmark's distinct shingle set is collected into a broadcast hash
+    relation — the corpus side streams scan→explode→broadcast-join with
+    NO shuffle of corpus data until the final per-doc count (one
+    exchange on doc_id).  Shingling uses the materialized-words form
+    (see ``dedup._shingle_expr``: HOFs are interpreted, so the words
+    array is projected once, never recomputed per element).
+    """
+    def _sh(df: DataFrame) -> DataFrame:
+        sh = F.array_distinct(_shingle_expr(F.col("w"), k))
+        return df.select(
+            "doc_id", _words(F.col("text")).alias("w")
+        ).select("doc_id", F.explode(sh).alias("shingle"))
+
+    bench = _sh(benchmark).select("shingle").distinct()
+    return (
+        _sh(corpus)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .withColumn("flagged", F.col("n_hits") >= F.lit(min_hits))
+    )

@@ -670,3 +670,30 @@ SELECT url,
     AS INT) % 64 AS INT) AS fake_height,
   md5(html_text) AS content_digest
 FROM pages"""
+
+
+def decontam_sql(k: int = 5, min_hits: int = 3, modulus: int = 17) -> str:
+    """Independent re-derivation of ``ngram_decontaminate``: DuckDB
+    list shingles (vs Spark's transform/element_at), benchmark =
+    ``doc_id % modulus = 0``, corpus = the rest."""
+    return f"""WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - {k - 1}, 0)),
+    i -> array_to_string(list_slice(w, i, i + {k - 1}), ' ')
+  )) AS shingles FROM words
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+  WHERE doc_id % {modulus} = 0
+),
+corp AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+  WHERE doc_id % {modulus} <> 0
+)
+SELECT c.doc_id, count(*) AS n_hits, count(*) >= {min_hits} AS flagged
+FROM corp c JOIN bench b USING (shingle)
+GROUP BY 1"""
