@@ -591,6 +591,40 @@ def q_text_decontam(spark, sf_dir):
     return ngram_decontaminate(corpus, bench, k=5, min_hits=3)
 
 
+def q_rel_sliding_window(spark, sf_dir):
+    """Sliding event-time windows (10 min / 5 min slide) — the
+    overlapping-window aggregation the tumbling hourly rollups can't
+    express; scan-side window assignment, one partial-aggregated
+    exchange.  Oracle re-derives the window assignment as a two-offset
+    UNION ALL (each row belongs to exactly duration/slide windows)."""
+    from gclog_parser_spark.operators.aggregate import sliding_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type", "value"
+    )
+    return sliding_counts(ev)
+
+
+def q_gc_pause_histogram(spark, sf_dir):
+    """Fixed-width pause-time histogram over parsed GC events (20 bins
+    on [0, 4) s, overflow clamped) — scan-side binning, one ~20-key
+    exchange."""
+    from gclog_parser_spark.operators.aggregate import value_histogram
+
+    return value_histogram(
+        _events(spark, sf_dir), "pause_seconds", lo=0.0, hi=4.0, n_bins=20
+    )
+
+
+def q_text_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per document by rational-idf tf-idf
+    (deterministic cross-engine — no transcendental log), vocab
+    broadcast back onto the tf relation."""
+    from gclog_parser_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
 def q_rel_rollup(spark, sf_dir):
     """ROLLUP (grouping sets): order counts by (priority, status) with
     subtotal and grand-total rows — partial-aggregatable like any hash
@@ -980,7 +1014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_shuffle_join": q_rel_shuffle_join,
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
+        "rel_sliding_window": q_rel_sliding_window,
+        "gc_pause_histogram": q_gc_pause_histogram,
         "text_decontam": q_text_decontam,
+        "text_tfidf": q_text_tfidf,
         "rel_semi_join": q_rel_semi_join,
         "rel_anti_join": q_rel_anti_join,
         "rel_rollup": q_rel_rollup,
@@ -1233,6 +1270,48 @@ sessions AS (
     )
 
     out["text_decontam"] = ot.decontam_sql()
+
+    out["rel_sliding_window"] = (
+        "WITH t AS (SELECT epoch_us(ts) AS us, event_type, value"
+        " FROM events),"
+        " assigned AS ("
+        "  SELECT (us // 300000000) * 300 AS window_start,"
+        "   event_type, value FROM t"
+        "  UNION ALL"
+        "  SELECT (us // 300000000) * 300 - 300 AS window_start,"
+        "   event_type, value FROM t)"
+        " SELECT CAST(window_start AS BIGINT) AS window_start,"
+        " event_type, count(*) AS n_events,"
+        " round(sum(value), 6) AS sum_value"
+        " FROM assigned GROUP BY 1, 2"
+    )
+
+    out["gc_pause_histogram"] = g() + (
+        "SELECT CAST(least(greatest("
+        "   floor((pause_seconds - 0.0) / 0.2), 0), 19) AS INT) AS bin,"
+        " count(*) AS n,"
+        " round(min(pause_seconds), 6) AS bin_min,"
+        " round(max(pause_seconds), 6) AS bin_max"
+        " FROM gc_events WHERE pause_seconds IS NOT NULL GROUP BY 1"
+    )
+
+    out["text_tfidf"] = (
+        "WITH words AS (SELECT doc_id,"
+        "  unnest(string_split_regex(trim(text), '\\s+')) AS word"
+        "  FROM documents),"
+        " tf AS (SELECT doc_id, word, count(*) AS tf FROM words"
+        "  WHERE word <> '' GROUP BY 1, 2),"
+        " dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " scored AS (SELECT t.doc_id, t.word,"
+        "  round(t.tf * (n.n + 1.0) / (d.df + 1.0), 6) AS score"
+        "  FROM tf t JOIN dfreq d USING (word) CROSS JOIN n),"
+        " ranked AS (SELECT *, row_number() OVER ("
+        "  PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rnk"
+        "  FROM scored)"
+        " SELECT doc_id, CAST(rnk AS INT) AS rnk, word, score"
+        " FROM ranked WHERE rnk <= 3"
+    )
 
     out["rel_semi_join"] = (
         "SELECT c_custkey, c_mktsegment FROM customer c"

@@ -128,3 +128,75 @@ def session_stats(
         F.round(F.max("jvm_age_seconds"), 6).alias("end_age"),
         F.round(F.sum("pause_seconds"), 6).alias("total_pause"),
     )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    duration_secs: int = 600,
+    slide_secs: int = 300,
+) -> DataFrame:
+    """Sliding event-time window aggregation (`F.window` with a slide —
+    the overlapping-window twin of the tumbling hourly rollups): per
+    (key, window-start) over windows of ``duration_secs`` sliding every
+    ``slide_secs``, count rows and sum ``value``.
+
+    Spark assigns each row to its duration/slide overlapping windows
+    scan-side (a generator projection, no extra shuffle), then the
+    aggregate is one ordinary partial-aggregated exchange — identical
+    scale shape to a tumbling group-by, just duration/slide× the rows
+    out of the generator.  Output window_start as an epoch-seconds
+    BIGINT (portable to the oracle).
+    """
+    assert duration_secs % slide_secs == 0
+    win = F.window(
+        F.col(ts_col).cast("timestamp"),
+        f"{duration_secs} seconds",
+        f"{slide_secs} seconds",
+    )
+    return (
+        events.groupBy(win.alias("w"), F.col(key))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str = "pause_seconds",
+    lo: float = 0.0,
+    hi: float = 4.0,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column (the 'pause-time
+    distribution per sink' dashboard primitive): bin index in
+    [0, n_bins), with underflow clamped to 0 and overflow to
+    n_bins - 1; nulls dropped.  Pure scan-side arithmetic + one
+    partial-aggregated exchange on ~n_bins keys — the cheapest
+    possible distributed histogram."""
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(col), 6).alias("bin_min"),
+            F.round(F.max(col), 6).alias("bin_max"),
+        )
+    )

@@ -358,3 +358,46 @@ def ngram_decontaminate(
         .agg(F.count("*").alias("n_hits"))
         .withColumn("flagged", F.col("n_hits") >= F.lit(min_hits))
     )
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 3, broadcast_vocab: bool = True
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf, with the
+    rational idf variant ``(N + 1) / (df + 1)`` instead of its log —
+    a transcendental produces 1-ulp cross-engine drift that can flip
+    near-tie rankings, while integer-ratio arithmetic is bit-identical
+    in Spark and the SQL oracle.  Ties break (score DESC, word ASC).
+
+    Scale shape: term frequencies are one (doc_id, word) exchange of
+    already-exploded words; document frequencies aggregate THAT
+    (pre-collapsed) relation; the vocab-sized df relation is broadcast
+    back onto tf (``broadcast_vocab=False`` falls back to a shuffle
+    join for corpora whose vocabulary outgrows the driver); the final
+    per-doc top-k is a row_number window on doc_id.  N is one count()
+    job — O(1) driver state.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    n_docs = docs.count()
+    score = F.round(
+        F.col("tf") * F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0)),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("word")
+    )
+    return (
+        tf.join(dfreq, "word")
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "word", "score")
+    )

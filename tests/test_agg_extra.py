@@ -1,0 +1,93 @@
+"""Sliding windows, histograms, tf-idf: semantics on hand-built
+frames + the plan shapes that keep them one-exchange at scale."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from gclog_parser_spark.operators.aggregate import (
+    sliding_counts,
+    value_histogram,
+)
+from gclog_parser_spark.operators.textstats import tfidf_topk
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_sliding_counts_each_row_in_two_windows(spark):
+    ev = spark.createDataFrame(
+        [
+            (_ts("2024-01-01T00:07:00"), "a", 1.0),
+            (_ts("2024-01-01T00:12:00"), "a", 2.0),
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_counts(ev).collect()
+    }
+    base = int(_ts("2024-01-01T00:00:00").replace(
+        tzinfo=dt.timezone.utc).timestamp())
+    # 00:07 → windows starting 00:00 and 00:05; 00:12 → 00:05 and 00:10
+    assert rows[(base, "a")] == (1, 1.0)
+    assert rows[(base + 300, "a")] == (2, 3.0)
+    assert rows[(base + 600, "a")] == (1, 2.0)
+    assert len(rows) == 3
+
+
+def test_sliding_counts_single_exchange(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type", "value"
+    )
+    plan = sliding_counts(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_value_histogram_clamps_and_counts(spark):
+    df = spark.createDataFrame(
+        [(-1.0,), (0.05,), (0.25,), (3.95,), (99.0,), (None,)],
+        "x double",
+    )
+    rows = {
+        r["bin"]: (r["n"], r["bin_min"], r["bin_max"])
+        for r in value_histogram(
+            df, "x", lo=0.0, hi=4.0, n_bins=20
+        ).collect()
+    }
+    assert rows[0] == (2, -1.0, 0.05)    # underflow clamped into bin 0
+    assert rows[1][0] == 1               # 0.25 → [0.2, 0.4)
+    assert rows[19] == (2, 3.95, 99.0)   # top bin + overflow
+    assert sum(n for n, _, _ in rows.values()) == 5  # null dropped
+
+
+def test_tfidf_rational_scores_and_ties(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["rnk"], r["word"], r["score"])
+        )
+    # doc 1: apple tf=2 df=1 → 2*4/2=4.0 beats banana tf=1 df=2 → 4/3
+    assert by_doc[1][0] == (1, "apple", 4.0)
+    assert by_doc[1][1][1] == "banana"
+    # doc 3: cherry tf=3 df=2 → 3*4/3=4.0 beats date tf=1 df=1 → 2.0
+    assert by_doc[3][0] == (1, "cherry", 4.0)
+    assert by_doc[3][1] == (2, "date", 2.0)
+
+
+def test_tfidf_broadcasts_vocab(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        tfidf_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
