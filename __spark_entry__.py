@@ -625,6 +625,48 @@ def q_text_tfidf(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
+def q_rel_json_extract(spark, sf_dir):
+    """Semi-structured extraction (every log/telemetry pipeline's
+    bread and butter): pull the numeric ``k`` out of the JSON ``props``
+    column scan-side (`get_json_object` — codegen, no Python), then an
+    ordinary partial-aggregated group-by.  Oracle uses DuckDB's JSON
+    extension — an independent JSON parser."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct("k").alias("distinct_k"),
+        )
+    )
+
+
+def q_rel_global_topn(spark, sf_dir):
+    """Global top-100 by (price DESC, key ASC): Spark plans
+    TakeOrderedAndProject — per-partition partial top-N merged on the
+    driver, NO global sort shuffle (plan-pinned); the 100 TB-safe way
+    to answer ORDER BY … LIMIT."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_text_chunks(spark, sf_dir):
+    """Context-window chunking (32-word chunks, 8-word overlap) — the
+    RAG/pretraining doc splitter as a zero-shuffle generator
+    projection."""
+    from gclog_parser_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
 def q_rel_rollup(spark, sf_dir):
     """ROLLUP (grouping sets): order counts by (priority, status) with
     subtotal and grand-total rows — partial-aggregatable like any hash
@@ -1015,9 +1057,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
         "rel_sliding_window": q_rel_sliding_window,
+        "rel_json_extract": q_rel_json_extract,
+        "rel_global_topn": q_rel_global_topn,
         "gc_pause_histogram": q_gc_pause_histogram,
         "text_decontam": q_text_decontam,
         "text_tfidf": q_text_tfidf,
+        "text_chunks": q_text_chunks,
         "rel_semi_join": q_rel_semi_join,
         "rel_anti_join": q_rel_anti_join,
         "rel_rollup": q_rel_rollup,
@@ -1284,6 +1329,38 @@ sessions AS (
         " event_type, count(*) AS n_events,"
         " round(sum(value), 6) AS sum_value"
         " FROM assigned GROUP BY 1, 2"
+    )
+
+    out["rel_json_extract"] = (
+        "SELECT event_type, count(*) AS n,"
+        " sum(CAST(json_extract_string(props, '$.k') AS BIGINT))"
+        "   AS sum_k,"
+        " max(CAST(json_extract_string(props, '$.k') AS BIGINT))"
+        "   AS max_k,"
+        " count(DISTINCT CAST(json_extract_string(props, '$.k')"
+        "   AS BIGINT)) AS distinct_k"
+        " FROM events GROUP BY 1"
+    )
+
+    out["rel_global_topn"] = (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+    )
+
+    out["text_chunks"] = (
+        "WITH words AS (SELECT doc_id,"
+        "  string_split_regex(trim(text), '\\s+') AS w FROM documents),"
+        " meta AS (SELECT doc_id, w,"
+        "  (greatest(len(w) - 8, 1) + 23) // 24 AS n_chunks FROM words),"
+        " idx AS (SELECT doc_id, w,"
+        "  unnest(generate_series(0, n_chunks - 1)) AS chunk_idx"
+        "  FROM meta)"
+        " SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,"
+        " array_to_string(list_slice(w, chunk_idx * 24 + 1,"
+        "   chunk_idx * 24 + 32), ' ') AS chunk_text,"
+        " CAST(len(list_slice(w, chunk_idx * 24 + 1,"
+        "   chunk_idx * 24 + 32)) AS INT) AS n_chunk_words"
+        " FROM idx"
     )
 
     out["gc_pause_histogram"] = g() + (

@@ -401,3 +401,43 @@ def tfidf_topk(
         .filter(F.col("rnk") <= k)
         .select("doc_id", "rnk", "word", "score")
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_words: int = 32, overlap: int = 8
+) -> DataFrame:
+    """Split each document into fixed-width word chunks with overlap
+    (the RAG / pretraining context-window chunker): chunk ``i`` covers
+    words ``[i*stride+1, i*stride+chunk_words]`` with
+    ``stride = chunk_words - overlap``; the final chunk is clipped at
+    the document end; every doc yields ≥1 chunk.
+
+    Pure scan-side generator projection (materialized words array →
+    integer-exact chunk count via DIV → ``posexplode`` of sliced
+    joins) — zero shuffles, so it chunks a 10^12-doc corpus at scan
+    speed.  Output: (doc_id, chunk_idx, chunk_text, n_chunk_words).
+    """
+    assert 0 <= overlap < chunk_words
+    stride = chunk_words - overlap
+    # integer-exact ceil((max(n-overlap,1)) / stride) via DIV
+    n_chunks = F.expr(
+        f"CAST((greatest(size(w) - {overlap}, 1) + {stride - 1})"
+        f" DIV {stride} AS INT)"
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("w"), i * stride + 1, chunk_words)
+        ),
+    )
+    return (
+        docs.select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", "w", n_chunks.alias("n_chunks"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "chunk_text",
+            F.size(F.split("chunk_text", r"\s+")).alias("n_chunk_words"),
+        )
+    )

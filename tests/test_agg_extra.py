@@ -91,3 +91,49 @@ def test_tfidf_broadcasts_vocab(spark, sf_dir):
         tfidf_topk(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_boundaries(spark):
+    from gclog_parser_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(40))),  # 2 chunks
+            (2, "a b c"),                               # short: 1 chunk
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_words"])
+        for r in chunk_documents(docs, chunk_words=32, overlap=8).collect()
+    }
+    # chunk 0 = words 0..31; chunk 1 starts at stride 24 → words 24..39
+    assert rows[(1, 0)][1] == 32
+    assert rows[(1, 0)][0].split()[0] == "w0"
+    assert rows[(1, 0)][0].split()[-1] == "w31"
+    assert rows[(1, 1)][0].split()[0] == "w24"
+    assert rows[(1, 1)][0].split()[-1] == "w39"
+    assert rows[(1, 1)][1] == 16  # clipped final chunk
+    assert rows[(2, 0)] == ("a b c", 3)
+    assert len(rows) == 3
+
+
+def test_chunk_documents_zero_shuffle(spark, sf_dir):
+    from gclog_parser_spark.operators.textstats import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        chunk_documents(docs)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure generator projection
+
+
+def test_global_topn_avoids_global_sort(spark, sf_dir):
+    import __spark_entry__ as e
+
+    df = e.q_rel_global_topn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # per-partition partial top-N, no rangepartitioning shuffle
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
