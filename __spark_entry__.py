@@ -658,6 +658,33 @@ def q_rel_global_topn(spark, sf_dir):
     )
 
 
+def q_rel_stream_sliding(spark, sf_dir):
+    """Streaming twin of `rel_sliding_window`: the events table
+    replayed as a file-source stream → watermarked sliding-window
+    aggregate → memory sink, value-checked against the SAME DuckDB
+    oracle as the batch operator (stream results must equal batch
+    results)."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.streaming.stream import run_sliding_stream
+
+    base = tempfile.mkdtemp(prefix="gps_sliding_")
+    inp = f"{base}/events"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(3).write.parquet(inp)
+    _STREAM_SEQ[0] += 1
+    qname = f"gps_stream_sliding_{_STREAM_SEQ[0]}"
+    q = run_sliding_stream(
+        spark, inp, ev.schema, f"{base}/ckpt", query_name=qname
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("rel_stream_sliding: stream timed out (600 s)")
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.table(qname)
+
+
 def q_text_chunks(spark, sf_dir):
     """Context-window chunking (32-word chunks, 8-word overlap) — the
     RAG/pretraining doc splitter as a zero-shuffle generator
@@ -1057,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
         "rel_sliding_window": q_rel_sliding_window,
+        "rel_stream_sliding": q_rel_stream_sliding,
         "rel_json_extract": q_rel_json_extract,
         "rel_global_topn": q_rel_global_topn,
         "gc_pause_histogram": q_gc_pause_histogram,
@@ -1330,6 +1358,9 @@ sessions AS (
         " round(sum(value), 6) AS sum_value"
         " FROM assigned GROUP BY 1, 2"
     )
+
+    # stream results must equal batch results: same oracle
+    out["rel_stream_sliding"] = out["rel_sliding_window"]
 
     out["rel_json_extract"] = (
         "SELECT event_type, count(*) AS n,"

@@ -191,3 +191,58 @@ def run_hourly_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_value_counts(
+    events: DataFrame,
+    duration_secs: int = 600,
+    slide_secs: int = 300,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of ``aggregate.sliding_counts``: watermarked
+    OVERLAPPING windows (duration/slide) per event_type — each row is
+    assigned to its duration/slide windows scan-side, state is bounded
+    by the watermark horizon, and the output schema matches the batch
+    operator exactly (window_start as epoch seconds), so the SAME
+    DuckDB oracle value-checks both the batch and streaming paths."""
+    ts = F.col("ts").cast("timestamp")
+    win = F.window(
+        F.col("ts_t"), f"{duration_secs} seconds", f"{slide_secs} seconds"
+    )
+    return (
+        events.select(ts.alias("ts_t"), "event_type", "value")
+        .withWatermark("ts_t", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_sliding_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    checkpoint: str,
+    query_name: str = "sliding_events",
+):
+    """Sliding-window streaming aggregate to an in-memory sink
+    (complete mode: a finite replay must emit every window, including
+    the ones still inside the watermark horizon at end-of-input)."""
+    ev = spark.readStream.schema(schema).parquet(input_dir)
+    agg = sliding_value_counts(ev)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -146,3 +146,31 @@ def test_stream_hourly_agg_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir, tmp_path):
+    """Sliding-window streaming aggregate == the batch sliding_counts
+    operator on the same events replay (overlapping windows assigned
+    scan-side; complete mode emits every window on a finite replay)."""
+    from gclog_parser_spark.operators.aggregate import sliding_counts
+    from gclog_parser_spark.streaming.stream import run_sliding_stream
+
+    inp = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(3).write.parquet(inp)
+
+    q = run_sliding_stream(spark, inp, ev.schema, ckpt, query_name="t_sliding")
+    assert q.awaitTermination(300)
+
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from t_sliding").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in sliding_counts(
+            ev.select("ts", "event_type", "value")
+        ).collect()
+    }
+    assert got == want
