@@ -685,6 +685,47 @@ def q_rel_stream_sliding(spark, sf_dir):
     return spark.table(qname)
 
 
+def q_rel_interval_join(spark, sf_dir):
+    """Batch interval join (view -> purchase attribution within 30
+    minutes per user) — the relational twin of the stream-stream join;
+    the same `attribution_join` operator runs unchanged on batch
+    frames."""
+    from gclog_parser_spark.streaming.stream import attribution_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+def q_rel_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join: views and purchases as
+    two independent file-source streams over the same events replay,
+    inner-joined per user within a 30-minute lag bound; append-mode
+    memory sink.  Value-checked against the SAME DuckDB oracle as the
+    batch twin (stream results must equal batch results)."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.streaming.stream import run_attribution_stream
+
+    base = tempfile.mkdtemp(prefix="gps_attrib_")
+    inp = f"{base}/events"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(3).write.parquet(inp)
+    _STREAM_SEQ[0] += 1
+    qname = f"gps_stream_join_{_STREAM_SEQ[0]}"
+    q = run_attribution_stream(
+        spark, inp, ev.schema, f"{base}/ckpt", query_name=qname
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("rel_stream_join: stream timed out (600 s)")
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.table(qname)
+
+
 def q_text_chunks(spark, sf_dir):
     """Context-window chunking (32-word chunks, 8-word overlap) — the
     RAG/pretraining doc splitter as a zero-shuffle generator
@@ -1085,6 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_join": q_rel_range_join,
         "rel_sliding_window": q_rel_sliding_window,
         "rel_stream_sliding": q_rel_stream_sliding,
+        "rel_interval_join": q_rel_interval_join,
+        "rel_stream_join": q_rel_stream_join,
         "rel_json_extract": q_rel_json_extract,
         "rel_global_topn": q_rel_global_topn,
         "gc_pause_histogram": q_gc_pause_histogram,
@@ -1361,6 +1404,19 @@ sessions AS (
 
     # stream results must equal batch results: same oracle
     out["rel_stream_sliding"] = out["rel_sliding_window"]
+
+    out["rel_interval_join"] = (
+        "SELECT v.event_id AS view_id, p.event_id AS purchase_id,"
+        " v.user_id,"
+        " date_diff('microsecond', v.ts, p.ts) AS lag_micros,"
+        " round(p.value, 6) AS purchase_value"
+        " FROM events v JOIN events p"
+        " ON v.user_id = p.user_id"
+        " AND v.event_type = 'view' AND p.event_type = 'purchase'"
+        " AND p.ts >= v.ts"
+        " AND p.ts <= v.ts + INTERVAL 30 MINUTE"
+    )
+    out["rel_stream_join"] = out["rel_interval_join"]
 
     out["rel_json_extract"] = (
         "SELECT event_type, count(*) AS n,"

@@ -246,3 +246,82 @@ def run_sliding_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join (view -> purchase attribution):
+    each purchase joins every view by the same user at most ``max_lag``
+    before it.  Both sides carry an event-time watermark and the join
+    condition carries the time bound, so Spark can evict view state
+    ``max_lag`` past the watermark and purchase state at the watermark —
+    state is bounded by the lag horizon, not the stream length.  The
+    lag is emitted as integer microseconds (exact on both engines — no
+    float epoch drift against the DuckDB oracle).
+
+    Works identically on batch DataFrames (the join is pure relational),
+    which is how the tests and the oracle value-check it.
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("v_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+        F.col("value"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    joined = v.join(
+        p,
+        F.expr(
+            "user_id = p_user AND p_ts >= v_ts "
+            f"AND p_ts <= v_ts + interval {max_lag}"
+        ),
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_micros"),
+        F.round("value", 6).alias("purchase_value"),
+    )
+
+
+def run_attribution_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    checkpoint: str,
+    query_name: str = "attribution",
+):
+    """Two independent file-source streams over the same events
+    directory (views / purchases) -> watermarked stream-stream interval
+    join -> append-mode memory sink.  Inner-join matches are emitted in
+    the micro-batch where both sides are present, so a finite
+    availableNow replay emits exactly the batch join result."""
+    def _side(event_type):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(input_dir)
+            .filter(F.col("event_type") == event_type)
+        )
+
+    agg = attribution_join(_side("view"), _side("purchase"))
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -174,3 +174,36 @@ def test_stream_sliding_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join == the same
+    attribution_join operator run on batch frames: inner-join matches
+    are emitted in the micro-batch where both sides are present, so a
+    finite replay emits exactly the batch join result."""
+    from gclog_parser_spark.streaming.stream import (
+        attribution_join,
+        run_attribution_stream,
+    )
+
+    inp = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(3).write.parquet(inp)
+
+    q = run_attribution_stream(spark, inp, ev.schema, ckpt, query_name="t_attrib")
+    assert q.awaitTermination(300)
+
+    cols = ("view_id", "purchase_id", "user_id", "lag_micros", "purchase_value")
+    got = {
+        tuple(r[c] for c in cols)
+        for r in spark.sql("select * from t_attrib").collect()
+    }
+    want = {
+        tuple(r[c] for c in cols)
+        for r in attribution_join(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
