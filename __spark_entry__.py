@@ -625,6 +625,16 @@ def q_text_tfidf(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
+def q_text_ngrams(spark, sf_dir):
+    """Corpus-level bigram vocabulary: global count + exact document
+    frequency per n-gram, top-50 by frequency (the LM-vocab /
+    blocklist builder) — explode scan-side, two aggregated exchanges
+    over distinct n-grams, distributed TakeOrdered cut."""
+    from gclog_parser_spark.operators.textstats import corpus_ngrams
+
+    return corpus_ngrams(_docs(spark, sf_dir), k=2, top=50)
+
+
 def q_rel_json_extract(spark, sf_dir):
     """Semi-structured extraction (every log/telemetry pipeline's
     bread and butter): pull the numeric ``k`` out of the JSON ``props``
@@ -683,6 +693,46 @@ def q_rel_stream_sliding(spark, sf_dir):
         raise RuntimeError("rel_stream_sliding: stream timed out (600 s)")
     shutil.rmtree(base, ignore_errors=True)
     return spark.table(qname)
+
+
+def q_rel_multiway_join(spark, sf_dir):
+    """Six-table multiway join (TPC-H Q5 shape: local-supplier revenue
+    per nation inside one region) — the Catalyst join-ordering
+    exercise: region/nation are broadcast dims, customer⋈orders and
+    orders⋈lineitem are fact-to-fact SortMergeJoins (``merge`` hints
+    pin the 100 TB physical path; supplier's n_nationkey equality with
+    the customer's closes the cycle).  Revenue in integer cents for
+    exact cross-engine parity."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.hint("merge")
+        .join(o.hint("merge"), o.o_custkey == c.c_custkey)
+        .join(li.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (s.s_suppkey == li.l_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("items"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
 
 
 def q_rel_interval_join(spark, sf_dir):
@@ -1127,6 +1177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sliding_window": q_rel_sliding_window,
         "rel_stream_sliding": q_rel_stream_sliding,
         "rel_interval_join": q_rel_interval_join,
+        "rel_multiway_join": q_rel_multiway_join,
+        "text_ngrams": q_text_ngrams,
         "rel_stream_join": q_rel_stream_join,
         "rel_json_extract": q_rel_json_extract,
         "rel_global_topn": q_rel_global_topn,
@@ -1386,6 +1438,7 @@ sessions AS (
     )
 
     out["text_decontam"] = ot.decontam_sql()
+    out["text_ngrams"] = ot.corpus_ngrams_sql(k=2, top=50)
 
     out["rel_sliding_window"] = (
         "WITH t AS (SELECT epoch_us(ts) AS us, event_type, value"
@@ -1417,6 +1470,21 @@ sessions AS (
         " AND p.ts <= v.ts + INTERVAL 30 MINUTE"
     )
     out["rel_stream_join"] = out["rel_interval_join"]
+
+    out["rel_multiway_join"] = (
+        "SELECT n.n_name AS nation, count(*) AS items,"
+        " CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)"
+        "   * 100) AS BIGINT)) AS BIGINT) AS revenue_cents"
+        " FROM customer c"
+        " JOIN orders o ON o.o_custkey = c.c_custkey"
+        " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        " JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+        "   AND s.s_nationkey = c.c_nationkey"
+        " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+        " JOIN region r ON r.r_regionkey = n.n_regionkey"
+        " WHERE r.r_name = 'ASIA'"
+        " GROUP BY 1"
+    )
 
     out["rel_json_extract"] = (
         "SELECT event_type, count(*) AS n,"

@@ -441,3 +441,30 @@ def chunk_documents(
             F.size(F.split("chunk_text", r"\s+")).alias("n_chunk_words"),
         )
     )
+
+
+def corpus_ngrams(docs: DataFrame, k: int = 2, top: int = 50) -> DataFrame:
+    """Corpus-level n-gram vocabulary statistics: global count and
+    document frequency of every word k-gram, returning the ``top``
+    most frequent (the LM-vocab / contamination-blocklist builder).
+
+    Scale shape: shingles explode scan-side (same `_shingle_expr` as
+    MinHash — no O(words²) HOFs), the count is one partial-aggregated
+    exchange per distinct n-gram, the exact doc frequency is a second
+    (ngram, doc_id)-distinct exchange, and the global top-k is a
+    distributed TakeOrdered over the aggregated relation (∝ distinct
+    n-grams, never the corpus).  Ordering is total — (n DESC, ngram
+    ASC) with ngram unique — so the cut is deterministic cross-engine.
+    """
+    ng = docs.select(
+        "doc_id", _words(F.col("text")).alias("w")
+    ).select("doc_id", F.explode(_shingle_expr(F.col("w"), k=k)).alias("ngram"))
+    return (
+        ng.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(top)
+    )

@@ -697,3 +697,22 @@ corp AS (
 SELECT c.doc_id, count(*) AS n_hits, count(*) >= {min_hits} AS flagged
 FROM corp c JOIN bench b USING (shingle)
 GROUP BY 1"""
+
+
+def corpus_ngrams_sql(k: int = 2, top: int = 50) -> str:
+    """Independent DuckDB oracle for corpus_ngrams (list-comprehension
+    n-grams over the same whitespace tokenization)."""
+    joined = " || ' ' || ".join(f"w[i + {off}]" for off in range(k))
+    return f"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(w) - {k - 1}, 0)),
+    i -> {joined})) AS ngram
+  FROM w
+)
+SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS df
+FROM ng GROUP BY 1
+ORDER BY n DESC, ngram ASC LIMIT {top}"""

@@ -204,3 +204,18 @@ def test_set_ops_and_pivot_plan_shapes(spark, sf_dir):
     scans = p_pv.count("FileScan")
     assert scans <= 1  # fixture dim is a local relation; one pass
     assert p_pv.count("HashAggregate") <= 4  # partial+final (+pivot)
+
+
+def test_rel_multiway_join_plan(spark, sf_dir):
+    """Q5-shape six-table join: the fact spine (customer⋈orders⋈
+    lineitem) stays SortMergeJoin while the region/nation dims ride a
+    BroadcastHashJoin — the mixed plan a 100 TB Q5 needs (no broadcast
+    of any fact side; the only broadcasts are the explicit dim hints)."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q_rel_multiway_join(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    # broadcasts: nation, region (+ Catalyst may elect supplier);
+    # never the orders/lineitem spine
+    assert plan.count("BroadcastExchange") <= 3

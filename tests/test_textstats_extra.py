@@ -156,3 +156,23 @@ def test_corpus_ops_survive_hostile_text(spark):
     assert dedup_clusters(docs).count() == n
     assert hash_split(docs).count() == n
     assert stratified_sample(docs, rates={"en": 1.0}).count() == n
+
+
+def test_corpus_ngrams_counts_and_cut(spark):
+    """Global bigram count + exact doc frequency, deterministic
+    (n DESC, ngram ASC) cut."""
+    from gclog_parser_spark.operators.textstats import corpus_ngrams
+
+    docs = _docs(
+        spark,
+        [
+            (0, "a b a b c"),   # bigrams: a b, b a, a b, b c
+            (1, "a b x"),       # bigrams: a b, b x
+            (2, "zz"),          # no bigram (single word)
+        ],
+    )
+    got = {
+        (r["ngram"], r["n"], r["df"])
+        for r in corpus_ngrams(docs, k=2, top=3).collect()
+    }
+    assert got == {("a b", 3, 2), ("b a", 1, 1), ("b c", 1, 1)}
