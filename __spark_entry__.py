@@ -735,6 +735,41 @@ def q_rel_multiway_join(spark, sf_dir):
     )
 
 
+def q_rel_window_suite(spark, sf_dir):
+    """Ranking-analytic suite (ntile / percent_rank / cume_dist) over
+    orders per priority — the remaining window-function family the
+    row_number/lag queries don't cover.  One hash exchange on the
+    partition key; the per-partition sort is the window's own; ties
+    are broken (o_totalprice DESC, o_orderkey ASC) so every rank is
+    deterministic cross-engine."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_rel_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (`percentile` — the
+    non-approx twin of the flagship's percentile_approx): p50/p95 of
+    the order totals per priority.  Exact percentile needs the full
+    per-group sort, so it is the expensive-but-correct path;
+    percentile_approx (flagship) is the 100 TB default and this is the
+    audit/validation pass."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95"),
+    )
+
+
 def q_rel_interval_join(spark, sf_dir):
     """Batch interval join (view -> purchase attribution within 30
     minutes per user) — the relational twin of the stream-stream join;
@@ -1179,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_interval_join": q_rel_interval_join,
         "rel_multiway_join": q_rel_multiway_join,
         "text_ngrams": q_text_ngrams,
+        "rel_window_suite": q_rel_window_suite,
+        "rel_percentiles": q_rel_percentiles,
         "rel_stream_join": q_rel_stream_join,
         "rel_json_extract": q_rel_json_extract,
         "rel_global_topn": q_rel_global_topn,
@@ -1439,6 +1476,23 @@ sessions AS (
 
     out["text_decontam"] = ot.decontam_sql()
     out["text_ngrams"] = ot.corpus_ngrams_sql(k=2, top=50)
+
+    out["rel_window_suite"] = (
+        "SELECT o_orderkey, o_orderpriority,"
+        " ntile(4) OVER w AS quartile,"
+        " round(percent_rank() OVER w, 6) AS pct_rank,"
+        " round(cume_dist() OVER w, 6) AS cume"
+        " FROM orders"
+        " WINDOW w AS (PARTITION BY o_orderpriority"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC)"
+    )
+
+    out["rel_percentiles"] = (
+        "SELECT o_orderpriority, count(*) AS n,"
+        " round(quantile_cont(o_totalprice, 0.5), 6) AS p50,"
+        " round(quantile_cont(o_totalprice, 0.95), 6) AS p95"
+        " FROM orders GROUP BY 1"
+    )
 
     out["rel_sliding_window"] = (
         "WITH t AS (SELECT epoch_us(ts) AS us, event_type, value"

@@ -179,6 +179,9 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
         (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("iend"))
     t("range_join_sf", lambda: range_join(
         ev.select("event_id", "ts", "user_id"), inc).count())
+    import __spark_entry__ as entry
+    t("multiway_join_sf", lambda: len(
+        entry.q_rel_multiway_join(spark, sf_dir).collect()))
     t("decontam_sf", lambda: ngram_decontaminate(
         docs.filter(F.col("doc_id") % 17 != 0),
         docs.filter(F.col("doc_id") % 17 == 0)).count())
