@@ -770,6 +770,36 @@ def q_rel_percentiles(spark, sf_dir):
     )
 
 
+def q_rel_cdc_latest(spark, sf_dir):
+    """Changelog → latest-snapshot compaction (the upsert-table read
+    path): newest event per user, ONE key exchange, deterministic
+    (ts DESC, event_id DESC) pick."""
+    from gclog_parser_spark.operators.cdc import latest_snapshot
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return latest_snapshot(ev)
+
+
+def q_rel_cdc_upsert(spark, sf_dir):
+    """MERGE INTO semantics (the Iceberg upsert the sandbox can't run
+    natively — see operators/route.fanout_write): base = the per-user
+    snapshot before Jan 8, changelog = everything after, with `error`
+    events as tombstone deletes; a change always beats a base row,
+    the newest winning tombstone drops the key."""
+    from gclog_parser_spark.operators.cdc import (
+        apply_changes,
+        latest_snapshot,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = F.lit("2024-01-08").cast("timestamp")
+    base = latest_snapshot(ev.filter(F.col("ts") < split))
+    changes = ev.filter(F.col("ts") >= split).withColumn(
+        "is_del", F.col("event_type") == "error"
+    )
+    return apply_changes(base, changes, delete_col="is_del")
+
+
 def q_rel_interval_join(spark, sf_dir):
     """Batch interval join (view -> purchase attribution within 30
     minutes per user) — the relational twin of the stream-stream join;
@@ -1216,6 +1246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngrams": q_text_ngrams,
         "rel_window_suite": q_rel_window_suite,
         "rel_percentiles": q_rel_percentiles,
+        "rel_cdc_latest": q_rel_cdc_latest,
+        "rel_cdc_upsert": q_rel_cdc_upsert,
         "rel_stream_join": q_rel_stream_join,
         "rel_json_extract": q_rel_json_extract,
         "rel_global_topn": q_rel_global_topn,
@@ -1492,6 +1524,33 @@ sessions AS (
         " round(quantile_cont(o_totalprice, 0.5), 6) AS p50,"
         " round(quantile_cont(o_totalprice, 0.95), 6) AS p95"
         " FROM orders GROUP BY 1"
+    )
+
+    out["rel_cdc_latest"] = (
+        "SELECT event_id, ts, user_id, event_type, value, props"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY user_id"
+        " ORDER BY ts DESC, event_id DESC) AS rn FROM events)"
+        " WHERE rn = 1"
+    )
+
+    out["rel_cdc_upsert"] = (
+        "WITH base AS ("
+        " SELECT event_id, ts, user_id, event_type, value, props"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY user_id"
+        "   ORDER BY ts DESC, event_id DESC) AS rn FROM events"
+        "   WHERE ts < TIMESTAMP '2024-01-08') WHERE rn = 1),"
+        " merged AS ("
+        " SELECT event_id, ts, user_id, event_type, value, props,"
+        "   0 AS prec, false AS del FROM base"
+        " UNION ALL"
+        " SELECT event_id, ts, user_id, event_type, value, props,"
+        "   1, event_type = 'error'"
+        " FROM events WHERE ts >= TIMESTAMP '2024-01-08')"
+        " SELECT event_id, ts, user_id, event_type, value, props"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY user_id"
+        "   ORDER BY prec DESC, ts DESC, event_id DESC) AS rn"
+        "   FROM merged)"
+        " WHERE rn = 1 AND NOT del"
     )
 
     out["rel_sliding_window"] = (
