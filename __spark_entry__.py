@@ -770,6 +770,29 @@ def q_rel_percentiles(spark, sf_dir):
     )
 
 
+def q_corpus_compact(spark, sf_dir):
+    """Compaction/layout maintenance pass: rewrite documents as a
+    lang-partitioned, doc_id-clustered parquet table (ONE shuffle on
+    the hive key, in-task sort, maxRecordsPerFile size cap), then read
+    it back — the oracle checks the rewrite is content-preserving
+    (SELECT * FROM documents), the layout properties are pinned in
+    tests/test_layout.py."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.operators.layout import compact_table
+
+    base = tempfile.mkdtemp(prefix="gps_compact_")
+    docs = _docs(spark, sf_dir)
+    compact_table(
+        docs, base, partition_by=["lang"], sort_by=["doc_id"]
+    )
+    out = spark.read.parquet(base).select(*docs.columns)
+    rows = out.collect()  # materialize before the dir is removed
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_rel_cdc_latest(spark, sf_dir):
     """Changelog → latest-snapshot compaction (the upsert-table read
     path): newest event per user, ONE key exchange, deterministic
@@ -1248,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_percentiles": q_rel_percentiles,
         "rel_cdc_latest": q_rel_cdc_latest,
         "rel_cdc_upsert": q_rel_cdc_upsert,
+        "corpus_compact": q_corpus_compact,
         "rel_stream_join": q_rel_stream_join,
         "rel_json_extract": q_rel_json_extract,
         "rel_global_topn": q_rel_global_topn,
@@ -1524,6 +1548,10 @@ sessions AS (
         " round(quantile_cont(o_totalprice, 0.5), 6) AS p50,"
         " round(quantile_cont(o_totalprice, 0.95), 6) AS p95"
         " FROM orders GROUP BY 1"
+    )
+
+    out["corpus_compact"] = (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents"
     )
 
     out["rel_cdc_latest"] = (
