@@ -770,6 +770,27 @@ def q_rel_percentiles(spark, sf_dir):
     )
 
 
+def q_rel_unpivot(spark, sf_dir):
+    """UNPIVOT/melt (the inverse of `gc_pivot_family`): widen-stored
+    lineitem measures melted to (measure, value) rows, then a
+    per-(returnflag, measure) rollup — scan-side row generation (a
+    projection into an explode, no shuffle) + one partial-aggregated
+    exchange on ~8 keys."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    melted = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("val") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+
+
 def q_corpus_compact(spark, sf_dir):
     """Compaction/layout maintenance pass: rewrite documents as a
     lang-partitioned, doc_id-clustered parquet table (ONE shuffle on
@@ -1272,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cdc_latest": q_rel_cdc_latest,
         "rel_cdc_upsert": q_rel_cdc_upsert,
         "corpus_compact": q_corpus_compact,
+        "rel_unpivot": q_rel_unpivot,
         "rel_stream_join": q_rel_stream_join,
         "rel_json_extract": q_rel_json_extract,
         "rel_global_topn": q_rel_global_topn,
@@ -1548,6 +1570,16 @@ sessions AS (
         " round(quantile_cont(o_totalprice, 0.5), 6) AS p50,"
         " round(quantile_cont(o_totalprice, 0.95), 6) AS p95"
         " FROM orders GROUP BY 1"
+    )
+
+    out["rel_unpivot"] = (
+        "SELECT l_returnflag, measure, count(*) AS n,"
+        " CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT)"
+        "   AS sum_cents"
+        " FROM (SELECT l_returnflag, measure, val FROM lineitem"
+        " UNPIVOT (val FOR measure IN"
+        " (l_quantity, l_extendedprice, l_discount, l_tax)))"
+        " GROUP BY 1, 2"
     )
 
     out["corpus_compact"] = (

@@ -36,7 +36,7 @@ if os.path.isdir(os.path.join(_REPO, "gclog_parser_spark")):
 
 def run_corpus(
     spark, docs, out, split_weights=None,
-    sample_rates=None, sample_default=1.0,
+    sample_rates=None, sample_default=1.0, compact=False,
 ):
     import pyspark.sql.functions as F
 
@@ -89,7 +89,19 @@ def run_corpus(
         ),
         "doc_id",
     )
-    final.write.mode("overwrite").parquet(f"{out}/corpus")
+    if compact:
+        # maintenance-grade layout: split-partitioned dirs, doc_id
+        # clustering for footer pruning, bounded file sizes
+        from gclog_parser_spark.operators.layout import compact_table
+
+        compact_table(
+            final,
+            f"{out}/corpus",
+            partition_by=["split"],
+            sort_by=["doc_id"],
+        )
+    else:
+        final.write.mode("overwrite").parquet(f"{out}/corpus")
 
     final_back = spark.read.parquet(f"{out}/corpus")
     n_kept = kept.count()
@@ -128,6 +140,9 @@ def main(argv=None):
     ap.add_argument("--sample", default=None,
                     help="per-stratum rates, e.g. 'en=0.5,de=0.25'")
     ap.add_argument("--sample-default", type=float, default=1.0)
+    ap.add_argument("--compact", action="store_true",
+                    help="write the corpus split-partitioned, "
+                         "doc_id-clustered, size-capped")
     args = ap.parse_args(argv)
 
     sample_rates = None
@@ -155,6 +170,7 @@ def main(argv=None):
         },
         sample_rates=sample_rates,
         sample_default=args.sample_default,
+        compact=args.compact,
     )
     import json
 

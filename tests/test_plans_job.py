@@ -213,3 +213,38 @@ def test_corpus_pipeline_with_sampling(spark, sf_dir, tmp_path):
         == s["n_sampled_out"] + s["n_quality_rejected"]
         + s["n_dup_removed"] + s["n_final"]
     )
+
+
+def test_corpus_pipeline_compact_layout(spark, sf_dir, tmp_path):
+    """--compact: same corpus content, but split-partitioned dirs with
+    doc_id-clustered files (the maintenance layout)."""
+    import glob
+    import os
+
+    out = str(tmp_path / "corpus_compacted")
+    res = subprocess.run(
+        [
+            sys.executable,
+            "jobs/corpus_pipeline.py",
+            "--master", "local[8]",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", out,
+            "--compact",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == stats["n_final"]
+    split_dirs = glob.glob(os.path.join(out, "corpus", "split=*"))
+    assert split_dirs
+    for d in split_dirs:
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        assert len(files) == 1, (d, files)
+        ids = [r["doc_id"] for r in spark.read.parquet(files[0]).collect()]
+        assert ids == sorted(ids)
