@@ -735,6 +735,45 @@ def q_rel_multiway_join(spark, sf_dir):
     )
 
 
+def q_rel_shuffle_join_salted(spark, sf_dir):
+    """Salted twin of `rel_shuffle_join` (the manual skew-mitigation
+    for a hot join key when AQE's skew split isn't available — e.g.
+    an output partitioning must be preserved): the fact side salts its
+    key with a deterministic row-local hash, the other side replicates
+    each row across all SALT buckets (explode of a literal range, no
+    extra shuffle beyond the join's own), the join runs on
+    (key, salt) — a hot orderkey now spreads over SALT reducers —
+    and the aggregate collapses the salt.  Value-equal to the unsalted
+    oracle by construction."""
+    SALT = 8
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "_salt", F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(SALT))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    )
+    return (
+        li.hint("merge")
+        .join(
+            orders.hint("merge"),
+            (li.l_orderkey == orders.o_orderkey)
+            & (li["_salt"] == orders["_salt"]),
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("items"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
 def q_rel_window_suite(spark, sf_dir):
     """Ranking-analytic suite (ntile / percent_rank / cume_dist) over
     orders per priority — the remaining window-function family the
@@ -1294,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cdc_upsert": q_rel_cdc_upsert,
         "corpus_compact": q_corpus_compact,
         "rel_unpivot": q_rel_unpivot,
+        "rel_shuffle_join_salted": q_rel_shuffle_join_salted,
         "rel_stream_join": q_rel_stream_join,
         "rel_json_extract": q_rel_json_extract,
         "rel_global_topn": q_rel_global_topn,
@@ -1570,6 +1610,16 @@ sessions AS (
         " round(quantile_cont(o_totalprice, 0.5), 6) AS p50,"
         " round(quantile_cont(o_totalprice, 0.95), 6) AS p95"
         " FROM orders GROUP BY 1"
+    )
+
+    # value-equal by construction: salting must not change the result
+    out["rel_shuffle_join_salted"] = (
+        "SELECT o.o_orderpriority, count(*) AS items,"
+        " CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)"
+        "   * 100) AS BIGINT)) AS BIGINT) AS revenue_cents"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " WHERE l.l_shipdate > o.o_orderdate"
+        " GROUP BY 1"
     )
 
     out["rel_unpivot"] = (
