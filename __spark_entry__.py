@@ -1231,6 +1231,39 @@ def q_ann_ivf_trained(spark, sf_dir):
     return ivf_topk(emb, cents=cents)
 
 
+def q_ann_quantized_topk(spark, sf_dir):
+    """Top-k cosine over the int8-quantized corpus (4x
+    memory/bandwidth vs fp32 — the affordable 10^12-vector scan);
+    integer dot products are exact in double so Spark and DuckDB
+    agree bit-for-bit."""
+    from gclog_parser_spark.operators.similarity import quantized_topk
+
+    return quantized_topk(_embs(spark, sf_dir))
+
+
+def q_ann_quant_error(spark, sf_dir):
+    """Per-label int8 reconstruction-error audit — the quality gate
+    run once after quantizing a corpus shard."""
+    from gclog_parser_spark.operators.similarity import (
+        quantization_error,
+    )
+
+    return quantization_error(_embs(spark, sf_dir))
+
+
+def q_web_url_facets(spark, sf_dir):
+    """Per-(tld, scheme) domain rollup over synthesized heterogeneous
+    URLs: Spark splits with Hive ``parse_url`` (codegen), the oracle
+    re-derives every facet with regexps — two independent URL
+    parsers value-checked against each other."""
+    from gclog_parser_spark.operators.webstats import (
+        synth_urls,
+        url_facet_rollup,
+    )
+
+    return url_facet_rollup(synth_urls(_docs(spark, sf_dir)))
+
+
 def q_emb_neardup(spark, sf_dir):
     from gclog_parser_spark.operators.similarity import neardup_pairs
 
@@ -1288,6 +1321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "ann_quant_error": q_ann_quant_error,
+        "web_url_facets": q_web_url_facets,
         "emb_neardup": q_emb_neardup,
         "media_meta": q_media_meta,
         "media_resize": q_media_resize,
@@ -1530,6 +1566,9 @@ sessions AS (
     out["ann_lsh_topk"] = ot.ann_lsh_sql()
     out["ann_ivf_topk"] = ot.ann_ivf_sql()
     out["ann_ivf_trained_topk"] = ot.ann_ivf_trained_sql()
+    out["ann_quantized_topk"] = ot.ann_quantized_sql()
+    out["ann_quant_error"] = ot.quant_error_sql()
+    out["web_url_facets"] = ot.url_facets_sql()
     out["emb_neardup"] = ot.emb_neardup_sql()
     out["media_meta"] = ot.media_meta_sql()
     out["media_resize"] = ot.media_resize_sql()

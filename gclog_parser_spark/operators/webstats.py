@@ -1,0 +1,101 @@
+"""URL / domain analytics over a web corpus.
+
+A Common-Crawl-style pipeline (BASELINE.json input_hint: pages keyed
+by ``url``) constantly needs per-domain rollups — crawl budgeting,
+per-site quality gates, robots/licensing partitions, sink routing by
+registrable domain.  These operators extract URL facets with Spark's
+JVM-side ``parse_url`` (whole-stage codegen, zero Python, zero
+shuffle) and aggregate per facet; the DuckDB oracle re-derives every
+facet with plain regexps — a genuinely independent implementation of
+RFC-3986-ish splitting, so parity is meaningful.
+
+Scale: facet extraction is scan-side (no exchange); the rollup is one
+partial-aggregated exchange on a tiny (tld, scheme) key.  Exact
+distinct-host counts use Spark's two-phase distinct expansion — at
+10^12 pages swap ``countDistinct`` for ``approx_count_distinct`` (the
+HLL sketch) per the docstring on ``url_facet_rollup``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def synth_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic heterogeneous URLs from (doc_id, source, lang) —
+    the driver ``documents`` table carries no url column, so tests and
+    the contract synthesize one: mixed scheme / subdomain / tld /
+    port / trailing file / query string, all pure functions of doc_id
+    so the DuckDB oracle rebuilds the identical strings."""
+    d = F.col("doc_id")
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.when(d % 7 == 0, F.lit("http")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(d % 3 == 0, F.lit("www."))
+            .when(d % 5 == 0, F.lit("cdn."))
+            .otherwise(F.lit("")),
+            F.col("source"),
+            F.when(d % 2 == 0, F.lit(".com")).otherwise(F.lit(".org")),
+            F.when(d % 11 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/p"),
+            (d % 100).cast("string"),
+            F.when(d % 4 == 0, F.lit("/index.html")).otherwise(F.lit("")),
+            F.when(d % 6 == 0,
+                   F.concat(F.lit("?ref=rss&id="), d.cast("string"))
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def url_facets(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-row URL facets via ``parse_url`` (Hive/Java URL splitting,
+    codegen): host (port-free), registrable tld label, scheme flag,
+    explicit port, path depth (non-empty segment count), query-string
+    presence.  Adds columns; scan-side only."""
+    url = F.col(url_col)
+    host = F.parse_url(url, F.lit("HOST"))
+    authority = F.parse_url(url, F.lit("AUTHORITY"))
+    path = F.parse_url(url, F.lit("PATH"))
+    return (
+        df.withColumn("host", host)
+        .withColumn("tld", F.regexp_extract(F.col("host"), r"\.([a-z]+)$", 1))
+        .withColumn("is_https", url.startswith("https://"))
+        .withColumn(
+            "port",
+            F.nullif(
+                F.regexp_extract(authority, r":(\d+)$", 1), F.lit("")
+            ).cast("int"),
+        )
+        .withColumn(
+            "path_depth",
+            F.size(F.filter(F.split(path, "/"), lambda s: s != "")),
+        )
+        .withColumn(
+            "has_query", F.parse_url(url, F.lit("QUERY")).isNotNull()
+        )
+    )
+
+
+def url_facet_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-(tld, scheme) corpus rollup: doc count, EXACT distinct
+    hosts, mean path depth, explicit-port and query-string counts.
+    One exchange on the tiny facet key, everything partial map-side.
+    At 10^12 rows replace ``countDistinct(host)`` with
+    ``approx_count_distinct(host, 0.01)`` — the exact form is kept
+    here because the driver gate value-checks against DuckDB."""
+    return (
+        url_facets(df, url_col)
+        .groupBy("tld", "is_https")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.round(F.avg("path_depth"), 6).alias("avg_depth"),
+            F.count("port").alias("n_with_port"),
+            F.sum(F.col("has_query").cast("long")).alias("n_with_query"),
+        )
+    )

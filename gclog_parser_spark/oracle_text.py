@@ -716,3 +716,100 @@ ng AS (
 SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS df
 FROM ng GROUP BY 1
 ORDER BY n DESC, ngram ASC LIMIT {top}"""
+
+
+_SYNTH_URL = """
+  ('http' || CASE WHEN doc_id % 7 = 0 THEN '' ELSE 's' END || '://'
+   || CASE WHEN doc_id % 3 = 0 THEN 'www.'
+           WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+   || source
+   || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+   || CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END
+   || '/' || lang || '/p' || CAST(doc_id % 100 AS VARCHAR)
+   || CASE WHEN doc_id % 4 = 0 THEN '/index.html' ELSE '' END
+   || CASE WHEN doc_id % 6 = 0
+           THEN '?ref=rss&id=' || CAST(doc_id AS VARCHAR) ELSE '' END)
+"""
+
+
+def url_facets_sql() -> str:
+    """Independent oracle for webstats.url_facet_rollup: the Spark
+    side splits URLs with Hive ``parse_url``; this side re-derives
+    every facet with plain regexps over the identically-synthesized
+    url string (webstats.synth_urls recipe)."""
+    return f"""WITH u AS (
+  SELECT doc_id, {_SYNTH_URL} AS url FROM documents
+),
+f AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^[a-z]+://([^/:?]+)', 1) AS host,
+    starts_with(url, 'https://') AS is_https,
+    NULLIF(regexp_extract(url, '^[a-z]+://[^/:?]+:([0-9]+)', 1), '')
+      AS port,
+    regexp_extract(url, '^[a-z]+://[^/?]+(/[^?]*)', 1) AS path,
+    contains(url, '?') AS has_query
+  FROM u
+)
+SELECT regexp_extract(host, '\\.([a-z]+)$', 1) AS tld, is_https,
+  count(*) AS n_docs,
+  count(DISTINCT host) AS n_hosts,
+  round(avg(len(list_filter(string_split(path, '/'), s -> s <> ''))),
+        6) AS avg_depth,
+  count(port) AS n_with_port,
+  sum(CASE WHEN has_query THEN 1 ELSE 0 END) AS n_with_query
+FROM f GROUP BY 1, 2"""
+
+
+_QUANT_CTE = """qz AS (
+  SELECT vec_id, label,
+    list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)),
+                   'max') AS scale,
+    embedding
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id, label, scale,
+    CASE WHEN scale = 0
+      THEN list_transform(embedding, x -> 0.0::DOUBLE)
+      ELSE list_transform(embedding,
+             x -> round(x::DOUBLE * 127.0 / scale))
+    END AS qvec,
+    embedding
+  FROM qz
+)"""
+
+
+def ann_quantized_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """Oracle for similarity.quantized_topk: int8-quantize in SQL,
+    integer dot products (exact in double), same zero-norm guard and
+    (sim desc, vec_id asc) total order."""
+    cos = _cos_guarded("e.qvec", "q.q")
+    return f"""WITH {_QUANT_CTE},
+q AS (SELECT qvec AS q FROM qv WHERE vec_id = {query_vec_id})
+SELECT e.vec_id, {cos} AS sim
+FROM qv e, q
+WHERE e.vec_id <> {query_vec_id}
+ORDER BY sim DESC, e.vec_id ASC LIMIT {k}"""
+
+
+def quant_error_sql() -> str:
+    """Oracle for similarity.quantization_error (per-label int8
+    reconstruction audit)."""
+    return f"""WITH {_QUANT_CTE},
+err AS (
+  SELECT label, scale,
+    CASE WHEN scale = 0 THEN 0.0
+      ELSE list_aggregate(
+        list_transform(
+          list_zip(qvec, embedding),
+          p -> abs(p[1] * scale / 127.0 - p[2]::DOUBLE)),
+        'max')
+    END AS max_abs_err
+  FROM qv
+)
+SELECT label, count(*) AS n_vecs,
+  round(avg(max_abs_err), 6) AS mean_max_err,
+  round(max(max_abs_err), 6) AS worst_err,
+  round(max(CASE WHEN scale <> 0 THEN max_abs_err / scale END), 6)
+    AS worst_rel_err
+FROM err GROUP BY 1"""

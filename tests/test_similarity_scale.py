@@ -270,3 +270,50 @@ def test_ivf_train_improves_quantizer(spark):
         r["cell"] for r in ivf_assign(emb, cents=trained).collect()
     }
     assert cells <= set(range(len(trained)))
+
+
+def test_quantize_embeddings_range_and_zero_guard(spark):
+    """qvec values live in [-127, 127]; the max-|x| element hits
+    exactly +/-127; all-zero vectors quantize to zeros with scale 0."""
+    from gclog_parser_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -2.0, 0.5], 0),
+            (1, [0.0, 0.0, 0.0], 0),
+            (2, [-0.25, 0.125, 0.0625], 1),
+        ],
+        "vec_id int, embedding array<float>, label int",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in quantize_embeddings(df).collect()
+    }
+    assert rows[0]["scale"] == 2.0
+    assert rows[0]["qvec"] == [64.0, -127.0, 32.0]  # round(.5*127/2)=round(31.75)=32
+    assert rows[1]["scale"] == 0.0 and rows[1]["qvec"] == [0.0, 0.0, 0.0]
+    assert rows[2]["qvec"][0] == -127.0
+    # scan-side only: no exchange in the quantization plan
+    plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quantized_topk_tracks_exact_cosine(spark, sf_dir):
+    """int8 cosine is a close approximation: at least 8 of the exact
+    fp32 top-10 survive in the quantized top-10, and the quantized
+    sims are within 0.02 of exact for the overlap."""
+    from gclog_parser_spark.operators.similarity import (
+        cosine_topk,
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {r["vec_id"]: r["sim"] for r in cosine_topk(emb).collect()}
+    quant = {r["vec_id"]: r["sim"] for r in quantized_topk(emb).collect()}
+    overlap = set(exact) & set(quant)
+    assert len(overlap) >= 8
+    for v in overlap:
+        assert abs(exact[v] - quant[v]) < 0.02

@@ -1,0 +1,75 @@
+"""URL-facet extraction semantics (operators/webstats.py): literal
+URL shapes through the Hive parse_url path, and the rollup plan."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from gclog_parser_spark.operators.webstats import (
+    synth_urls,
+    url_facet_rollup,
+    url_facets,
+)
+
+
+def test_url_facets_literal_shapes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.example.com/en/p1"),
+            (2, "http://cdn.example.org:8080/de/p2/index.html"),
+            (3, "https://example.com/fr/p3?ref=rss&id=3"),
+            (4, "https://example.org/"),
+        ],
+        "doc_id int, url string",
+    )
+    rows = {r["doc_id"]: r for r in url_facets(df).collect()}
+
+    assert rows[1]["host"] == "www.example.com"
+    assert rows[1]["tld"] == "com"
+    assert rows[1]["is_https"] is True
+    assert rows[1]["port"] is None
+    assert rows[1]["path_depth"] == 2
+    assert rows[1]["has_query"] is False
+
+    # explicit port is split off the host; file segment counts
+    assert rows[2]["host"] == "cdn.example.org"
+    assert rows[2]["port"] == 8080
+    assert rows[2]["is_https"] is False
+    assert rows[2]["path_depth"] == 3
+
+    # query string detected, not part of the path
+    assert rows[3]["has_query"] is True
+    assert rows[3]["path_depth"] == 2
+
+    # bare root path
+    assert rows[4]["path_depth"] == 0
+
+
+def test_synth_urls_deterministic_and_heterogeneous(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = synth_urls(docs).select("url")
+    a = sorted(r["url"] for r in urls.collect())
+    b = sorted(r["url"] for r in urls.collect())
+    assert a == b  # pure function of doc_id/source/lang
+    assert any(u.startswith("http://") for u in a)
+    assert any(":8080/" in u for u in a)
+    assert any("?ref=rss" in u for u in a)
+    assert any("/index.html" in u for u in a)
+
+
+def test_url_rollup_single_exchange(spark, sf_dir):
+    """Facet extraction is scan-side; the rollup pays exchanges only
+    for the aggregation itself (partial map-side + the exact-distinct
+    expansion), never an extra repartition of the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        url_facet_rollup(synth_urls(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exact countDistinct plans as a two-phase expand-aggregate:
+    # exchanges on (tld,is_https,host) then (tld,is_https) — and no
+    # Python evaluation anywhere in the URL path
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
