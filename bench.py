@@ -229,6 +229,25 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     t("ann_cosine_np_512d",
       lambda: cosine_topk(embs_wide, scorer="np").count())
 
+    # int8-quantized corpus scan: same 512-dim vectors pre-quantized
+    # to array<tinyint> parquet (the one-time materialization), then
+    # the numpy int8 scorer — the steady-state serving scan reads and
+    # ships 1/4 the bytes of the fp32 path above
+    from gclog_parser_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_scan_topk,
+    )
+    quant_path = f"/tmp/bench_embs512q_{n_wide}"
+    if not os.path.exists(quant_path):
+        quantize_embeddings(embs_wide).write.mode("overwrite").parquet(
+            quant_path
+        )
+    embs_q = spark.read.parquet(quant_path)
+    t("ann_int8_np_512d",
+      lambda: quantized_scan_topk(embs_q).count())
+    extras["emb_fp32_bytes"] = _dir_bytes(wide_path)
+    extras["emb_int8_bytes"] = _dir_bytes(quant_path)
+
     extras["synth_pages"] = pages_n
     extras["synth_events"] = n_events
     extras["docs_per_sec"] = round(pages_n / dt_narrow, 1)

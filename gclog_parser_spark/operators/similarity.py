@@ -449,25 +449,85 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
 
     Per vector: ``scale = max(|x_i|)`` and ``q_i = round(x_i * 127 /
     scale)`` (half-away-from-zero in BOTH engines — Spark ``F.round``
-    HALF_UP == DuckDB ``round``).  All-zero vectors quantize to zeros
-    with scale 0 (the same zero-norm guard the cosine scorers use).
-    Pure codegen array expressions: scan-side, zero shuffle, no
-    Python."""
+    HALF_UP == DuckDB ``round``), stored as ``array<tinyint>`` so the
+    4x is real on disk and over Arrow, not just notional.  All-zero
+    vectors quantize to zeros with scale 0 (the same zero-norm guard
+    the cosine scorers use).  Pure codegen array expressions:
+    scan-side, zero shuffle, no Python."""
     scale = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
     qvec = F.when(F.col("scale") == 0,
-                  F.transform(F.col("embedding"), lambda x: F.lit(0.0))
+                  F.transform(
+                      F.col("embedding"),
+                      lambda x: F.lit(0).cast("byte"),
+                  )
            ).otherwise(
         F.transform(
             F.col("embedding"),
-            lambda x: F.round(x.cast("double") * 127.0 / F.col("scale")),
+            lambda x: F.round(
+                x.cast("double") * 127.0 / F.col("scale")
+            ).cast("byte"),
         )
     )
     return (
         emb.withColumn("scale", scale)
         .withColumn("qvec", qvec)
         .select("vec_id", "label", "scale", "qvec")
+    )
+
+
+def _cos_sim_np_int8(q_qvec):
+    """Arrow/numpy scorer over the int8 ``qvec`` column — the
+    production scan for a quantized corpus: the Arrow transfer moves
+    1/4 the bytes of fp32 and the matvec runs in float32 BLAS.
+    Bench-path only (float32 accumulation order differs from the
+    double HOF at ~1e-7 — the HOF expression stays the oracle-parity
+    scorer)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(q_qvec, dtype=np.float32)
+    qnorm = float(np.sqrt((q * q).sum()))
+
+    def _sim(col):
+        if len(col) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.stack(col.to_numpy()).astype(np.float32, copy=False)
+        denom = np.sqrt((m * m).sum(axis=1)) * qnorm
+        out = np.full(len(col), np.nan)
+        ok = denom != 0
+        # matvec in float32 (the bandwidth/SIMD win), divide + round in
+        # float64 so the 6-dp sims are clean doubles
+        out[ok] = np.round(
+            (m[ok] @ q).astype(np.float64) / denom[ok].astype(np.float64),
+            6,
+        )
+        return pd.Series(out)
+
+    return pandas_udf(_sim, "double")
+
+
+def quantized_scan_topk(
+    qz: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Top-k over an ALREADY-quantized table (``quantize_embeddings``
+    output, e.g. the int8 parquet a pipeline materializes once and
+    scans many times) with the numpy int8 scorer — the steady-state
+    ANN serving scan: 4x less parquet read + Arrow transfer than the
+    fp32 corpus."""
+    row = qz.where(F.col("vec_id") == query_vec_id).select("qvec").head()
+    if row is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    corpus = qz.where(F.col("vec_id") != query_vec_id)
+    return (
+        corpus.select(
+            "vec_id",
+            _cos_sim_np_int8(list(row["qvec"]))(F.col("qvec")).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
     )
 
 

@@ -293,9 +293,12 @@ def test_quantize_embeddings_range_and_zero_guard(spark):
         for r in quantize_embeddings(df).collect()
     }
     assert rows[0]["scale"] == 2.0
-    assert rows[0]["qvec"] == [64.0, -127.0, 32.0]  # round(.5*127/2)=round(31.75)=32
-    assert rows[1]["scale"] == 0.0 and rows[1]["qvec"] == [0.0, 0.0, 0.0]
-    assert rows[2]["qvec"][0] == -127.0
+    assert rows[0]["qvec"] == [64, -127, 32]  # round(.5*127/2)=round(31.75)=32
+    assert rows[1]["scale"] == 0.0 and rows[1]["qvec"] == [0, 0, 0]
+    assert rows[2]["qvec"][0] == -127
+    # int8 storage is real: elements are tinyint, not double
+    qdf = quantize_embeddings(df)
+    assert dict(qdf.dtypes)["qvec"] == "array<tinyint>"
     # scan-side only: no exchange in the quantization plan
     plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
