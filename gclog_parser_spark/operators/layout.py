@@ -27,6 +27,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def bucket_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally bucket-sorted)
+    table — the co-location lever for repeated fact-to-fact joins.
+
+    Two tables bucketed on the join key with the same bucket count
+    join with ZERO exchanges (and zero sorts when ``sort_by`` matches
+    the key): at 100 TB that converts every recurring
+    lineitem⋈orders-shaped join from a full two-sided shuffle into a
+    local per-bucket merge.  This is the parquet/hive stand-in for
+    Iceberg's ``bucket(N, col)`` partition transform (same hash, same
+    effect; see route.fanout_write for the Iceberg note).
+
+    ``path`` makes it an external table (tests point this at a tmp
+    dir); bucketing requires the table catalog, so this is
+    ``saveAsTable``, not a bare ``parquet()`` write.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+
+
 def compact_table(
     df: DataFrame,
     out_path: str,

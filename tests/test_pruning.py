@@ -78,3 +78,52 @@ def test_runtime_bloom_filter_on_shuffle_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_thresh,
         )
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Both sides bucketed on the join key with equal bucket counts:
+    the SortMergeJoin runs per-bucket with ZERO exchanges on either
+    input — the only Exchange left in the whole plan is the tiny
+    post-join aggregation.  The recurring-join layout lever (Iceberg
+    bucket(N, col) transform stand-in)."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.layout import bucket_table
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        bucket_table(li, "li_bkt", ["l_orderkey"], 8,
+                     path=str(tmp_path / "li"), sort_by=["l_orderkey"])
+        bucket_table(orders, "ord_bkt", ["o_orderkey"], 8,
+                     path=str(tmp_path / "ord"), sort_by=["o_orderkey"])
+        j = (
+            spark.table("li_bkt")
+            .join(
+                spark.table("ord_bkt"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 1  # the agg only
+        # and bucketing changed only the plan, not the answer
+        got = {r["o_orderpriority"]: r["n"] for r in j.collect()}
+        want = {
+            r["o_orderpriority"]: r["n"]
+            for r in li.join(
+                orders, li.l_orderkey == orders.o_orderkey
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
