@@ -1264,6 +1264,19 @@ def q_web_url_facets(spark, sf_dir):
     return url_facet_rollup(synth_urls(_docs(spark, sf_dir)))
 
 
+def q_gc_key_skew(spark, sf_dir):
+    """Key-skew diagnosis on the pages hot-hour key (70 % of pages on
+    hour 4 by construction) — the measurement that justifies the
+    salted twins (`gc_per_sink_hourly_salted`,
+    `rel_shuffle_join_salted`)."""
+    from gclog_parser_spark.operators.aggregate import skew_stats
+
+    pages = pages_from_documents(spark, sf_dir)
+    return skew_stats(
+        pages.withColumn("hour", F.hour("warc_ts")), ["hour"]
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     from gclog_parser_spark.operators.similarity import neardup_pairs
 
@@ -1324,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_quant_error": q_ann_quant_error,
         "web_url_facets": q_web_url_facets,
+        "gc_key_skew": q_gc_key_skew,
         "emb_neardup": q_emb_neardup,
         "media_meta": q_media_meta,
         "media_resize": q_media_resize,
@@ -1569,6 +1583,7 @@ sessions AS (
     out["ann_quantized_topk"] = ot.ann_quantized_sql()
     out["ann_quant_error"] = ot.quant_error_sql()
     out["web_url_facets"] = ot.url_facets_sql()
+    out["gc_key_skew"] = oracle.skew_stats_sql()
     out["emb_neardup"] = ot.emb_neardup_sql()
     out["media_meta"] = ot.media_meta_sql()
     out["media_resize"] = ot.media_resize_sql()

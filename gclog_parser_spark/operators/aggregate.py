@@ -200,3 +200,38 @@ def value_histogram(
             F.round(F.max(col), 6).alias("bin_max"),
         )
     )
+
+
+def skew_stats(
+    df: DataFrame, key_cols: list[str], top: int = 5
+) -> DataFrame:
+    """Key-skew diagnosis — the measurement that decides whether a
+    groupBy/join key needs salting (`per_sink_hourly_salted`,
+    `rel_shuffle_join_salted`) or AQE's skew split.  Per heavy key:
+    row count, share of the table, and the skew ratio vs a perfectly
+    uniform key (count / (total/distinct)); a ratio >> shuffle-
+    partition count means one reducer owns the key and salting pays.
+
+    Two partial-aggregated exchanges (key counts, then the global
+    top-N via distributed TakeOrdered) — both ∝ distinct keys, never
+    rows.  Deterministic order: (n desc, key asc)."""
+    key = [F.col(c).cast("string").alias(c) for c in key_cols]
+    counts = df.select(*key).groupBy(*key_cols).agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("n") * F.col("n_keys") / F.col("total"), 6
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n"), *[F.asc(c) for c in key_cols])
+        .limit(top)
+    )

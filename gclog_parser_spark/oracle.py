@@ -748,3 +748,20 @@ SELECT '{url}' AS url, block_idx,
   region_name, regions_before, regions_after, target_regions
 FROM r
 """
+
+
+def skew_stats_sql(top: int = 5) -> str:
+    """Oracle for aggregate.skew_stats over the pages hot-hour key
+    (70 % of pages land on hour 4 by construction — the skew the
+    salted aggregate defuses)."""
+    return with_prefix() + f"""
+, counts AS (
+  SELECT CAST(hour(warc_ts) AS VARCHAR) AS hour, count(*) AS n
+  FROM pages GROUP BY 1
+),
+tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM counts)
+SELECT hour, n,
+  round(n / total, 6) AS share,
+  round(n * n_keys / total, 6) AS skew_ratio
+FROM counts, tot
+ORDER BY n DESC, hour ASC LIMIT {top}"""

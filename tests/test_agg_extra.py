@@ -137,3 +137,19 @@ def test_global_topn_avoids_global_sort(spark, sf_dir):
     # per-partition partial top-N, no rangepartitioning shuffle
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_skew_stats_literal(spark):
+    """skew_ratio = count / (total/distinct); the hot key dominates."""
+    from gclog_parser_spark.operators.aggregate import skew_stats
+
+    df = spark.createDataFrame(
+        [("a",)] * 8 + [("b",)] + [("c",)],
+        "k string",
+    )
+    rows = skew_stats(df, ["k"], top=2).collect()
+    assert [r["k"] for r in rows] == ["a", "b"]
+    assert rows[0]["n"] == 8
+    assert rows[0]["share"] == 0.8
+    # 3 distinct keys, uniform would be 10/3 each: 8 / (10/3) = 2.4
+    assert rows[0]["skew_ratio"] == 2.4
