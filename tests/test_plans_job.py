@@ -248,3 +248,49 @@ def test_corpus_pipeline_compact_layout(spark, sf_dir, tmp_path):
         assert len(files) == 1, (d, files)
         ids = [r["doc_id"] for r in spark.read.parquet(files[0]).collect()]
         assert ids == sorted(ids)
+
+
+def test_embed_pipeline_outputs_and_determinism(spark, tmp_path):
+    """jobs/embed_pipeline.py: int8 serving table + LSH bucket index +
+    audit stats; a re-run produces identical assignments."""
+    import duckdb
+
+    from jobs.embed_pipeline import run_embed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    s1 = run_embed(spark, emb, out1)
+    s2 = run_embed(spark, emb, out2)
+    assert s1["n_vecs"] == 500 and s1["n_buckets"] >= 1
+    assert s1["worst_rel_err"] < 0.005  # int8 quantization bound ~1/254
+
+    con = duckdb.connect()
+    for o, t in [(out1, "a"), (out2, "b")]:
+        con.execute(
+            f"CREATE VIEW q_{t} AS SELECT * FROM "
+            f"read_parquet('{o}/quantized/*.parquet')"
+        )
+        con.execute(
+            f"CREATE VIEW b_{t} AS SELECT * FROM "
+            f"read_parquet('{o}/buckets/*.parquet')"
+        )
+    # serving table is tinyint and byte-identical across runs
+    types = dict(
+        (r[0], r[1])
+        for r in con.execute("DESCRIBE SELECT * FROM q_a").fetchall()
+    )
+    assert types["qvec"] == "TINYINT[]"
+    assert (
+        con.execute(
+            "SELECT count(*) FROM (SELECT * FROM q_a EXCEPT "
+            "SELECT * FROM q_b)"
+        ).fetchone()[0]
+        == 0
+    )
+    assert (
+        con.execute(
+            "SELECT count(*) FROM (SELECT * FROM b_a EXCEPT "
+            "SELECT * FROM b_b)"
+        ).fetchone()[0]
+        == 0
+    )
