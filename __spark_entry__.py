@@ -794,6 +794,31 @@ def q_rel_window_suite(spark, sf_dir):
     )
 
 
+def q_rel_transitions(spark, sf_dir):
+    """Event-type transition matrix (the Markov flow a telemetry
+    pipeline derives for funnel/anomaly work): per user, order events
+    by time and count (prev_type -> event_type) transitions, with the
+    per-source transition probability.  One exchange on user_id for
+    the lag window, then one tiny exchange on the 5x5 type pair;
+    (ts, event_id) total order makes every lag deterministic."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        "event_type",
+    ).where(F.col("prev_type").isNotNull())
+    by_pair = pairs.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w_src = Window.partitionBy("prev_type")
+    return by_pair.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_src), 6).alias("prob"),
+    )
+
+
 def q_rel_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (`percentile` — the
     non-approx twin of the flagship's percentile_approx): p50/p95 of
@@ -1378,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_multiway_join": q_rel_multiway_join,
         "text_ngrams": q_text_ngrams,
         "rel_window_suite": q_rel_window_suite,
+        "rel_transitions": q_rel_transitions,
         "rel_percentiles": q_rel_percentiles,
         "rel_cdc_latest": q_rel_cdc_latest,
         "rel_cdc_upsert": q_rel_cdc_upsert,
@@ -1657,6 +1683,19 @@ sessions AS (
         " FROM orders"
         " WINDOW w AS (PARTITION BY o_orderpriority"
         " ORDER BY o_totalprice DESC, o_orderkey ASC)"
+    )
+
+    out["rel_transitions"] = (
+        "WITH pairs AS ("
+        " SELECT lag(event_type) OVER (PARTITION BY user_id"
+        "   ORDER BY ts, event_id) AS prev_type, event_type"
+        " FROM events),"
+        " by_pair AS ("
+        " SELECT prev_type, event_type, count(*) AS n FROM pairs"
+        " WHERE prev_type IS NOT NULL GROUP BY 1, 2)"
+        " SELECT prev_type, event_type, n,"
+        " round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS prob"
+        " FROM by_pair"
     )
 
     out["rel_percentiles"] = (
