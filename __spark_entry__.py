@@ -819,6 +819,32 @@ def q_rel_transitions(spark, sf_dir):
     )
 
 
+def q_rel_retention(spark, sf_dir):
+    """Retention cohorts (the other telemetry staple next to the
+    transition matrix): users grouped by first-seen day, distinct
+    active users per (cohort_day, weeks-since-first-seen).  The
+    cohort assignment is a per-user window min — one user_id
+    exchange — then an exact-distinct count per (day, week) key."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id")
+    cohorts = ev.select(
+        "user_id",
+        F.min(F.to_date("ts")).over(w).alias("cohort_day"),
+        F.to_date("ts").alias("day"),
+    )
+    return (
+        cohorts.select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                F.datediff("day", "cohort_day") / 7
+            ).alias("offset_week"),
+        )
+        .groupBy("cohort_day", "offset_week")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 def q_rel_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (`percentile` — the
     non-approx twin of the flagship's percentile_approx): p50/p95 of
@@ -1404,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngrams": q_text_ngrams,
         "rel_window_suite": q_rel_window_suite,
         "rel_transitions": q_rel_transitions,
+        "rel_retention": q_rel_retention,
         "rel_percentiles": q_rel_percentiles,
         "rel_cdc_latest": q_rel_cdc_latest,
         "rel_cdc_upsert": q_rel_cdc_upsert,
@@ -1696,6 +1723,19 @@ sessions AS (
         " SELECT prev_type, event_type, n,"
         " round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS prob"
         " FROM by_pair"
+    )
+
+    out["rel_retention"] = (
+        "WITH c AS ("
+        " SELECT user_id,"
+        "  min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)"
+        "   AS cohort_day,"
+        "  CAST(ts AS DATE) AS day"
+        " FROM events)"
+        " SELECT cohort_day,"
+        " date_diff('day', cohort_day, day) // 7 AS offset_week,"
+        " count(DISTINCT user_id) AS active_users"
+        " FROM c GROUP BY 1, 2"
     )
 
     out["rel_percentiles"] = (
