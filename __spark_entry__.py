@@ -845,6 +845,55 @@ def q_rel_retention(spark, sf_dir):
     )
 
 
+def q_rel_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: each step
+    counts only events strictly AFTER the user's previous-step time
+    (min-over-window chain — the order constraint is what separates a
+    funnel from three independent counts).  All three steps share the
+    one user_id hash partitioning (windows without orderBy add no
+    sort), so the whole funnel is a single exchange + a global
+    one-row aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_after"),
+        F.count("t3").alias("n_purchase_after"),
+        F.round(F.count("t2") / F.count("t1"), 6).alias("view_to_click"),
+        F.round(F.count("t3") / F.count("t2"), 6).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
 def q_rel_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (`percentile` — the
     non-approx twin of the flagship's percentile_approx): p50/p95 of
@@ -1431,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_suite": q_rel_window_suite,
         "rel_transitions": q_rel_transitions,
         "rel_retention": q_rel_retention,
+        "rel_funnel": q_rel_funnel,
         "rel_percentiles": q_rel_percentiles,
         "rel_cdc_latest": q_rel_cdc_latest,
         "rel_cdc_upsert": q_rel_cdc_upsert,
@@ -1736,6 +1786,28 @@ sessions AS (
         " date_diff('day', cohort_day, day) // 7 AS offset_week,"
         " count(DISTINCT user_id) AS active_users"
         " FROM c GROUP BY 1, 2"
+    )
+
+    out["rel_funnel"] = (
+        "WITH s AS ("
+        " SELECT user_id, event_type, ts,"
+        "  min(CASE WHEN event_type = 'view' THEN ts END)"
+        "   OVER (PARTITION BY user_id) AS t1"
+        " FROM events),"
+        " s2 AS ("
+        " SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1"
+        "   THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM s),"
+        " s3 AS ("
+        " SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2"
+        "   THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM s2),"
+        " pu AS ("
+        " SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3"
+        " FROM s3 GROUP BY 1)"
+        " SELECT count(t1) AS n_view, count(t2) AS n_click_after,"
+        " count(t3) AS n_purchase_after,"
+        " round(count(t2) / count(t1), 6) AS view_to_click,"
+        " round(count(t3) / count(t2), 6) AS click_to_purchase"
+        " FROM pu"
     )
 
     out["rel_percentiles"] = (
