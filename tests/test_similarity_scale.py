@@ -320,3 +320,36 @@ def test_quantized_topk_tracks_exact_cosine(spark, sf_dir):
     assert len(overlap) >= 8
     for v in overlap:
         assert abs(exact[v] - quant[v]) < 0.02
+
+
+def test_quantization_error_bound_adversarial(spark):
+    """Reconstruction error of round-half-up int8 quantization is
+    bounded by scale/254 (half a quantization step) up to float
+    round-off — pinned on adversarial vectors: exact .5 rounding
+    boundaries, denormal-ish magnitudes, huge scales, negative
+    maxima, and a zero vector."""
+    from gclog_parser_spark.operators.similarity import (
+        quantization_error,
+    )
+
+    rows = [
+        # exact rounding boundaries: x*127/scale = k + 0.5
+        (0, [1.0, 0.5 / 127.0 * 1.0, 0.25], 0),
+        (1, [-1.0, -0.5, 63.5 / 127.0], 0),
+        # tiny magnitudes
+        (2, [1e-30, -3e-31, 2e-31], 1),
+        # huge magnitudes
+        (3, [1e30, -7.3e29, 1.1e29], 1),
+        # negative max-|x| element
+        (4, [-5.0, 2.5, -1.25], 2),
+        # all zeros
+        (5, [0.0, 0.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, label int"
+    )
+    for r in quantization_error(df).collect():
+        # worst_rel_err = max |recon - x| / scale <= 1/254 (+eps)
+        assert r["worst_rel_err"] is None or (
+            r["worst_rel_err"] <= 1.0 / 254.0 + 1e-6
+        ), r
