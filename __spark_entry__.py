@@ -894,6 +894,43 @@ def q_rel_funnel(spark, sf_dir):
     )
 
 
+def q_rel_dq_checks(spark, sf_dir):
+    """Data-quality constraint report (the Deequ/dbt-test shape):
+    uniqueness, null ratio, value range, accepted values, and
+    referential integrity as uniform (rule, metric, passed) rows —
+    the validation layer a pipeline runs before publishing a table."""
+    from gclog_parser_spark.operators.quality import (
+        accepted_values_check,
+        dq_report,
+        fk_check,
+        null_check,
+        range_check,
+        unique_check,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dq_report(
+        [
+            unique_check(orders, ["o_orderkey"], "orders_pk_unique"),
+            null_check(orders, "o_orderdate", "orders_date_not_null"),
+            range_check(
+                orders, "o_totalprice", 0, 1e9, "orders_price_range"
+            ),
+            accepted_values_check(
+                ev,
+                "event_type",
+                ["view", "click", "purchase", "signup", "error"],
+                "events_type_domain",
+            ),
+            fk_check(
+                li, orders, "l_orderkey", "o_orderkey", "lineitem_fk"
+            ),
+        ]
+    )
+
+
 def q_rel_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (`percentile` — the
     non-approx twin of the flagship's percentile_approx): p50/p95 of
@@ -1481,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_transitions": q_rel_transitions,
         "rel_retention": q_rel_retention,
         "rel_funnel": q_rel_funnel,
+        "rel_dq_checks": q_rel_dq_checks,
         "rel_percentiles": q_rel_percentiles,
         "rel_cdc_latest": q_rel_cdc_latest,
         "rel_cdc_upsert": q_rel_cdc_upsert,
@@ -1808,6 +1846,43 @@ sessions AS (
         " round(count(t2) / count(t1), 6) AS view_to_click,"
         " round(count(t3) / count(t2), 6) AS click_to_purchase"
         " FROM pu"
+    )
+
+    out["rel_dq_checks"] = (
+        "SELECT 'orders_pk_unique' AS rule,"
+        " round((count(*) - count(DISTINCT o_orderkey))"
+        "   / count(*), 6) AS metric,"
+        " round((count(*) - count(DISTINCT o_orderkey))"
+        "   / count(*), 6) <= 0 AS passed FROM orders"
+        " UNION ALL"
+        " SELECT 'orders_date_not_null',"
+        " round((count(*) - count(o_orderdate)) / count(*), 6),"
+        " round((count(*) - count(o_orderdate)) / count(*), 6) <= 0"
+        " FROM orders"
+        " UNION ALL"
+        " SELECT 'orders_price_range',"
+        " round(coalesce(sum(CASE WHEN o_totalprice < 0"
+        "   OR o_totalprice > 1e9 THEN 1 ELSE 0 END), 0)"
+        "   / count(*), 6),"
+        " round(coalesce(sum(CASE WHEN o_totalprice < 0"
+        "   OR o_totalprice > 1e9 THEN 1 ELSE 0 END), 0)"
+        "   / count(*), 6) <= 0 FROM orders"
+        " UNION ALL"
+        " SELECT 'events_type_domain',"
+        " round(sum(CASE WHEN event_type IN"
+        "   ('view','click','purchase','signup','error')"
+        "   THEN 0 ELSE 1 END) / count(*), 6),"
+        " round(sum(CASE WHEN event_type IN"
+        "   ('view','click','purchase','signup','error')"
+        "   THEN 0 ELSE 1 END) / count(*), 6) <= 0 FROM events"
+        " UNION ALL"
+        " SELECT 'lineitem_fk',"
+        " round(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)"
+        "   / count(*), 6),"
+        " round(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)"
+        "   / count(*), 6) <= 0"
+        " FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey"
+        "   FROM orders) o ON l.l_orderkey = o.o_orderkey"
     )
 
     out["rel_percentiles"] = (

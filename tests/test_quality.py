@@ -1,0 +1,64 @@
+"""Data-quality constraint checks (operators/quality.py): each check
+detects its deliberate violation and reports the exact ratio."""
+
+from __future__ import annotations
+
+from gclog_parser_spark.operators.quality import (
+    accepted_values_check,
+    dq_report,
+    fk_check,
+    null_check,
+    range_check,
+    unique_check,
+)
+
+
+def test_dq_checks_detect_violations(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 20), (3, None), (4, 999)],
+        "k int, v int",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+
+    report = {
+        r["rule"]: r
+        for r in dq_report(
+            [
+                unique_check(child, ["k"], "k_unique"),
+                null_check(child, "v", "v_not_null"),
+                range_check(child, "v", 0, 100, "v_range"),
+                accepted_values_check(
+                    child, "v", [10, 20], "v_domain"
+                ),
+                fk_check(child, parent, "k", "pk", "fk"),
+            ]
+        ).collect()
+    }
+    # 5 rows, 4 distinct k -> 1/5 duplicate ratio
+    assert report["k_unique"]["metric"] == 0.2
+    assert report["k_unique"]["passed"] is False
+    # one NULL v
+    assert report["v_not_null"]["metric"] == 0.2
+    # 999 out of range (NULL not counted as range violation)
+    assert report["v_range"]["metric"] == 0.2
+    # 999 and NULL both outside the accepted set -> 2/5
+    assert report["v_domain"]["metric"] == 0.4
+    # k=4 has no parent -> 1/5
+    assert report["fk"]["metric"] == 0.2
+    assert report["fk"]["passed"] is False
+
+
+def test_dq_checks_all_pass_when_clean(spark):
+    df = spark.createDataFrame([(1, 5), (2, 7)], "k int, v int")
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    rows = dq_report(
+        [
+            unique_check(df, ["k"], "u"),
+            null_check(df, "v", "n"),
+            range_check(df, "v", 0, 10, "r"),
+            accepted_values_check(df, "v", [5, 7], "d"),
+            fk_check(df, parent, "k", "pk", "f"),
+        ]
+    ).collect()
+    assert all(r["passed"] for r in rows)
+    assert all(r["metric"] == 0.0 for r in rows)
