@@ -894,6 +894,30 @@ def q_rel_funnel(spark, sf_dir):
     )
 
 
+def q_rel_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window (dynamic-gap event-time sessions
+    — the streaming-capable primitive) against a DuckDB
+    gaps-and-islands re-derivation (lag + running sum): two genuinely
+    different session algorithms that must agree.  Boundary semantics
+    pinned: a gap of exactly 6 h starts a NEW session in both
+    (session intervals are half-open).  One user_id exchange."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "6 hours"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("duration_us"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_us")
+    )
+
+
 def q_rel_dq_checks(spark, sf_dir):
     """Data-quality constraint report (the Deequ/dbt-test shape):
     uniqueness, null ratio, value range, accepted values, and
@@ -1519,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_retention": q_rel_retention,
         "rel_funnel": q_rel_funnel,
         "rel_dq_checks": q_rel_dq_checks,
+        "rel_session_window": q_rel_session_window,
         "rel_percentiles": q_rel_percentiles,
         "rel_cdc_latest": q_rel_cdc_latest,
         "rel_cdc_upsert": q_rel_cdc_upsert,
@@ -1846,6 +1871,25 @@ sessions AS (
         " round(count(t2) / count(t1), 6) AS view_to_click,"
         " round(count(t3) / count(t2), 6) AS click_to_purchase"
         " FROM pu"
+    )
+
+    out["rel_session_window"] = (
+        "WITH x AS ("
+        " SELECT user_id, ts,"
+        "  CASE WHEN lag(ts) OVER w IS NULL"
+        "   OR date_diff('microsecond', lag(ts) OVER w, ts)"
+        "    >= 21600000000 THEN 1 ELSE 0 END AS new_s"
+        " FROM events"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+        " s AS ("
+        " SELECT user_id, ts,"
+        "  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+        "   ROWS UNBOUNDED PRECEDING) AS sid"
+        " FROM x)"
+        " SELECT user_id, min(ts) AS session_start,"
+        " count(*) AS n_events,"
+        " date_diff('microsecond', min(ts), max(ts)) AS duration_us"
+        " FROM s GROUP BY user_id, sid"
     )
 
     out["rel_dq_checks"] = (
