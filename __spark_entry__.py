@@ -918,6 +918,39 @@ def q_rel_session_window(spark, sf_dir):
     )
 
 
+def q_rel_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE — the iterative-plan
+    capability star-join engines lack): walk a deterministic synthetic
+    hierarchy (node -> node div 2, a binary tree over the distinct
+    user ids; the driver tables carry no parent pointers, so the tree
+    is derived identically in both engines) and aggregate users/events
+    per hierarchy depth.  Each recursion step is one self-join round —
+    the same shape as BOM/org-chart traversals at scale."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "ev_rec"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(user_id, node, depth) AS (
+          SELECT user_id, user_id, 0
+          FROM (SELECT DISTINCT user_id FROM ev_rec WHERE user_id >= 1)
+          UNION ALL
+          SELECT user_id, node DIV 2, depth + 1 FROM walk WHERE node > 1
+        ),
+        per_user AS (
+          SELECT user_id, max(depth) AS depth FROM walk GROUP BY 1
+        ),
+        ev_counts AS (
+          SELECT user_id, count(*) AS n_ev FROM ev_rec GROUP BY 1
+        )
+        SELECT p.depth, count(*) AS n_users,
+               sum(e.n_ev) AS n_events
+        FROM per_user p JOIN ev_counts e ON p.user_id = e.user_id
+        GROUP BY 1
+        """
+    )
+
+
 def q_rel_dq_checks(spark, sf_dir):
     """Data-quality constraint report (the Deequ/dbt-test shape):
     uniqueness, null ratio, value range, accepted values, and
@@ -1544,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_funnel": q_rel_funnel,
         "rel_dq_checks": q_rel_dq_checks,
         "rel_session_window": q_rel_session_window,
+        "rel_recursive_cte": q_rel_recursive_cte,
         "rel_percentiles": q_rel_percentiles,
         "rel_cdc_latest": q_rel_cdc_latest,
         "rel_cdc_upsert": q_rel_cdc_upsert,
@@ -1871,6 +1905,24 @@ sessions AS (
         " round(count(t2) / count(t1), 6) AS view_to_click,"
         " round(count(t3) / count(t2), 6) AS click_to_purchase"
         " FROM pu"
+    )
+
+    out["rel_recursive_cte"] = (
+        "WITH RECURSIVE walk(user_id, node, depth) AS ("
+        " SELECT user_id, user_id, 0"
+        " FROM (SELECT DISTINCT user_id FROM events WHERE user_id >= 1)"
+        " UNION ALL"
+        " SELECT user_id, node // 2, depth + 1 FROM walk WHERE node > 1"
+        "),"
+        " per_user AS ("
+        " SELECT user_id, max(depth) AS depth FROM walk GROUP BY 1),"
+        " ev_counts AS ("
+        " SELECT user_id, count(*) AS n_ev FROM events"
+        " WHERE user_id >= 1 GROUP BY 1)"
+        " SELECT p.depth, count(*) AS n_users,"
+        " sum(e.n_ev) AS n_events"
+        " FROM per_user p JOIN ev_counts e ON p.user_id = e.user_id"
+        " GROUP BY 1"
     )
 
     out["rel_session_window"] = (
