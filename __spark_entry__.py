@@ -951,6 +951,32 @@ def q_rel_recursive_cte(spark, sf_dir):
     )
 
 
+def q_rel_variant_extract(spark, sf_dir):
+    """Semi-structured via the VARIANT type (Spark 4 / open-table
+    binary-encoded JSON — the scale-efficient sibling of
+    `rel_json_extract`'s string-path `get_json_object`): parse once
+    into VARIANT, extract typed fields with `try_variant_get`, and
+    introspect the shape with `schema_of_variant` as a grouping key.
+    The oracle re-derives both the value and the type introspection
+    from DuckDB's JSON extension — an independent parser AND an
+    independent type mapper."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "long").alias("k"),
+            F.schema_of_variant(v).alias("variant_schema"),
+        )
+        .groupBy("event_type", "variant_schema")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.round(F.expr("percentile(k, 0.9)"), 6).alias("p90_k"),
+        )
+    )
+
+
 def q_rel_dq_checks(spark, sf_dir):
     """Data-quality constraint report (the Deequ/dbt-test shape):
     uniqueness, null ratio, value range, accepted values, and
@@ -1578,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_dq_checks": q_rel_dq_checks,
         "rel_session_window": q_rel_session_window,
         "rel_recursive_cte": q_rel_recursive_cte,
+        "rel_variant_extract": q_rel_variant_extract,
         "rel_percentiles": q_rel_percentiles,
         "rel_cdc_latest": q_rel_cdc_latest,
         "rel_cdc_upsert": q_rel_cdc_upsert,
@@ -1905,6 +1932,21 @@ sessions AS (
         " round(count(t2) / count(t1), 6) AS view_to_click,"
         " round(count(t3) / count(t2), 6) AS click_to_purchase"
         " FROM pu"
+    )
+
+    out["rel_variant_extract"] = (
+        "SELECT event_type,"
+        " CASE WHEN json_type(json_extract(props, '$.k'))"
+        "   IN ('UBIGINT', 'BIGINT', 'INTEGER')"
+        "  THEN 'OBJECT<k: BIGINT>'"
+        "  ELSE 'OBJECT<k: ' || json_type(json_extract(props, '$.k'))"
+        "   || '>' END AS variant_schema,"
+        " count(*) AS n,"
+        " round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6)"
+        "  AS avg_k,"
+        " round(quantile_cont(CAST(json_extract(props, '$.k')"
+        "  AS BIGINT), 0.9), 6) AS p90_k"
+        " FROM events GROUP BY 1, 2"
     )
 
     out["rel_recursive_cte"] = (
