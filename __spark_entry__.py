@@ -13,6 +13,7 @@ DuckDB SQL (gclog_parser_spark/oracle.py).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -1524,6 +1525,87 @@ def q_media_frames(spark, sf_dir):
     return sample_frames(pages_from_documents(spark, sf_dir))
 
 
+def _snap_table(spark, sf_dir, tag: str, n_appends: int = 3) -> str:
+    """Build (once per sf_dir per process) a snapshot-catalog table of
+    the events rows, committed as ``n_appends`` deterministic appends
+    split on ``event_id % n_appends`` — the fixture for the
+    time-travel / incremental / pruning contract queries.  The split is
+    pure modular arithmetic so DuckDB can express each snapshot's
+    contents as a WHERE clause."""
+    import tempfile
+
+    from gclog_parser_spark.sources import catalog as cat
+
+    key = f"gps_snap_{tag}_{abs(hash(sf_dir)) % 10**8}"
+    base = os.path.join(tempfile.gettempdir(), key)
+    if cat.current_snapshot_id(base) == n_appends:
+        return base
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i in range(n_appends):
+        cat.snapshot_write(
+            ev.filter(F.col("event_id") % n_appends == i), base, "append"
+        )
+    return base
+
+
+def q_snap_time_travel(spark, sf_dir):
+    """Iceberg-style time travel: read the snapshot-catalog table AS OF
+    snapshot 2 (of 3 appends) and aggregate — proves the manifest tree
+    reconstructs a historical table state exactly (oracle: the modular
+    predicate that defined the first two commits)."""
+    from gclog_parser_spark.sources import catalog as cat
+
+    table = _snap_table(spark, sf_dir, "tt")
+    df = cat.read_snapshot(spark, table, snapshot_id=2)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("events"),
+        F.sum(_pause_ticks("value")).alias("value_ticks_sum"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+def q_snap_incremental(spark, sf_dir):
+    """Incremental (CDC-consumer) read: exactly the rows appended
+    after snapshot 1 up to snapshot 3, computed as a manifest-set
+    difference — no data diffing, no full scan of the base."""
+    from gclog_parser_spark.sources import catalog as cat
+
+    table = _snap_table(spark, sf_dir, "tt")
+    df = cat.incremental_read(spark, table, from_snapshot=1, to_snapshot=3)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("events"),
+        F.sum(_pause_ticks("value")).alias("value_ticks_sum"),
+    )
+
+
+def q_snap_prune_scan(spark, sf_dir):
+    """Stats-based file skipping: range-clustered commits, then a range
+    scan planned from manifest min/max — files outside [260, 490] are
+    never opened (skip count pinned in tests/test_catalog.py); the
+    oracle is the plain BETWEEN filter, proving pruning never changes
+    results."""
+    from gclog_parser_spark.sources import catalog as cat
+
+    import tempfile
+
+    key = f"gps_snap_rng_{abs(hash(sf_dir)) % 10**8}"
+    base = os.path.join(tempfile.gettempdir(), key)
+    if cat.current_snapshot_id(base) is None:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        hi = ev.agg(F.max("event_id")).first()[0]
+        step = max(1, (int(hi) + 4) // 4)
+        for lo in range(0, int(hi) + 1, step):
+            part = ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < lo + step)
+            ).coalesce(1)
+            cat.snapshot_write(part, base, "append")
+    df, _report = cat.scan_with_pruning(spark, base, "event_id", 260, 490)
+    return df.select("event_id", "ts", "user_id", "event_type")
+
+
 #: queries with no DuckDB oracle (driver records a rows-only check) —
 #: none since round 2: the export formats now have independent DuckDB
 #: oracles (oracle.tsv_export_sql / graphite_export_sql) on top of the
@@ -1626,6 +1708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_intersect": q_rel_intersect,
         "gc_urls_per_sink": q_gc_urls_per_sink,
         "gc_pivot_family": q_gc_pivot_family,
+        "snap_time_travel": q_snap_time_travel,
+        "snap_incremental": q_snap_incremental,
+        "snap_prune_scan": q_snap_prune_scan,
     }
 
 
@@ -2250,5 +2335,25 @@ sessions AS (
         " count(DISTINCT e.url) AS urls, count(*) AS events"
         " FROM gc_events e LEFT JOIN family_dim f USING (gc_type)"
         " GROUP BY 1"
+    )
+
+    # snapshot-catalog queries: snapshot k of the 3-append fixture is
+    # exactly `event_id % 3 < k`, so history states are plain WHEREs
+    out["snap_time_travel"] = (
+        "SELECT event_type, count(*) AS events,"
+        " CAST(sum(" + ticks.format("value") + ") AS BIGINT)"
+        " AS value_ticks_sum,"
+        " count(DISTINCT user_id) AS users"
+        " FROM events WHERE event_id % 3 < 2 GROUP BY 1"
+    )
+    out["snap_incremental"] = (
+        "SELECT event_type, count(*) AS events,"
+        " CAST(sum(" + ticks.format("value") + ") AS BIGINT)"
+        " AS value_ticks_sum"
+        " FROM events WHERE event_id % 3 >= 1 GROUP BY 1"
+    )
+    out["snap_prune_scan"] = (
+        "SELECT event_id, ts, user_id, event_type FROM events"
+        " WHERE event_id BETWEEN 260 AND 490"
     )
     return out

@@ -1,0 +1,452 @@
+"""Iceberg-shaped snapshot catalog over plain parquet.
+
+The north rule routes events "to per-sink Iceberg tables"
+(BASELINE.json:14) and requires checkpoint-resumable, lineage-carrying
+writes; the sandbox has no Iceberg runtime (see
+operators/route.fanout_write), so this module re-implements the part of
+the Iceberg *table format* the pipeline actually depends on — snapshot
+isolation, time travel, incremental (CDC-style append-diff) reads,
+stats-based file skipping, optimistic-concurrency commits, and snapshot
+expiry — over plain parquet plus JSON metadata.  The layout mirrors
+Iceberg's three-level metadata tree (table metadata → manifest list →
+manifest) so a production deployment swaps this for real Iceberg calls
+without touching callers:
+
+    table/
+      data/commit-<uuid>/part-*.parquet       immutable data files
+      metadata/m-<uuid>.json                  manifest: one commit's
+                                              files + per-file column
+                                              stats (min/max/nulls/rows)
+      metadata/v<N>.json                      snapshot N: operation,
+                                              parent, list of manifest
+                                              paths, summary
+
+Scale notes (10^12-doc design point):
+
+* A commit writes ONE manifest covering only its own files — commit
+  cost is O(new files), never O(table).  Snapshot JSON holds manifest
+  *paths*, so the metadata tree stays small; real Iceberg shards the
+  same way (snapshot → manifest list → manifests).
+* Per-file column stats come from the parquet footers pyarrow already
+  wrote — no second pass over data.  ``scan_with_pruning`` does
+  driver-side min/max file skipping exactly like Iceberg's scan
+  planning: O(files-in-table) metadata work, zero data I/O for skipped
+  files.  (Driver-side planning over file lists is what Iceberg's own
+  planner does; at extreme file counts it distributes manifest reads —
+  noted, out of sandbox scope.)
+* Commits use optimistic concurrency: the snapshot file is created
+  with O_EXCL; a loser re-reads the new current snapshot, rebases its
+  manifest list (appends compose; overwrites conflict), and retries —
+  the same protocol as Iceberg's atomic metadata swap.
+* Readers never list data directories; the manifest IS the truth.  A
+  crashed writer leaves orphan files that no snapshot references;
+  ``expire_snapshots`` (the VACUUM twin) deletes them safely because
+  reachability is decided from metadata only.
+
+Reference parity note: the reference has no storage layer at all (it
+re-parses the whole log per run — Main.scala:21); this module is part
+of the north-rule superset, not reference parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from datetime import date, datetime
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_META = "metadata"
+_DATA = "data"
+_MAX_COMMIT_RETRIES = 10
+
+
+# ---------------------------------------------------------------------------
+# stats encoding (JSON-safe; parquet footer values may be datetimes/bytes)
+# ---------------------------------------------------------------------------
+
+def _enc(v: Any) -> Any:
+    if isinstance(v, (datetime, date)):
+        return {"$ts": v.isoformat()}
+    if isinstance(v, bytes):
+        return {"$b": v.decode("utf-8", "replace")}
+    return v
+
+
+def _dec(v: Any) -> Any:
+    if isinstance(v, dict) and "$ts" in v:
+        return datetime.fromisoformat(v["$ts"])
+    if isinstance(v, dict) and "$b" in v:
+        return v["$b"]
+    return v
+
+
+def _file_stats(path: str) -> dict[str, Any]:
+    """Column min/max/null-count/row-count from the parquet footer —
+    the same stats Iceberg records in manifests, at zero extra I/O."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, dict[str, Any]] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            st = c.statistics
+            ent = cols.setdefault(
+                name, {"min": None, "max": None, "nulls": 0, "ok": True}
+            )
+            if st is None or not st.has_min_max:
+                # a row group without stats poisons pruning for the col
+                ent["ok"] = False
+                continue
+            ent["nulls"] += st.null_count or 0
+            mn, mx = st.min, st.max
+            if ent["min"] is None or mn < ent["min"]:
+                ent["min"] = mn
+            if ent["max"] is None or mx > ent["max"]:
+                ent["max"] = mx
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
+        "columns": {
+            k: {
+                "min": _enc(v["min"]),
+                "max": _enc(v["max"]),
+                "nulls": v["nulls"],
+                "ok": v["ok"],
+            }
+            for k, v in cols.items()
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# metadata tree
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str  # append | overwrite
+    manifests: list[str]  # paths relative to table root
+    summary: dict[str, Any]
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        return Snapshot(**json.loads(s))
+
+
+def _snap_path(table: str, sid: int) -> str:
+    return os.path.join(table, _META, f"v{sid}.json")
+
+
+def current_snapshot_id(table: str) -> int | None:
+    meta = os.path.join(table, _META)
+    if not os.path.isdir(meta):
+        return None
+    vs = [
+        int(f[1:-5])
+        for f in os.listdir(meta)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(vs) if vs else None
+
+
+def load_snapshot(table: str, snapshot_id: int | None = None) -> Snapshot:
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table)
+    if sid is None:
+        raise FileNotFoundError(f"no snapshots in {table}")
+    p = _snap_path(table, sid)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"snapshot {sid} not found (expired or never existed): {p}"
+        )
+    with open(p) as f:
+        return Snapshot.from_json(f.read())
+
+
+def _load_manifest(table: str, rel: str) -> dict[str, Any]:
+    with open(os.path.join(table, rel)) as f:
+        return json.load(f)
+
+
+def _manifest_files(table: str, snap: Snapshot) -> list[dict[str, Any]]:
+    out: list[dict[str, Any]] = []
+    for m in snap.manifests:
+        out.extend(_load_manifest(table, m)["files"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# write path
+# ---------------------------------------------------------------------------
+
+def snapshot_write(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    max_records_per_file: int | None = None,
+) -> Snapshot:
+    """Commit ``df`` to ``table`` as a new snapshot.
+
+    ``mode='append'`` adds files to the current snapshot's manifest
+    list; ``mode='overwrite'`` starts a fresh list (full-table
+    replace).  The data write is a normal distributed Spark parquet
+    write into a commit-private directory; only the tiny metadata
+    commit is driver-side.  Returns the committed :class:`Snapshot`.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(os.path.join(table, _META), exist_ok=True)
+
+    commit_dir = os.path.join(_DATA, f"commit-{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(os.path.join(table, commit_dir))
+
+    files = []
+    abs_dir = os.path.join(table, commit_dir)
+    for f in sorted(os.listdir(abs_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        rel = os.path.join(commit_dir, f)
+        entry = {"path": rel}
+        entry.update(_file_stats(os.path.join(table, rel)))
+        files.append(entry)
+
+    manifest_rel = os.path.join(_META, f"m-{uuid.uuid4().hex}.json")
+    with open(os.path.join(table, manifest_rel), "w") as f:
+        json.dump(
+            {
+                "files": files,
+                "added_rows": sum(e["rows"] for e in files),
+                "schema": df.schema.json(),
+            },
+            f,
+        )
+
+    added_rows = sum(e["rows"] for e in files)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        parent = current_snapshot_id(table)
+        if parent is None:
+            manifests, parent_rows = [], 0
+        else:
+            cur = load_snapshot(table, parent)
+            manifests = list(cur.manifests)
+            parent_rows = cur.summary.get("total_rows", 0)
+        if mode == "overwrite":
+            manifests, parent_rows = [], 0
+        snap = Snapshot(
+            snapshot_id=(parent or 0) + 1,
+            parent_id=parent,
+            operation=mode,
+            manifests=manifests + [manifest_rel],
+            summary={
+                "added_files": len(files),
+                "added_rows": added_rows,
+                "total_rows": parent_rows + added_rows,
+            },
+        )
+        try:
+            # O_EXCL create = the atomic swap; loser rebases and retries
+            fd = os.open(
+                _snap_path(table, snap.snapshot_id),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            with os.fdopen(fd, "w") as f:
+                f.write(snap.to_json())
+            return snap
+        except FileExistsError:
+            continue  # concurrent commit won; rebase on the new current
+    raise RuntimeError(
+        f"commit to {table} lost {_MAX_COMMIT_RETRIES} optimistic races"
+    )
+
+
+# ---------------------------------------------------------------------------
+# read paths
+# ---------------------------------------------------------------------------
+
+def read_snapshot(
+    spark: SparkSession, table: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read the table as of ``snapshot_id`` (default: current) — the
+    time-travel read.  Planned purely from metadata; Spark never lists
+    the data directory."""
+    snap = load_snapshot(table, snapshot_id)
+    files = [os.path.join(table, e["path"]) for e in _manifest_files(table, snap)]
+    if not files:
+        raise ValueError(f"snapshot {snap.snapshot_id} is empty")
+    return spark.read.parquet(*files)
+
+
+def incremental_read(
+    spark: SparkSession,
+    table: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Rows appended strictly AFTER ``from_snapshot`` up to and
+    including ``to_snapshot`` — the CDC/incremental-consumer read
+    (Iceberg's ``incremental read between snapshots``).  Computed as a
+    manifest-set difference, so it is exact for append-only history;
+    an intervening overwrite breaks append lineage and raises."""
+    to_snap = load_snapshot(table, to_snapshot)
+    from_snap = load_snapshot(table, from_snapshot)
+    sid = to_snap.snapshot_id
+    walk = to_snap
+    while walk.snapshot_id > from_snap.snapshot_id:
+        if walk.operation == "overwrite":
+            raise ValueError(
+                f"snapshot {walk.snapshot_id} is an overwrite; "
+                "incremental append-diff is undefined across it"
+            )
+        if walk.parent_id is None:
+            break
+        walk = load_snapshot(table, walk.parent_id)
+    base = set(from_snap.manifests)
+    new_manifests = [m for m in to_snap.manifests if m not in base]
+    files = []
+    for m in new_manifests:
+        files.extend(
+            os.path.join(table, e["path"])
+            for e in _load_manifest(table, m)["files"]
+        )
+    if not files:
+        return read_snapshot(spark, table, sid).limit(0)
+    return spark.read.parquet(*files)
+
+
+def scan_with_pruning(
+    spark: SparkSession,
+    table: str,
+    column: str,
+    lower: Any,
+    upper: Any,
+    snapshot_id: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Range scan with manifest-level file skipping: keep only files
+    whose footer [min,max] for ``column`` intersects [lower,upper],
+    then apply the exact filter on the survivors (stats are a
+    superset guard, never the final predicate).  Returns the DataFrame
+    and ``{"files_total": n, "files_scanned": k}`` so callers (and
+    tests) can assert the skipping actually happened."""
+    from pyspark.sql import functions as F
+
+    snap = load_snapshot(table, snapshot_id)
+    entries = _manifest_files(table, snap)
+    keep = []
+    for e in entries:
+        st = e["columns"].get(column)
+        if st is None or not st.get("ok", False):
+            keep.append(e)  # no stats → must scan (correctness first)
+            continue
+        mn, mx = _dec(st["min"]), _dec(st["max"])
+        if mx < lower or mn > upper:
+            continue
+        keep.append(e)
+    report = {"files_total": len(entries), "files_scanned": len(keep)}
+    if not keep:
+        df = read_snapshot(spark, table, snap.snapshot_id).limit(0)
+    else:
+        df = spark.read.parquet(*[os.path.join(table, e["path"]) for e in keep])
+    return (
+        df.filter((F.col(column) >= lower) & (F.col(column) <= upper)),
+        report,
+    )
+
+
+def table_history(spark: SparkSession, table: str) -> DataFrame:
+    """One row per live snapshot: the audit/time-travel index
+    (Iceberg's ``table.history()`` twin)."""
+    rows = []
+    sid = current_snapshot_id(table)
+    meta = os.path.join(table, _META)
+    for f in sorted(os.listdir(meta)):
+        if f.startswith("v") and f.endswith(".json"):
+            s = load_snapshot(table, int(f[1:-5]))
+            rows.append(
+                (
+                    s.snapshot_id,
+                    s.parent_id,
+                    s.operation,
+                    len(s.manifests),
+                    s.summary.get("added_rows", 0),
+                    s.summary.get("total_rows", 0),
+                    s.snapshot_id == sid,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id int, parent_id int, operation string,"
+        " n_manifests int, added_rows bigint, total_rows bigint,"
+        " is_current boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# maintenance
+# ---------------------------------------------------------------------------
+
+def expire_snapshots(table: str, keep_last: int = 1) -> dict[str, int]:
+    """Drop all but the newest ``keep_last`` snapshots and delete any
+    manifest/data file no surviving snapshot references — the VACUUM /
+    ``expireSnapshots`` maintenance pass.  Reachability is decided
+    from metadata alone, so orphans from crashed writers are also
+    collected.  Returns deletion counts."""
+    cur = current_snapshot_id(table)
+    if cur is None:
+        return {"snapshots_removed": 0, "manifests_removed": 0, "data_files_removed": 0}
+    meta = os.path.join(table, _META)
+    all_sids = sorted(
+        int(f[1:-5])
+        for f in os.listdir(meta)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    keep_sids = set(all_sids[-keep_last:])
+    live_manifests: set[str] = set()
+    live_files: set[str] = set()
+    for sid in keep_sids:
+        s = load_snapshot(table, sid)
+        live_manifests.update(s.manifests)
+        for e in _manifest_files(table, s):
+            live_files.add(e["path"])
+
+    n_snap = n_man = n_data = 0
+    for sid in all_sids:
+        if sid not in keep_sids:
+            os.remove(_snap_path(table, sid))
+            n_snap += 1
+    for f in list(os.listdir(meta)):
+        rel = os.path.join(_META, f)
+        if f.startswith("m-") and rel not in live_manifests:
+            os.remove(os.path.join(table, rel))
+            n_man += 1
+    data_root = os.path.join(table, _DATA)
+    if os.path.isdir(data_root):
+        for d in list(os.listdir(data_root)):
+            cdir = os.path.join(data_root, d)
+            for f in list(os.listdir(cdir)):
+                rel = os.path.join(_DATA, d, f)
+                if f.endswith(".parquet") and rel not in live_files:
+                    os.remove(os.path.join(cdir, f))
+                    n_data += 1
+                elif not f.endswith(".parquet"):
+                    os.remove(os.path.join(cdir, f))  # _SUCCESS, .crc
+            if not os.listdir(cdir):
+                os.rmdir(cdir)
+    return {
+        "snapshots_removed": n_snap,
+        "manifests_removed": n_man,
+        "data_files_removed": n_data,
+    }

@@ -1,0 +1,168 @@
+"""Snapshot-catalog (Iceberg-shaped table format) behavior:
+append/overwrite commits, time travel, incremental reads, optimistic
+concurrency, stats-based file skipping, and snapshot expiry."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gclog_parser_spark.sources import catalog as cat
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _mk_table(tmp_path, events, n=3):
+    table = str(tmp_path / "tbl")
+    snaps = []
+    for i in range(n):
+        part = events.filter(F.col("event_id") % n == i)
+        snaps.append(cat.snapshot_write(part, table, mode="append"))
+    return table, snaps
+
+
+def test_append_history_and_time_travel(spark, tmp_path, events):
+    table, snaps = _mk_table(tmp_path, events)
+    assert [s.snapshot_id for s in snaps] == [1, 2, 3]
+    total = events.count()
+
+    hist = {
+        r["snapshot_id"]: r
+        for r in cat.table_history(spark, table).collect()
+    }
+    assert hist[3]["is_current"] and not hist[1]["is_current"]
+    assert hist[3]["total_rows"] == total
+
+    # time travel: snapshot k holds exactly event_id % 3 in 0..k-1
+    for k in (1, 2, 3):
+        got = cat.read_snapshot(spark, table, k)
+        want = events.filter(F.col("event_id") % 3 < k)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+    # default read = current
+    assert cat.read_snapshot(spark, table).count() == total
+
+
+def test_incremental_read_is_the_append_diff(spark, tmp_path, events):
+    table, _ = _mk_table(tmp_path, events)
+    inc = cat.incremental_read(spark, table, from_snapshot=1, to_snapshot=3)
+    want = events.filter(F.col("event_id") % 3 >= 1)
+    assert inc.count() == want.count()
+    assert inc.exceptAll(want).count() == 0
+    # from == to → empty, schema preserved
+    empty = cat.incremental_read(spark, table, 3, 3)
+    assert empty.count() == 0
+    assert empty.columns == events.columns
+
+
+def test_overwrite_resets_and_blocks_incremental(spark, tmp_path, events):
+    table, _ = _mk_table(tmp_path, events)
+    small = events.limit(10)
+    s4 = cat.snapshot_write(small, table, mode="overwrite")
+    assert s4.operation == "overwrite"
+    assert cat.read_snapshot(spark, table).count() == 10
+    # time travel across the overwrite still works
+    assert cat.read_snapshot(spark, table, 3).count() == events.count()
+    with pytest.raises(ValueError, match="overwrite"):
+        cat.incremental_read(spark, table, 2, 4)
+
+
+def test_optimistic_commit_rebases_on_conflict(
+    spark, tmp_path, events, monkeypatch
+):
+    """The loser of the O_EXCL race must rebase on the winner's
+    snapshot and retry: simulate by serving ONE stale parent read, so
+    the first create hits an existing version file."""
+    table, _ = _mk_table(tmp_path, events, n=2)  # v1, v2
+    real = cat.current_snapshot_id
+    calls = {"n": 0}
+
+    def stale_once(t):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real(t)
+
+    monkeypatch.setattr(cat, "current_snapshot_id", stale_once)
+    s = cat.snapshot_write(events.limit(5), table, mode="append")
+    assert calls["n"] >= 2  # retry actually happened
+    assert s.snapshot_id == 3
+    assert set(cat.load_snapshot(table, 2).manifests) < set(s.manifests)
+    assert cat.read_snapshot(spark, table).count() == events.count() + 5
+
+
+def test_file_skipping_prunes_disjoint_ranges(spark, tmp_path, events):
+    """Range-clustered commits → footer min/max skips whole files, and
+    the pruned result equals the plain filtered scan."""
+    table = str(tmp_path / "ranged")
+    for lo in range(0, 1000, 250):
+        part = events.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < lo + 250)
+        ).coalesce(1)
+        cat.snapshot_write(part, table, mode="append")
+    df, rep = cat.scan_with_pruning(spark, table, "event_id", 260, 490)
+    assert rep["files_total"] >= 4
+    assert rep["files_scanned"] < rep["files_total"]
+    want = events.filter(F.col("event_id").between(260, 490))
+    assert df.count() == want.count()
+    assert df.exceptAll(want).count() == 0
+    # fully-outside range scans zero files but keeps the schema
+    df0, rep0 = cat.scan_with_pruning(
+        spark, table, "event_id", 10**9, 2 * 10**9
+    )
+    assert rep0["files_scanned"] == 0 and df0.count() == 0
+    assert df0.columns == events.columns
+
+
+def test_manifest_stats_match_footers(spark, tmp_path, events):
+    table, _ = _mk_table(tmp_path, events, n=1)
+    snap = cat.load_snapshot(table)
+    entries = cat._manifest_files(table, snap)
+    assert sum(e["rows"] for e in entries) == events.count()
+    mn = min(cat._dec(e["columns"]["event_id"]["min"]) for e in entries)
+    mx = max(cat._dec(e["columns"]["event_id"]["max"]) for e in entries)
+    agg = events.agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    ).first()
+    assert (mn, mx) == (agg["mn"], agg["mx"])
+    # manifest JSON round-trips timestamp stats typed
+    ts = next(iter(entries))["columns"]["ts"]
+    assert hasattr(cat._dec(ts["min"]), "isoformat")
+
+
+def test_expire_snapshots_collects_unreferenced(spark, tmp_path, events):
+    table, _ = _mk_table(tmp_path, events)
+    cat.snapshot_write(events.limit(10), table, mode="overwrite")  # v4
+    removed = cat.expire_snapshots(table, keep_last=1)
+    assert removed["snapshots_removed"] == 3
+    assert removed["data_files_removed"] > 0
+    # current still reads; expired time travel is a clear error
+    assert cat.read_snapshot(spark, table).count() == 10
+    with pytest.raises(FileNotFoundError, match="expired"):
+        cat.read_snapshot(spark, table, 2)
+    # metadata dir holds exactly one snapshot + its manifests
+    meta = os.path.join(table, "metadata")
+    vs = [f for f in os.listdir(meta) if f.startswith("v")]
+    assert vs == ["v4.json"]
+    live = set(cat.load_snapshot(table).manifests)
+    ms = {
+        os.path.join("metadata", f)
+        for f in os.listdir(meta)
+        if f.startswith("m-")
+    }
+    assert ms == live
+
+
+def test_commit_is_crash_safe_orphan(spark, tmp_path, events):
+    """Files written but never committed (crash before metadata swap)
+    are invisible to readers and collected by expire."""
+    table, _ = _mk_table(tmp_path, events, n=1)
+    orphan_dir = os.path.join(table, "data", "commit-orphan")
+    events.limit(3).write.parquet(orphan_dir)
+    assert cat.read_snapshot(spark, table).count() == events.count()
+    removed = cat.expire_snapshots(table, keep_last=1)
+    assert removed["data_files_removed"] >= 1
+    assert not os.path.exists(orphan_dir)
+    assert cat.read_snapshot(spark, table).count() == events.count()
