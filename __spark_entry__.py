@@ -1525,6 +1525,37 @@ def q_media_frames(spark, sf_dir):
     return sample_frames(pages_from_documents(spark, sf_dir))
 
 
+def q_rel_table_stats(spark, sf_dir):
+    """ANALYZE-style column profile of the events table — one-scan
+    multi-aggregate (nulls / exact NDV / numeric min-max / string
+    length sums per column); the CBO-statistics collection pass."""
+    from gclog_parser_spark.operators.quality import profile_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile_table(ev)
+
+
+def q_rel_zorder_scan(spark, sf_dir):
+    """Z-order (Morton) clustered rewrite of events + a pruned range
+    scan on the SECOND zorder column — the multi-column data-skipping
+    layout (Delta OPTIMIZE ZORDER / Iceberg sort-rewrite twin); the
+    oracle is the plain BETWEEN filter, proving the clustered rewrite
+    + manifest pruning is content-exact.  Both-column skip counts are
+    pinned in tests/test_layout.py."""
+    import tempfile
+
+    from gclog_parser_spark.operators.layout import zorder_table
+    from gclog_parser_spark.sources import catalog as cat
+
+    key = f"gps_zorder_{abs(hash(sf_dir)) % 10**8}"
+    base = os.path.join(tempfile.gettempdir(), key)
+    if cat.current_snapshot_id(base) is None:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        zorder_table(ev, base, ["event_id", "user_id"], n_files=8)
+    df, _report = cat.scan_with_pruning(spark, base, "user_id", 0, 3)
+    return df.select("event_id", "ts", "user_id", "event_type")
+
+
 def _snap_table(spark, sf_dir, tag: str, n_appends: int = 3) -> str:
     """Build (once per sf_dir per process) a snapshot-catalog table of
     the events rows, committed as ``n_appends`` deterministic appends
@@ -1708,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_intersect": q_rel_intersect,
         "gc_urls_per_sink": q_gc_urls_per_sink,
         "gc_pivot_family": q_gc_pivot_family,
+        "rel_table_stats": q_rel_table_stats,
+        "rel_zorder_scan": q_rel_zorder_scan,
         "snap_time_travel": q_snap_time_travel,
         "snap_incremental": q_snap_incremental,
         "snap_prune_scan": q_snap_prune_scan,
@@ -2337,6 +2370,36 @@ sessions AS (
         " GROUP BY 1"
     )
 
+    def _prof(col, minmax, sumlen="CAST(NULL AS BIGINT)"):
+        return (
+            f"SELECT '{col}' AS col_name, count(*) AS n_rows,"
+            f" count(*) - count({col}) AS n_nulls,"
+            f" count(DISTINCT {col}) AS n_distinct,"
+            f" {minmax.format(f'min({col})')} AS min_num,"
+            f" {minmax.format(f'max({col})')} AS max_num,"
+            f" {sumlen} AS sum_len FROM events"
+        )
+
+    dbl = "CAST({} AS DOUBLE)"
+    out["rel_table_stats"] = " UNION ALL ".join(
+        [
+            _prof("event_id", dbl),
+            _prof("ts", "CAST(epoch_us({}) AS DOUBLE)"),
+            _prof("user_id", dbl),
+            _prof(
+                "event_type",
+                "CAST(NULL AS DOUBLE)",
+                "CAST(sum(length(event_type)) AS BIGINT)",
+            ),
+            _prof("value", "round({}, 6)"),
+            _prof(
+                "props",
+                "CAST(NULL AS DOUBLE)",
+                "CAST(sum(length(props)) AS BIGINT)",
+            ),
+        ]
+    )
+
     # snapshot-catalog queries: snapshot k of the 3-append fixture is
     # exactly `event_id % 3 < k`, so history states are plain WHEREs
     out["snap_time_travel"] = (
@@ -2355,5 +2418,9 @@ sessions AS (
     out["snap_prune_scan"] = (
         "SELECT event_id, ts, user_id, event_type FROM events"
         " WHERE event_id BETWEEN 260 AND 490"
+    )
+    out["rel_zorder_scan"] = (
+        "SELECT event_id, ts, user_id, event_type FROM events"
+        " WHERE user_id BETWEEN 0 AND 3"
     )
     return out

@@ -104,3 +104,74 @@ def dq_report(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column profiling
+# ---------------------------------------------------------------------------
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row of column statistics per column — the ANALYZE TABLE /
+    cost-based-optimizer input (row count, null count, exact distinct
+    count, numeric min/max, string length sum), computed in a SINGLE
+    scan: all per-column aggregates go into one ``agg`` and the flat
+    result unpivots driver-side (the aggregate row is O(columns), so
+    the "unpivot" is literally building tiny literals — no second
+    job over data).
+
+    Type handling keeps the output schema uniform AND cross-engine
+    exact: numeric min/max are cast to double (timestamps via
+    ``unix_micros`` — epoch-µs < 2^53, exact in double; doubles
+    rounded to 6 dp), strings report ``sum_len`` instead of min/max.
+
+    Scale: one pass; the multiple exact ``countDistinct``s expand the
+    aggregate (one Expand projection per distinct column) — the
+    documented swap at 10^12 rows is ``approx_count_distinct`` per
+    column, which collapses the expansion into mergeable HLL sketches.
+    """
+    if cols is None:
+        cols = df.columns
+    kinds = dict(df.dtypes)
+    aggs = [F.count("*").alias("_rows")]
+    for c in cols:
+        k = kinds[c]
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__ndv"))
+        if k in ("timestamp", "timestamp_ntz"):
+            # ntz→timestamp is exact under the UTC session TZ the
+            # contract mandates; unix_micros < 2^53 stays double-exact
+            num = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        elif k in ("bigint", "int", "smallint", "tinyint"):
+            num = F.col(c).cast("double")
+        elif k == "double" or k == "float":
+            num = F.round(F.col(c), 6)
+        else:
+            num = F.lit(None).cast("double")
+        aggs.append(F.min(num).alias(f"{c}__min"))
+        aggs.append(F.max(num).alias(f"{c}__max"))
+        slen = (
+            F.sum(F.length(F.col(c)).cast("long"))
+            if k == "string"
+            else F.lit(None).cast("long")
+        )
+        aggs.append(slen.alias(f"{c}__sumlen"))
+    flat = df.agg(*aggs)
+    row = flat.first()
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            row["_rows"],
+            row[f"{c}__nulls"],
+            row[f"{c}__ndv"],
+            row[f"{c}__min"],
+            row[f"{c}__max"],
+            row[f"{c}__sumlen"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "col_name string, n_rows bigint, n_nulls bigint, n_distinct bigint,"
+        " min_num double, max_num double, sum_len bigint",
+    )

@@ -58,3 +58,47 @@ def test_compact_max_records_per_file_splits(spark, sf_dir, tmp_path):
     for lang, n in per_lang.items():
         files = _files(out, lang)
         assert len(files) == -(-n // 25), (lang, n, len(files))
+
+
+def test_zorder_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order gives BOTH columns narrow per-file footer ranges; a
+    lexicographic single-key sort leaves the trailing column
+    full-width in every file (no pruning)."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.layout import zorder_table
+    from gclog_parser_spark.sources import catalog as cat
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    ztab = str(tmp_path / "zorder")
+    zorder_table(ev, ztab, ["event_id", "user_id"], n_files=8)
+
+    # content-preserving rewrite
+    back = cat.read_snapshot(spark, ztab)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+
+    # pruning works on BOTH z-order columns
+    _, rep_e = cat.scan_with_pruning(spark, ztab, "event_id", 0, 200)
+    _, rep_u = cat.scan_with_pruning(spark, ztab, "user_id", 0, 3)
+    assert rep_e["files_total"] >= 8
+    assert rep_e["files_scanned"] < rep_e["files_total"]
+    assert rep_u["files_scanned"] < rep_u["files_total"]
+
+    # the linear-sort twin: event_id prunes, user_id cannot
+    ltab = str(tmp_path / "linear")
+    linear = ev.repartitionByRange(8, "event_id").sortWithinPartitions(
+        "event_id", "user_id"
+    )
+    cat.snapshot_write(linear, ltab, mode="overwrite")
+    _, lrep_e = cat.scan_with_pruning(spark, ltab, "event_id", 0, 200)
+    _, lrep_u = cat.scan_with_pruning(spark, ltab, "user_id", 0, 3)
+    assert lrep_e["files_scanned"] < lrep_e["files_total"]
+    assert lrep_u["files_scanned"] == lrep_u["files_total"]
+
+    # pruned scans return exactly the filtered rows
+    got, _ = cat.scan_with_pruning(spark, ztab, "user_id", 0, 3)
+    want = ev.filter(F.col("user_id").between(0, 3))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0

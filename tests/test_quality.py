@@ -62,3 +62,19 @@ def test_dq_checks_all_pass_when_clean(spark):
     ).collect()
     assert all(r["passed"] for r in rows)
     assert all(r["metric"] == 0.0 for r in rows)
+
+
+def test_profile_table_counts_nulls_and_types(spark):
+    from gclog_parser_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (2, "bc", None)],
+        "k bigint, s string, v double",
+    )
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert prof["k"]["n_rows"] == 3 and prof["k"]["n_nulls"] == 0
+    assert prof["k"]["n_distinct"] == 2
+    assert (prof["k"]["min_num"], prof["k"]["max_num"]) == (1.0, 2.0)
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["sum_len"] == 3
+    assert prof["s"]["min_num"] is None  # strings: no numeric range
+    assert prof["v"]["n_distinct"] == 2 and prof["v"]["max_num"] == 2.5
