@@ -1556,6 +1556,52 @@ def q_rel_zorder_scan(spark, sf_dir):
     return df.select("event_id", "ts", "user_id", "event_type")
 
 
+def q_web_pagerank(spark, sf_dir):
+    """5-iteration integer-tick PageRank over the deterministic
+    events-derived link graph — the web-corpus quality prior; exact
+    BIGINT parity with the oracle's unrolled-CTE reimplementation
+    (no float tolerance)."""
+    from gclog_parser_spark.operators.graph import (
+        events_link_graph,
+        pagerank,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return pagerank(events_link_graph(ev))
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, d: int = 85, scale: int = 10**12) -> str:
+    """Unrolled-CTE DuckDB PageRank twin of operators/graph.pagerank —
+    same integer-tick formulas, independently expressed."""
+    nv = "(SELECT count(DISTINCT user_id) FROM events)"
+    ctes = [
+        "edges AS (SELECT DISTINCT user_id AS src,"
+        f" event_id % {nv} AS dst FROM events)",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST((SELECT {scale} // n FROM nn)"
+        " AS BIGINT) AS rank_ticks FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"r{i} AS (SELECT nd.node,"
+            f" CAST((SELECT ((100-{d})*({scale}//n))//100 FROM nn)"
+            f" + ({d} * coalesce(s.s, 0)) // 100 AS BIGINT)"
+            " AS rank_ticks"
+            " FROM nodes nd LEFT JOIN (SELECT e.dst AS node,"
+            " CAST(sum(r.rank_ticks // o.deg) AS BIGINT) AS s"
+            " FROM edges e JOIN outdeg o ON e.src = o.src"
+            f" JOIN r{i-1} r ON r.node = e.src GROUP BY 1) s"
+            " ON s.node = nd.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, rank_ticks FROM r{n_iter}"
+    )
+
+
 def _snap_table(spark, sf_dir, tag: str, n_appends: int = 3) -> str:
     """Build (once per sf_dir per process) a snapshot-catalog table of
     the events rows, committed as ``n_appends`` deterministic appends
@@ -1741,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_pivot_family": q_gc_pivot_family,
         "rel_table_stats": q_rel_table_stats,
         "rel_zorder_scan": q_rel_zorder_scan,
+        "web_pagerank": q_web_pagerank,
         "snap_time_travel": q_snap_time_travel,
         "snap_incremental": q_snap_incremental,
         "snap_prune_scan": q_snap_prune_scan,
@@ -2423,4 +2470,5 @@ sessions AS (
         "SELECT event_id, ts, user_id, event_type FROM events"
         " WHERE user_id BETWEEN 0 AND 3"
     )
+    out["web_pagerank"] = _pagerank_oracle_sql()
     return out

@@ -1,0 +1,67 @@
+"""PageRank semantics on hand-checked graphs (the DuckDB oracle in
+__spark_entry__ is the large-scale cross-check; here a third,
+plain-Python reimplementation pins the integer-tick formulas)."""
+
+import pyspark.sql.functions as F
+
+from gclog_parser_spark.operators.graph import events_link_graph, pagerank
+
+
+def _py_pagerank(edges, n_iter=5, d=85, scale=10**12):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    r0 = scale // n
+    base = ((100 - d) * r0) // 100
+    deg = {}
+    for s, _ in set(edges):
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: r0 for v in nodes}
+    for _ in range(n_iter):
+        s_in = {v: 0 for v in nodes}
+        for a, b in set(edges):
+            s_in[b] += r[a] // deg[a]
+        r = {v: base + (d * s_in[v]) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_reimpl(spark):
+    edges = [(1, 2), (2, 1), (3, 1), (3, 2), (4, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    for n_iter in (1, 5):
+        got = {
+            r["node"]: r["rank_ticks"]
+            for r in pagerank(df, n_iter=n_iter).collect()
+        }
+        assert got == _py_pagerank(edges, n_iter=n_iter)
+
+
+def test_pagerank_source_only_node_gets_base_rank(spark):
+    # node 3 has no in-links: rank = base term exactly; the hub (1)
+    # outranks everything
+    edges = [(1, 2), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["rank_ticks"] for r in pagerank(df).collect()}
+    base = ((100 - 85) * (10**12 // 3)) // 100
+    assert got[3] == base
+    assert got[1] > got[2] > got[3]
+
+
+def test_pagerank_dedups_multi_edges(spark):
+    # duplicate edges must not double a contribution
+    once = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1)], "src bigint, dst bigint"
+    )
+    a = {r["node"]: r["rank_ticks"] for r in pagerank(once).collect()}
+    b = {r["node"]: r["rank_ticks"] for r in pagerank(dup).collect()}
+    assert a == b
+
+
+def test_events_link_graph_is_deterministic(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g1 = events_link_graph(ev)
+    g2 = events_link_graph(ev)
+    assert g1.exceptAll(g2).count() == 0
+    n_users = ev.select(F.countDistinct("user_id")).first()[0]
+    mx = g1.agg(F.max("dst")).first()[0]
+    assert mx < n_users
