@@ -1602,6 +1602,45 @@ def _pagerank_oracle_sql(n_iter: int = 5, d: int = 85, scale: int = 10**12) -> s
     )
 
 
+def q_snap_wap_publish(spark, sf_dir):
+    """Write-audit-publish: even event_ids are the published base, odd
+    event_ids go through stage → dq-audit (null/range checks on the
+    STAGED rows only) → atomic publish; the read of the current
+    snapshot must equal the full events table (oracle: SELECT * —
+    WAP must be lossless when the audit passes)."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.operators.quality import (
+        dq_report,
+        null_check,
+        range_check,
+    )
+    from gclog_parser_spark.sources import catalog as cat
+
+    key = f"gps_wap_{abs(hash(sf_dir)) % 10**8}"
+    base = os.path.join(tempfile.gettempdir(), key)
+    if cat.current_snapshot_id(base) != 2:
+        shutil.rmtree(base, ignore_errors=True)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cat.snapshot_write(ev.filter(F.col("event_id") % 2 == 0), base)
+        tok = cat.stage_write(ev.filter(F.col("event_id") % 2 == 1), base)
+        staged = cat.read_staged(spark, base, tok)
+        audit = dq_report(
+            [
+                null_check(staged, "user_id", "user_not_null"),
+                range_check(staged, "value", 0.0, 10**6, "value_range"),
+            ]
+        )
+        if not all(r["passed"] for r in audit.collect()):
+            cat.abort_staged(base, tok)
+            raise AssertionError("WAP audit failed on clean data")
+        cat.publish_staged(base, tok)
+    return cat.read_snapshot(spark, base).select(
+        "event_id", "ts", "user_id", "event_type", "props"
+    )
+
+
 def _snap_table(spark, sf_dir, tag: str, n_appends: int = 3) -> str:
     """Build (once per sf_dir per process) a snapshot-catalog table of
     the events rows, committed as ``n_appends`` deterministic appends
@@ -1791,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_time_travel": q_snap_time_travel,
         "snap_incremental": q_snap_incremental,
         "snap_prune_scan": q_snap_prune_scan,
+        "snap_wap_publish": q_snap_wap_publish,
     }
 
 
@@ -2471,4 +2511,7 @@ sessions AS (
         " WHERE user_id BETWEEN 0 AND 3"
     )
     out["web_pagerank"] = _pagerank_oracle_sql()
+    out["snap_wap_publish"] = (
+        "SELECT event_id, ts, user_id, event_type, props FROM events"
+    )
     return out

@@ -450,3 +450,133 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict[str, int]:
         "manifests_removed": n_man,
         "data_files_removed": n_data,
     }
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish (WAP)
+# ---------------------------------------------------------------------------
+
+def stage_write(
+    df: "DataFrame",
+    table: str,
+    max_records_per_file: int | None = None,
+) -> str:
+    """Stage data for write-audit-publish: the files and their
+    manifest are written exactly as :func:`snapshot_write` would, but
+    NO snapshot is committed — readers cannot see staged data (the
+    manifest is referenced by nothing).  Returns the staging token
+    (the manifest's relative path) for :func:`read_staged` /
+    :func:`publish_staged` / :func:`abort_staged`.
+
+    This is Iceberg's WAP branch pattern on our metadata tree: stage →
+    run audits (e.g. ``operators/quality.dq_report``) against the
+    staged rows only → publish atomically or abort.  An abort (or a
+    crash mid-audit) leaves only unreferenced files, which
+    :func:`expire_snapshots` collects.
+    """
+    os.makedirs(os.path.join(table, _META), exist_ok=True)
+    commit_dir = os.path.join(_DATA, f"commit-{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(os.path.join(table, commit_dir))
+    files = []
+    abs_dir = os.path.join(table, commit_dir)
+    for f in sorted(os.listdir(abs_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        rel = os.path.join(commit_dir, f)
+        entry = {"path": rel}
+        entry.update(_file_stats(os.path.join(table, rel)))
+        files.append(entry)
+    manifest_rel = os.path.join(_META, f"m-{uuid.uuid4().hex}.json")
+    with open(os.path.join(table, manifest_rel), "w") as f:
+        json.dump(
+            {
+                "files": files,
+                "added_rows": sum(e["rows"] for e in files),
+                "schema": df.schema.json(),
+                "staged": True,
+            },
+            f,
+        )
+    return manifest_rel
+
+
+def read_staged(spark: SparkSession, table: str, token: str) -> DataFrame:
+    """Read ONLY the staged rows (for the audit step)."""
+    m = _load_manifest(table, token)
+    files = [os.path.join(table, e["path"]) for e in m["files"]]
+    if not files:
+        raise ValueError(f"staged manifest {token} is empty")
+    return spark.read.parquet(*files)
+
+
+def publish_staged(table: str, token: str, mode: str = "append") -> Snapshot:
+    """Atomically publish a staged manifest as a new snapshot — the
+    'publish' of WAP.  Same optimistic-concurrency protocol as
+    :func:`snapshot_write`; the data was already written at stage
+    time, so publish is a pure metadata operation (O(1) I/O)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    m = _load_manifest(table, token)
+    added_rows = m["added_rows"]
+    n_files = len(m["files"])
+    for _ in range(_MAX_COMMIT_RETRIES):
+        parent = current_snapshot_id(table)
+        if parent is None:
+            manifests, parent_rows = [], 0
+        else:
+            cur = load_snapshot(table, parent)
+            manifests = list(cur.manifests)
+            parent_rows = cur.summary.get("total_rows", 0)
+        if mode == "overwrite":
+            manifests, parent_rows = [], 0
+        snap = Snapshot(
+            snapshot_id=(parent or 0) + 1,
+            parent_id=parent,
+            operation=mode,
+            manifests=manifests + [token],
+            summary={
+                "added_files": n_files,
+                "added_rows": added_rows,
+                "total_rows": parent_rows + added_rows,
+                "wap": True,
+            },
+        )
+        try:
+            fd = os.open(
+                _snap_path(table, snap.snapshot_id),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            with os.fdopen(fd, "w") as f:
+                f.write(snap.to_json())
+            return snap
+        except FileExistsError:
+            continue
+    raise RuntimeError(
+        f"publish to {table} lost {_MAX_COMMIT_RETRIES} optimistic races"
+    )
+
+
+def abort_staged(table: str, token: str) -> int:
+    """Drop a staged manifest and its data files immediately (the
+    explicit abort; a crashed stage is equally safe to leave for
+    ``expire_snapshots``).  Returns number of data files removed."""
+    m = _load_manifest(table, token)
+    n = 0
+    dirs = set()
+    for e in m["files"]:
+        p = os.path.join(table, e["path"])
+        dirs.add(os.path.dirname(p))
+        if os.path.exists(p):
+            os.remove(p)
+            n += 1
+    os.remove(os.path.join(table, token))
+    for d in dirs:
+        for f in list(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                os.remove(os.path.join(d, f))
+        if not os.listdir(d):
+            os.rmdir(d)
+    return n

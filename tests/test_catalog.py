@@ -166,3 +166,45 @@ def test_commit_is_crash_safe_orphan(spark, tmp_path, events):
     assert removed["data_files_removed"] >= 1
     assert not os.path.exists(orphan_dir)
     assert cat.read_snapshot(spark, table).count() == events.count()
+
+
+def test_wap_stage_audit_publish(spark, tmp_path, events):
+    """Write-audit-publish: staged data is invisible, publish is an
+    O(1) metadata commit, abort removes the staged files."""
+    table = str(tmp_path / "wap")
+    cat.snapshot_write(events.filter(F.col("event_id") % 2 == 0), table)
+    base_count = cat.read_snapshot(spark, table).count()
+
+    # stage bad data (nulls) → audit fails → abort; table unchanged
+    bad = events.limit(20).withColumn("user_id", F.lit(None).cast("long"))
+    tok_bad = cat.stage_write(bad, table)
+    staged = cat.read_staged(spark, table, tok_bad)
+    nulls = staged.filter(F.col("user_id").isNull()).count()
+    assert nulls == 20  # the audit that fails
+    assert cat.read_snapshot(spark, table).count() == base_count
+    removed = cat.abort_staged(table, tok_bad)
+    assert removed >= 1
+    assert not os.path.exists(os.path.join(table, tok_bad))
+    assert cat.read_snapshot(spark, table).count() == base_count
+
+    # stage good data → audit passes → publish appends atomically
+    good = events.filter(F.col("event_id") % 2 == 1)
+    tok = cat.stage_write(good, table)
+    assert cat.read_snapshot(spark, table).count() == base_count
+    snap = cat.publish_staged(table, tok)
+    assert snap.summary["wap"] is True
+    assert cat.read_snapshot(spark, table).count() == events.count()
+    # incremental read sees exactly the published batch
+    inc = cat.incremental_read(spark, table, snap.parent_id, snap.snapshot_id)
+    assert inc.count() == good.count()
+
+
+def test_wap_crashed_stage_is_collected(spark, tmp_path, events):
+    table = str(tmp_path / "wapcrash")
+    cat.snapshot_write(events.limit(50), table)
+    cat.stage_write(events.limit(5), table)  # never published/aborted
+    assert cat.read_snapshot(spark, table).count() == 50
+    removed = cat.expire_snapshots(table, keep_last=1)
+    assert removed["data_files_removed"] >= 1
+    assert removed["manifests_removed"] >= 1
+    assert cat.read_snapshot(spark, table).count() == 50
