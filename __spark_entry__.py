@@ -1602,6 +1602,15 @@ def _pagerank_oracle_sql(n_iter: int = 5, d: int = 85, scale: int = 10**12) -> s
     )
 
 
+def q_dedup_fuzzy(spark, sf_dir):
+    """Edit-distance near-dup pairs (prefix-blocked Levenshtein) —
+    catches small in-place edits MinHash's bag-of-shingles misses;
+    both engines' levenshtein implementations are independent."""
+    from gclog_parser_spark.operators.textstats import fuzzy_pairs
+
+    return fuzzy_pairs(_docs(spark, sf_dir))
+
+
 def q_snap_wap_publish(spark, sf_dir):
     """Write-audit-publish: even event_ids are the published base, odd
     event_ids go through stage → dq-audit (null/range checks on the
@@ -1831,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_incremental": q_snap_incremental,
         "snap_prune_scan": q_snap_prune_scan,
         "snap_wap_publish": q_snap_wap_publish,
+        "dedup_fuzzy": q_dedup_fuzzy,
     }
 
 
@@ -2513,5 +2523,17 @@ sessions AS (
     out["web_pagerank"] = _pagerank_oracle_sql()
     out["snap_wap_publish"] = (
         "SELECT event_id, ts, user_id, event_type, props FROM events"
+    )
+    out["dedup_fuzzy"] = (
+        "WITH d AS (SELECT doc_id, lower(substr(text, 1, 16)) AS pfx,"
+        " substr(text, 1, 96) AS head, length(text) AS len"
+        " FROM documents),"
+        " sz AS (SELECT pfx, count(*) AS n FROM d GROUP BY 1),"
+        " dd AS (SELECT d.* FROM d JOIN sz USING (pfx) WHERE sz.n <= 50)"
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " levenshtein(a.head, b.head) AS edit_dist"
+        " FROM dd a JOIN dd b USING (pfx)"
+        " WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 64"
+        " AND levenshtein(a.head, b.head) <= 24"
     )
     return out

@@ -468,3 +468,54 @@ def corpus_ngrams(docs: DataFrame, k: int = 2, top: int = 50) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("ngram"))
         .limit(top)
     )
+
+
+def fuzzy_pairs(
+    docs: DataFrame,
+    prefix_len: int = 16,
+    head_len: int = 96,
+    max_len_diff: int = 64,
+    max_dist: int = 24,
+    max_block: int = 50,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs: block on the lowercased
+    ``prefix_len``-char prefix, then Levenshtein over the
+    ``head_len``-char head within each block — the fuzzy-dedup
+    complement to MinHash (`dedup.minhash_pairs` catches shuffled
+    content; this catches small in-place edits with high precision).
+
+    Scale discipline (same as `jaccard_pairs`' df cap and
+    `similarity.neardup_pairs`' LSH blocking): the self-join runs only
+    inside prefix blocks, and blocks larger than ``max_block`` are
+    dropped BEFORE the join — a boilerplate prefix shared by millions
+    of docs can otherwise explode quadratically.  Fan-out is therefore
+    ≤ ``max_block``² per block; `levenshtein` is JVM codegen on the
+    truncated heads (O(head_len²) per candidate, never full texts).
+    Dropped-block keys are observable via the block-size relation, not
+    silently hidden (the cap is a documented recall trade, matching
+    the reference-free corpus ops' conventions).
+    """
+    d = docs.select(
+        F.col("doc_id"),
+        F.lower(F.substring("text", 1, prefix_len)).alias("pfx"),
+        F.substring("text", 1, head_len).alias("head"),
+        F.length("text").alias("len"),
+    )
+    sizes = d.groupBy("pfx").agg(F.count("*").alias("n"))
+    dd = d.join(sizes.filter(F.col("n") <= max_block), "pfx")
+    a = dd.alias("a")
+    b = dd.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(b, "pfx")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.abs(F.col("a.len") - F.col("b.len")) <= max_len_diff
+        )
+        .filter(dist <= max_dist)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+    )

@@ -176,3 +176,33 @@ def test_corpus_ngrams_counts_and_cut(spark):
         for r in corpus_ngrams(docs, k=2, top=3).collect()
     }
     assert got == {("a b", 3, 2), ("b a", 1, 1), ("b c", 1, 1)}
+
+
+def test_fuzzy_pairs_semantics_and_block_cap(spark):
+    from gclog_parser_spark.operators.textstats import fuzzy_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, base),
+        (2, base.replace("jumps", "jumpz")),        # 2 subs in 96-head
+        (3, "совершенно другой текст " * 6),        # different prefix
+        (4, base + "x" * 500),                      # same prefix, len far
+    ]
+    # a hot prefix block larger than the cap must be dropped entirely
+    hot = [(100 + i, "HOT PREFIX SHARED " + ("z" * i)) for i in range(8)]
+    docs = spark.createDataFrame(rows + hot, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in fuzzy_pairs(docs, max_block=5, max_len_diff=64).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 2
+    assert all(a < 100 and b < 100 for a, b in got)  # hot block dropped
+    assert not any(3 in p for p in got)              # prefix blocks differ
+    assert not any(4 in p for p in got)              # length filter
+    # identical docs → distance 0
+    twins = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"
+    )
+    t = fuzzy_pairs(twins).collect()
+    assert len(t) == 1 and t[0]["edit_dist"] == 0
