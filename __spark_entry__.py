@@ -1602,6 +1602,36 @@ def _pagerank_oracle_sql(n_iter: int = 5, d: int = 85, scale: int = 10**12) -> s
     )
 
 
+def q_snap_eq_delete(spark, sf_dir):
+    """Iceberg-v2 merge-on-read equality deletes with data-sequence
+    semantics: v1 = all events, v2 = DELETE WHERE user_id IN (0,1,2)
+    (no data rewrite), v3 = re-insert a deterministic slice of the
+    deleted users.  The read must show survivors + re-inserts only —
+    the oracle re-derives that state with plain WHERE/UNION ALL."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.sources import catalog as cat
+
+    key = f"gps_mor_{abs(hash(sf_dir)) % 10**8}"
+    base = os.path.join(tempfile.gettempdir(), key)
+    if cat.current_snapshot_id(base) != 3:
+        shutil.rmtree(base, ignore_errors=True)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cat.snapshot_write(ev, base)
+        kill = spark.createDataFrame([(0,), (1,), (2,)], "user_id bigint")
+        cat.equality_delete(kill, base, ["user_id"])
+        cat.snapshot_write(
+            ev.filter(
+                (F.col("user_id") <= 2) & (F.col("event_id") % 7 == 0)
+            ),
+            base,
+        )
+    return cat.read_snapshot(spark, base).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+
 def q_dedup_fuzzy(spark, sf_dir):
     """Edit-distance near-dup pairs (prefix-blocked Levenshtein) —
     catches small in-place edits MinHash's bag-of-shingles misses;
@@ -1841,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_prune_scan": q_snap_prune_scan,
         "snap_wap_publish": q_snap_wap_publish,
         "dedup_fuzzy": q_dedup_fuzzy,
+        "snap_eq_delete": q_snap_eq_delete,
     }
 
 
@@ -2523,6 +2554,13 @@ sessions AS (
     out["web_pagerank"] = _pagerank_oracle_sql()
     out["snap_wap_publish"] = (
         "SELECT event_id, ts, user_id, event_type, props FROM events"
+    )
+    out["snap_eq_delete"] = (
+        "SELECT event_id, ts, user_id, event_type FROM events"
+        " WHERE user_id NOT IN (0, 1, 2)"
+        " UNION ALL"
+        " SELECT event_id, ts, user_id, event_type FROM events"
+        " WHERE user_id IN (0, 1, 2) AND event_id % 7 = 0"
     )
     out["dedup_fuzzy"] = (
         "WITH d AS (SELECT doc_id, lower(substr(text, 1, 16)) AS pfx,"

@@ -133,8 +133,13 @@ def _file_stats(path: str) -> dict[str, Any]:
 class Snapshot:
     snapshot_id: int
     parent_id: int | None
-    operation: str  # append | overwrite
-    manifests: list[str]  # paths relative to table root
+    operation: str  # append | overwrite | eqdelete
+    #: manifest entries: ``{"path": rel, "seq": commit_seq, "kind":
+    #: "data"|"eqdelete"}`` (bare strings accepted for backward
+    #: compat and normalized by :func:`_norm_entry`).  ``seq`` is the
+    #: Iceberg data-sequence number: an equality delete applies only
+    #: to rows whose data file has a strictly SMALLER seq.
+    manifests: list
     summary: dict[str, Any]
 
     def to_json(self) -> str:
@@ -179,11 +184,84 @@ def _load_manifest(table: str, rel: str) -> dict[str, Any]:
         return json.load(f)
 
 
+def _norm_entry(m) -> dict[str, Any]:
+    if isinstance(m, str):
+        return {"path": m, "seq": 0, "kind": "data"}
+    return {
+        "path": m["path"],
+        "seq": m.get("seq", 0),
+        "kind": m.get("kind", "data"),
+    }
+
+
+def manifest_paths(snap: Snapshot) -> set[str]:
+    return {_norm_entry(m)["path"] for m in snap.manifests}
+
+
 def _manifest_files(table: str, snap: Snapshot) -> list[dict[str, Any]]:
+    """ALL files referenced by the snapshot (data + delete-key files) —
+    the reachability set for expiry and stats."""
     out: list[dict[str, Any]] = []
     for m in snap.manifests:
-        out.extend(_load_manifest(table, m)["files"])
+        out.extend(_load_manifest(table, _norm_entry(m)["path"])["files"])
     return out
+
+
+def _split_entries(table: str, snap: Snapshot):
+    """(data_entries, delete_entries): per manifest, the normalized
+    entry plus its loaded manifest dict."""
+    data, dels = [], []
+    for m in snap.manifests:
+        e = _norm_entry(m)
+        man = _load_manifest(table, e["path"])
+        (dels if e["kind"] == "eqdelete" else data).append((e, man))
+    return data, dels
+
+
+def _apply_deletes(spark, table, data, dels) -> DataFrame:
+    """Merge-on-read: tag each data file group with its commit seq,
+    union the (tiny) delete-key relations with theirs, and anti-join
+    on (key equality AND data.seq < delete.seq) — Iceberg v2 equality
+    -delete semantics.  Delete relations are key-only parquet, so the
+    anti-join broadcasts in practice."""
+    import pyspark.sql.functions as F
+
+    parts = []
+    for e, man in data:
+        files = [os.path.join(table, x["path"]) for x in man["files"]]
+        if files:
+            parts.append(
+                spark.read.parquet(*files).withColumn(
+                    "_seq", F.lit(e["seq"]).cast("long")
+                )
+            )
+    if not parts:
+        raise ValueError("snapshot has no data files")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    if not dels:
+        return df.drop("_seq")
+    key_cols = dels[0][1]["key_cols"]
+    dparts = []
+    for e, man in dels:
+        files = [os.path.join(table, x["path"]) for x in man["files"]]
+        if man["key_cols"] != key_cols:
+            raise ValueError(
+                "mixed equality-delete key sets are not supported: "
+                f"{man['key_cols']} vs {key_cols}"
+            )
+        d = spark.read.parquet(*files).select(
+            *[F.col(k).alias(f"_del_{k}") for k in key_cols]
+        )
+        dparts.append(d.withColumn("_dseq", F.lit(e["seq"]).cast("long")))
+    delks = dparts[0]
+    for p in dparts[1:]:
+        delks = delks.unionByName(p)
+    cond = F.col("_seq") < F.col("_dseq")
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"_del_{k}"))
+    return df.join(delks, on=cond, how="left_anti").drop("_seq")
 
 
 # ---------------------------------------------------------------------------
@@ -246,11 +324,13 @@ def snapshot_write(
             parent_rows = cur.summary.get("total_rows", 0)
         if mode == "overwrite":
             manifests, parent_rows = [], 0
+        sid = (parent or 0) + 1
         snap = Snapshot(
-            snapshot_id=(parent or 0) + 1,
+            snapshot_id=sid,
             parent_id=parent,
             operation=mode,
-            manifests=manifests + [manifest_rel],
+            manifests=manifests
+            + [{"path": manifest_rel, "seq": sid, "kind": "data"}],
             summary={
                 "added_files": len(files),
                 "added_rows": added_rows,
@@ -282,12 +362,21 @@ def read_snapshot(
 ) -> DataFrame:
     """Read the table as of ``snapshot_id`` (default: current) — the
     time-travel read.  Planned purely from metadata; Spark never lists
-    the data directory."""
+    the data directory.  Live equality deletes are applied
+    merge-on-read (see :func:`equality_delete`); without deletes this
+    is a plain multi-file parquet scan."""
     snap = load_snapshot(table, snapshot_id)
-    files = [os.path.join(table, e["path"]) for e in _manifest_files(table, snap)]
-    if not files:
-        raise ValueError(f"snapshot {snap.snapshot_id} is empty")
-    return spark.read.parquet(*files)
+    data, dels = _split_entries(table, snap)
+    if not dels:
+        files = [
+            os.path.join(table, x["path"])
+            for _, man in data
+            for x in man["files"]
+        ]
+        if not files:
+            raise ValueError(f"snapshot {snap.snapshot_id} is empty")
+        return spark.read.parquet(*files)
+    return _apply_deletes(spark, table, data, dels)
 
 
 def incremental_read(
@@ -314,13 +403,15 @@ def incremental_read(
         if walk.parent_id is None:
             break
         walk = load_snapshot(table, walk.parent_id)
-    base = set(from_snap.manifests)
-    new_manifests = [m for m in to_snap.manifests if m not in base]
+    base = manifest_paths(from_snap)
     files = []
-    for m in new_manifests:
+    for m in to_snap.manifests:
+        e = _norm_entry(m)
+        if e["path"] in base or e["kind"] != "data":
+            continue
         files.extend(
-            os.path.join(table, e["path"])
-            for e in _load_manifest(table, m)["files"]
+            os.path.join(table, x["path"])
+            for x in _load_manifest(table, e["path"])["files"]
         )
     if not files:
         return read_snapshot(spark, table, sid).limit(0)
@@ -344,22 +435,37 @@ def scan_with_pruning(
     from pyspark.sql import functions as F
 
     snap = load_snapshot(table, snapshot_id)
-    entries = _manifest_files(table, snap)
-    keep = []
-    for e in entries:
-        st = e["columns"].get(column)
-        if st is None or not st.get("ok", False):
-            keep.append(e)  # no stats → must scan (correctness first)
-            continue
-        mn, mx = _dec(st["min"]), _dec(st["max"])
-        if mx < lower or mn > upper:
-            continue
-        keep.append(e)
-    report = {"files_total": len(entries), "files_scanned": len(keep)}
-    if not keep:
+    data, dels = _split_entries(table, snap)
+    total = 0
+    kept_data = []
+    for e, man in data:
+        keep_files = []
+        for x in man["files"]:
+            total += 1
+            st = x["columns"].get(column)
+            if st is not None and st.get("ok", False):
+                mn, mx = _dec(st["min"]), _dec(st["max"])
+                if mx < lower or mn > upper:
+                    continue
+            # no stats → must scan (correctness first)
+            keep_files.append(x)
+        if keep_files:
+            kept_data.append((e, {**man, "files": keep_files}))
+    scanned = sum(len(man["files"]) for _, man in kept_data)
+    report = {"files_total": total, "files_scanned": scanned}
+    if not kept_data:
         df = read_snapshot(spark, table, snap.snapshot_id).limit(0)
+    elif not dels:
+        # fast path: one multi-file scan, no per-manifest union
+        df = spark.read.parquet(
+            *[
+                os.path.join(table, x["path"])
+                for _, man in kept_data
+                for x in man["files"]
+            ]
+        )
     else:
-        df = spark.read.parquet(*[os.path.join(table, e["path"]) for e in keep])
+        df = _apply_deletes(spark, table, kept_data, dels)
     return (
         df.filter((F.col(column) >= lower) & (F.col(column) <= upper)),
         report,
@@ -418,7 +524,7 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict[str, int]:
     live_files: set[str] = set()
     for sid in keep_sids:
         s = load_snapshot(table, sid)
-        live_manifests.update(s.manifests)
+        live_manifests.update(manifest_paths(s))
         for e in _manifest_files(table, s):
             live_files.add(e["path"])
 
@@ -532,11 +638,13 @@ def publish_staged(table: str, token: str, mode: str = "append") -> Snapshot:
             parent_rows = cur.summary.get("total_rows", 0)
         if mode == "overwrite":
             manifests, parent_rows = [], 0
+        sid = (parent or 0) + 1
         snap = Snapshot(
-            snapshot_id=(parent or 0) + 1,
+            snapshot_id=sid,
             parent_id=parent,
             operation=mode,
-            manifests=manifests + [token],
+            manifests=manifests
+            + [{"path": token, "seq": sid, "kind": "data"}],
             summary={
                 "added_files": n_files,
                 "added_rows": added_rows,
@@ -580,3 +688,95 @@ def abort_staged(table: str, token: str) -> int:
         if not os.listdir(d):
             os.rmdir(d)
     return n
+
+
+# ---------------------------------------------------------------------------
+# row-level deletes (merge-on-read) + rewrite
+# ---------------------------------------------------------------------------
+
+def equality_delete(
+    keys_df: DataFrame, table: str, key_cols: list[str]
+) -> Snapshot:
+    """Commit an Iceberg-v2-style **equality delete**: ``keys_df``
+    holds the key tuples to delete; data files are NOT rewritten.
+    Readers apply the delete merge-on-read via an anti-join, and —
+    exactly like Iceberg's data-sequence rule — the delete hits only
+    rows whose data commit has a strictly smaller sequence number:
+    rows re-inserted AFTER the delete survive.
+
+    Scale: the write is O(keys); the read-side anti-join ships only
+    the key relation (tiny → broadcast).  Accumulated deletes are
+    materialized away by :func:`rewrite_compact`.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    os.makedirs(os.path.join(table, _META), exist_ok=True)
+    commit_dir = os.path.join(_DATA, f"commit-{uuid.uuid4().hex}")
+    keys_df.select(*key_cols).distinct().write.mode("overwrite").parquet(
+        os.path.join(table, commit_dir)
+    )
+    files = []
+    abs_dir = os.path.join(table, commit_dir)
+    for f in sorted(os.listdir(abs_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        rel = os.path.join(commit_dir, f)
+        entry = {"path": rel}
+        entry.update(_file_stats(os.path.join(table, rel)))
+        files.append(entry)
+    manifest_rel = os.path.join(_META, f"m-{uuid.uuid4().hex}.json")
+    with open(os.path.join(table, manifest_rel), "w") as f:
+        json.dump(
+            {
+                "files": files,
+                "added_rows": 0,
+                "key_cols": list(key_cols),
+                "kind": "eqdelete",
+            },
+            f,
+        )
+    n_keys = sum(e["rows"] for e in files)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        parent = current_snapshot_id(table)
+        if parent is None:
+            raise FileNotFoundError(
+                f"cannot delete from empty table {table}"
+            )
+        cur = load_snapshot(table, parent)
+        sid = parent + 1
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_id=parent,
+            operation="eqdelete",
+            manifests=list(cur.manifests)
+            + [{"path": manifest_rel, "seq": sid, "kind": "eqdelete"}],
+            summary={
+                "added_files": 0,
+                "added_rows": 0,
+                "delete_keys": n_keys,
+                "total_rows": cur.summary.get("total_rows", 0),
+            },
+        )
+        try:
+            fd = os.open(
+                _snap_path(table, sid),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            with os.fdopen(fd, "w") as f:
+                f.write(snap.to_json())
+            return snap
+        except FileExistsError:
+            continue
+    raise RuntimeError(
+        f"delete on {table} lost {_MAX_COMMIT_RETRIES} optimistic races"
+    )
+
+
+def rewrite_compact(spark: SparkSession, table: str) -> Snapshot:
+    """Materialize merge-on-read state: read the current snapshot
+    (deletes applied) and commit it back as a single overwrite — the
+    Iceberg ``rewrite_data_files`` + ``rewrite_position_delete_files``
+    maintenance pass.  Afterwards reads are plain scans again;
+    :func:`expire_snapshots` collects the superseded delete files."""
+    df = read_snapshot(spark, table)
+    return snapshot_write(df, table, mode="overwrite")

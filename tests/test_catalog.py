@@ -89,7 +89,7 @@ def test_optimistic_commit_rebases_on_conflict(
     s = cat.snapshot_write(events.limit(5), table, mode="append")
     assert calls["n"] >= 2  # retry actually happened
     assert s.snapshot_id == 3
-    assert set(cat.load_snapshot(table, 2).manifests) < set(s.manifests)
+    assert cat.manifest_paths(cat.load_snapshot(table, 2)) < cat.manifest_paths(s)
     assert cat.read_snapshot(spark, table).count() == events.count() + 5
 
 
@@ -146,7 +146,7 @@ def test_expire_snapshots_collects_unreferenced(spark, tmp_path, events):
     meta = os.path.join(table, "metadata")
     vs = [f for f in os.listdir(meta) if f.startswith("v")]
     assert vs == ["v4.json"]
-    live = set(cat.load_snapshot(table).manifests)
+    live = cat.manifest_paths(cat.load_snapshot(table))
     ms = {
         os.path.join("metadata", f)
         for f in os.listdir(meta)
@@ -208,3 +208,59 @@ def test_wap_crashed_stage_is_collected(spark, tmp_path, events):
     assert removed["data_files_removed"] >= 1
     assert removed["manifests_removed"] >= 1
     assert cat.read_snapshot(spark, table).count() == 50
+
+
+def test_equality_delete_merge_on_read(spark, tmp_path, events):
+    """Iceberg-v2 equality deletes: no data rewrite, sequence-number
+    semantics (later re-inserts survive), time travel unaffected,
+    rewrite_compact materializes the state away."""
+    table = str(tmp_path / "mor")
+    cat.snapshot_write(events, table)  # v1: all rows
+    kill = spark.createDataFrame([(0,), (1,), (2,)], "user_id bigint")
+    d = cat.equality_delete(kill, table, ["user_id"])  # v2
+    assert d.operation == "eqdelete" and d.summary["delete_keys"] == 3
+
+    survivors = events.filter(~F.col("user_id").isin(0, 1, 2))
+    got = cat.read_snapshot(spark, table)
+    assert got.count() == survivors.count()
+    assert got.exceptAll(survivors).count() == 0
+    # time travel to v1 still sees everything
+    assert cat.read_snapshot(spark, table, 1).count() == events.count()
+
+    # sequence rule: rows for a deleted key appended AFTER the delete
+    # are visible (the delete's seq is smaller)
+    reinsert = events.filter(F.col("user_id") == 1).limit(7)
+    n_re = reinsert.count()
+    cat.snapshot_write(reinsert, table)  # v3
+    got3 = cat.read_snapshot(spark, table)
+    assert got3.count() == survivors.count() + n_re
+    assert got3.filter(F.col("user_id") == 1).count() == n_re
+
+    # pruned scans apply the deletes too
+    df, _ = cat.scan_with_pruning(spark, table, "user_id", 0, 2)
+    assert df.count() == n_re  # only the re-inserted user-1 rows
+
+    # rewrite materializes; expire collects the delete files
+    cat.rewrite_compact(spark, table)  # v4
+    plain = cat.read_snapshot(spark, table)
+    assert plain.count() == survivors.count() + n_re
+    removed = cat.expire_snapshots(table, keep_last=1)
+    assert removed["snapshots_removed"] == 3
+    assert cat.read_snapshot(spark, table).count() == survivors.count() + n_re
+
+
+def test_equality_delete_composite_key(spark, tmp_path, events):
+    table = str(tmp_path / "mor2")
+    cat.snapshot_write(events, table)
+    kill = events.filter(F.col("event_id") % 100 == 0).select(
+        "user_id", "event_type"
+    )
+    cat.equality_delete(kill, table, ["user_id", "event_type"])
+    pairs = [(r["user_id"], r["event_type"]) for r in kill.distinct().collect()]
+    got = cat.read_snapshot(spark, table)
+    want = events.join(
+        kill.distinct(), on=["user_id", "event_type"], how="left_anti"
+    ).select(*events.columns)
+    assert got.count() == want.count()
+    assert got.select(*events.columns).exceptAll(want).count() == 0
+    assert len(pairs) > 0
