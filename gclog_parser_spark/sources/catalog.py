@@ -780,3 +780,67 @@ def rewrite_compact(spark: SparkSession, table: str) -> Snapshot:
     :func:`expire_snapshots` collects the superseded delete files."""
     df = read_snapshot(spark, table)
     return snapshot_write(df, table, mode="overwrite")
+
+
+# ---------------------------------------------------------------------------
+# incremental consumer (CDC consumption loop)
+# ---------------------------------------------------------------------------
+
+class IncrementalConsumer:
+    """Restart-safe incremental consumption of an append-only catalog
+    table — the micro-batch CDC consumer loop (Iceberg's
+    ``stream-from-snapshot`` / a Kafka-consumer-group analogue with
+    the cursor in the lake, not in a broker).
+
+    Protocol (at-least-once delivery; exactly-once OUTPUT when the
+    caller's sink is idempotent, e.g. ``route.fanout_write``'s
+    (batch, sink) dynamic-overwrite or another catalog table keyed by
+    ``to_id``):
+
+    1. :meth:`poll` plans the batch = appends after the cursor, up to
+       the current snapshot — a manifest-set difference, zero data
+       I/O to plan.
+    2. the caller processes/writes the batch.
+    3. :meth:`commit` advances the cursor (atomic tmp+rename) ONLY
+       after the output commit; a crash between 2 and 3 replays the
+       same batch, which the idempotent sink absorbs.
+
+    The cursor file is tiny JSON next to the consumer's output, so
+    consumer state lives with the data (resume after driver loss
+    needs no external service).  An overwrite/rewrite snapshot in the
+    consumed range raises — the consumer must re-bootstrap, same as
+    Iceberg's incremental read.
+    """
+
+    def __init__(self, table: str, cursor_path: str):
+        self.table = table
+        self.cursor_path = cursor_path
+
+    def position(self) -> int:
+        """Last committed snapshot id (0 = nothing consumed)."""
+        if not os.path.exists(self.cursor_path):
+            return 0
+        with open(self.cursor_path) as f:
+            return json.load(f)["snapshot_id"]
+
+    def poll(self, spark: SparkSession):
+        """Return ``(df, from_id, to_id)`` for the unconsumed appends,
+        or ``(None, pos, pos)`` when caught up.  ``df`` covers
+        snapshots (from_id, to_id]; pass ``to_id`` to :meth:`commit`
+        after the output is durable."""
+        pos = self.position()
+        cur = current_snapshot_id(self.table)
+        if cur is None or cur == pos:
+            return None, pos, pos
+        if pos == 0:
+            df = read_snapshot(spark, self.table, cur)
+        else:
+            df = incremental_read(spark, self.table, pos, cur)
+        return df, pos, cur
+
+    def commit(self, to_id: int) -> None:
+        tmp = f"{self.cursor_path}.tmp.{uuid.uuid4().hex}"
+        os.makedirs(os.path.dirname(self.cursor_path) or ".", exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": to_id}, f)
+        os.replace(tmp, self.cursor_path)

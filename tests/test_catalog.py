@@ -264,3 +264,83 @@ def test_equality_delete_composite_key(spark, tmp_path, events):
     assert got.count() == want.count()
     assert got.select(*events.columns).exceptAll(want).count() == 0
     assert len(pairs) > 0
+
+
+def test_incremental_consumer_replay_and_advance(spark, tmp_path, events):
+    """CDC consumer loop: bootstrap reads everything, a crash before
+    commit replays the identical batch, commit advances, appends are
+    delivered once, caught-up polls return None."""
+    table = str(tmp_path / "feed")
+    cursor = str(tmp_path / "state" / "cursor.json")
+    first = events.filter(F.col("event_id") % 3 == 0)
+    cat.snapshot_write(first, table)
+
+    c = cat.IncrementalConsumer(table, cursor)
+    df, frm, to = c.poll(spark)
+    assert (frm, to) == (0, 1) and df.count() == first.count()
+    # crash before commit → identical replay
+    df2, frm2, to2 = c.poll(spark)
+    assert (frm2, to2) == (0, 1) and df2.count() == first.count()
+    c.commit(to2)
+
+    # caught up
+    none_df, p, q = c.poll(spark)
+    assert none_df is None and p == q == 1
+
+    # two appends → one batch covering both
+    second = events.filter(F.col("event_id") % 3 == 1)
+    third = events.filter(F.col("event_id") % 3 == 2)
+    cat.snapshot_write(second, table)
+    cat.snapshot_write(third, table)
+    df3, frm3, to3 = c.poll(spark)
+    assert (frm3, to3) == (1, 3)
+    assert df3.count() == second.count() + third.count()
+    want = second.unionByName(third)
+    assert df3.exceptAll(want).count() == 0
+    c.commit(to3)
+    assert c.poll(spark)[0] is None
+
+    # a new consumer with its own cursor bootstraps the full table
+    c2 = cat.IncrementalConsumer(table, str(tmp_path / "c2.json"))
+    dfb, _, tob = c2.poll(spark)
+    assert dfb.count() == events.count() and tob == 3
+
+    # an overwrite inside the unconsumed range forces re-bootstrap
+    cat.snapshot_write(events.limit(5), table, mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        c.poll(spark)
+
+
+def test_maintenance_job_zorder_and_expire(spark, tmp_path, events):
+    """The housekeeping job: MoR deletes + small appends in, one
+    z-ordered overwrite + expiry out; content identical, both zorder
+    columns prune afterwards."""
+    from jobs.table_maintenance import run_maintenance
+
+    table = str(tmp_path / "mx")
+    for i in range(4):
+        cat.snapshot_write(events.filter(F.col("event_id") % 4 == i), table)
+    kill = spark.createDataFrame([(9,), (10,)], "user_id bigint")
+    cat.equality_delete(kill, table, ["user_id"])
+    want = events.filter(~F.col("user_id").isin(9, 10))
+
+    report = run_maintenance(
+        spark, table, zorder=["event_id", "user_id"], expire_keep=1
+    )
+    assert [a["op"] for a in report["actions"]] == ["zorder", "expire"]
+    assert report["snapshot_after"] == 6
+    assert report["total_rows"] == want.count()
+
+    got = cat.read_snapshot(spark, table)
+    assert got.count() == want.count()
+    assert got.select(*events.columns).exceptAll(want).count() == 0
+    # expiry kept exactly one snapshot; deletes were materialized away
+    meta = os.path.join(table, "metadata")
+    assert [f for f in os.listdir(meta) if f.startswith("v")] == ["v6.json"]
+    _, dels = cat._split_entries(table, cat.load_snapshot(table))
+    assert dels == []
+    # both zorder columns prune files now
+    _, rep_e = cat.scan_with_pruning(spark, table, "event_id", 0, 99)
+    _, rep_u = cat.scan_with_pruning(spark, table, "user_id", 0, 2)
+    assert rep_e["files_scanned"] < rep_e["files_total"]
+    assert rep_u["files_scanned"] < rep_u["files_total"]
