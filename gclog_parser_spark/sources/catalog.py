@@ -218,7 +218,41 @@ def _split_entries(table: str, snap: Snapshot):
     return data, dels
 
 
-def _apply_deletes(spark, table, data, dels) -> DataFrame:
+def _target_schema(data):
+    """The table's CURRENT schema = the newest data manifest's stored
+    schema (Iceberg: schema lives in table metadata, evolved by
+    commits).  None when no manifest recorded one (legacy)."""
+    from pyspark.sql.types import StructType
+
+    best = None
+    best_seq = -1
+    for e, man in data:
+        if man.get("schema") and e["seq"] >= best_seq:
+            best, best_seq = man["schema"], e["seq"]
+    return StructType.fromJson(json.loads(best)) if best else None
+
+
+def _align(df: DataFrame, target) -> DataFrame:
+    """Schema evolution on read: add-column → typed NULL for old
+    files, type widening → cast, dropped column → projected away.
+    A no-op when the schemas already match."""
+    import pyspark.sql.functions as F
+
+    if target is None or df.schema == target:
+        return df
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif have[f.name].dataType != f.dataType:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def _apply_deletes(spark, table, data, dels, target=None) -> DataFrame:
     """Merge-on-read: tag each data file group with its commit seq,
     union the (tiny) delete-key relations with theirs, and anti-join
     on (key equality AND data.seq < delete.seq) — Iceberg v2 equality
@@ -226,12 +260,14 @@ def _apply_deletes(spark, table, data, dels) -> DataFrame:
     anti-join broadcasts in practice."""
     import pyspark.sql.functions as F
 
+    if target is None:
+        target = _target_schema(data)
     parts = []
     for e, man in data:
         files = [os.path.join(table, x["path"]) for x in man["files"]]
         if files:
             parts.append(
-                spark.read.parquet(*files).withColumn(
+                _align(spark.read.parquet(*files), target).withColumn(
                     "_seq", F.lit(e["seq"]).cast("long")
                 )
             )
@@ -367,7 +403,8 @@ def read_snapshot(
     is a plain multi-file parquet scan."""
     snap = load_snapshot(table, snapshot_id)
     data, dels = _split_entries(table, snap)
-    if not dels:
+    schemas = {man.get("schema") for _, man in data}
+    if not dels and len(schemas) <= 1:
         files = [
             os.path.join(table, x["path"])
             for _, man in data
@@ -455,7 +492,7 @@ def scan_with_pruning(
     report = {"files_total": total, "files_scanned": scanned}
     if not kept_data:
         df = read_snapshot(spark, table, snap.snapshot_id).limit(0)
-    elif not dels:
+    elif not dels and len({man.get("schema") for _, man in kept_data}) <= 1:
         # fast path: one multi-file scan, no per-manifest union
         df = spark.read.parquet(
             *[
@@ -465,7 +502,11 @@ def scan_with_pruning(
             ]
         )
     else:
-        df = _apply_deletes(spark, table, kept_data, dels)
+        # schema target from the FULL entry list so pruning a manifest
+        # away can't change the result's column set
+        df = _apply_deletes(
+            spark, table, kept_data, dels, target=_target_schema(data)
+        )
     return (
         df.filter((F.col(column) >= lower) & (F.col(column) <= upper)),
         report,

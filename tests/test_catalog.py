@@ -344,3 +344,43 @@ def test_maintenance_job_zorder_and_expire(spark, tmp_path, events):
     _, rep_u = cat.scan_with_pruning(spark, table, "user_id", 0, 2)
     assert rep_e["files_scanned"] < rep_e["files_total"]
     assert rep_u["files_scanned"] < rep_u["files_total"]
+
+
+def test_schema_evolution_add_widen_drop(spark, tmp_path):
+    """Schema evolution on read: files written before an added column
+    read as typed NULLs, int→long widens, a dropped column vanishes —
+    the newest data commit's schema wins (Iceberg metadata-schema
+    semantics)."""
+    table = str(tmp_path / "evo")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id bigint, name string, old int"
+    )
+    cat.snapshot_write(v1, table)
+    # evolution: +score column, old dropped, id stays
+    v2 = spark.createDataFrame(
+        [(3, "c", 1.5), (4, "d", 2.5)],
+        "id bigint, name string, score double",
+    )
+    cat.snapshot_write(v2, table)
+
+    got = cat.read_snapshot(spark, table)
+    assert got.columns == ["id", "name", "score"]
+    rows = {r["id"]: r for r in got.collect()}
+    assert len(rows) == 4
+    assert rows[1]["score"] is None and rows[3]["score"] == 1.5
+
+    # widening: append int ids after long ids declared? inverse —
+    # newest schema has long id already; now commit an int-id frame
+    v3 = spark.createDataFrame([(5, "e", 9.9)], "id int, name string, score double")
+    cat.snapshot_write(v3, table)
+    got3 = cat.read_snapshot(spark, table)
+    assert dict(got3.dtypes)["id"] == "int"  # newest commit's schema wins
+    assert got3.count() == 5
+
+    # time travel still shows the original shape
+    assert cat.read_snapshot(spark, table, 1).columns == ["id", "name", "old"]
+
+    # pruned scan returns the evolved schema too
+    df, _ = cat.scan_with_pruning(spark, table, "id", 3, 4)
+    assert df.columns == ["id", "name", "score"]
+    assert df.count() == 2
