@@ -105,8 +105,8 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     timings: dict[str, float] = {}
     steals: dict[str, float] = {}
     extras: dict = {}
-    t = lambda name, fn: _timeit(  # noqa: E731
-        timings, name, fn, quiet, steals=steals
+    t = lambda name, fn, reps=3: _timeit(  # noqa: E731
+        timings, name, fn, quiet, reps=reps, steals=steals
     )
 
     # --- sf-dir pipeline (driver-comparable, small) ---
@@ -185,6 +185,31 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     t("decontam_sf", lambda: ngram_decontaminate(
         docs.filter(F.col("doc_id") % 17 != 0),
         docs.filter(F.col("doc_id") % 17 == 0)).count())
+
+    # iterative graph op: 5 integer-tick PageRank rounds over the
+    # events link graph (5 join+agg shuffles, checkpointed lineage)
+    from gclog_parser_spark.operators.graph import (
+        events_link_graph, pagerank)
+    t("pagerank_sf", lambda: pagerank(events_link_graph(ev)).count(),
+      reps=2)
+
+    # snapshot-catalog metadata-planned pruned scan (file skipping)
+    import shutil as _sh
+    import tempfile as _tf
+
+    from gclog_parser_spark.sources import catalog as _cat
+    cat_tbl = os.path.join(_tf.gettempdir(), "bench_cat_tbl")
+    if _cat.current_snapshot_id(cat_tbl) is None:
+        _sh.rmtree(cat_tbl, ignore_errors=True)
+        hi = ev.agg(F.max("event_id")).first()[0]
+        step = max(1, (int(hi) + 8) // 8)
+        for lo in range(0, int(hi) + 1, step):
+            _cat.snapshot_write(
+                ev.filter((F.col("event_id") >= lo)
+                          & (F.col("event_id") < lo + step)).coalesce(1),
+                cat_tbl)
+    t("catalog_prune_scan_sf", lambda: _cat.scan_with_pruning(
+        spark, cat_tbl, "event_id", 100, 400)[0].count())
     t("ann_cosine_sf", lambda: cosine_topk(embs).count())
 
     # HOF (oracle-parity) vs Arrow/numpy scorer on a corpus large
