@@ -885,3 +885,41 @@ class IncrementalConsumer:
         with open(tmp, "w") as f:
             json.dump({"snapshot_id": to_id}, f)
         os.replace(tmp, self.cursor_path)
+
+
+# ---------------------------------------------------------------------------
+# streaming sink (exactly-once foreachBatch appends)
+# ---------------------------------------------------------------------------
+
+def streaming_sink(table: str):
+    """A ``foreachBatch`` function committing each micro-batch as an
+    append snapshot with **batch-id fencing**: the epoch id is stored
+    in the snapshot summary, and a replayed batch (restart from an
+    uncommitted offset — Structured Streaming's at-least-once
+    foreachBatch contract) whose id is ≤ the newest committed fence is
+    skipped, making the catalog append exactly-once.
+
+    The fence only needs the LATEST committed id per table because
+    Structured Streaming replays batches in order.  Usage::
+
+        q = (df.writeStream.option("checkpointLocation", ckpt)
+               .foreachBatch(catalog.streaming_sink(table)).start())
+
+    Pairs with :class:`IncrementalConsumer` on the read side: stream →
+    catalog → incremental consumers, each hop idempotent.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        cur = current_snapshot_id(table)
+        if cur is not None:
+            last = load_snapshot(table, cur).summary.get("stream_batch_id")
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already durable, skip
+        snap = snapshot_write(batch_df, table, mode="append")
+        # stamp the fence post-commit: rewrite THIS snapshot's summary
+        # (same file, owned by us — no concurrent writer holds v<id>)
+        snap.summary["stream_batch_id"] = batch_id
+        with open(_snap_path(table, snap.snapshot_id), "w") as f:
+            f.write(snap.to_json())
+
+    return _sink

@@ -207,3 +207,55 @@ def test_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_sink_into_catalog_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch → catalog appends with batch-id fencing: a replay
+    of the last micro-batch (offset commit deleted) is skipped, so the
+    table holds each input row exactly once; the consumer side reads
+    the appends incrementally."""
+    import os
+
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+    from gclog_parser_spark.sources import catalog as cat
+
+    inp = str(tmp_path / "pages")
+    table = str(tmp_path / "cat_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    pages = _write_pages_in_slices(spark, sf_dir, inp)
+    want = pages.select("url", "warc_ts", "lang").count()
+
+    def run():
+        q = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(inp)
+            .select("url", "warc_ts", "lang")
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(cat.streaming_sink(table))
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run()
+    n_snaps = cat.current_snapshot_id(table)
+    assert n_snaps >= 2  # maxFilesPerTrigger forced multiple batches
+    assert cat.read_snapshot(spark, table).count() == want
+
+    # crash window: drop the last offset commit → restart replays the
+    # final batch; the fence must skip it
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert cat.read_snapshot(spark, table).count() == want
+    assert cat.current_snapshot_id(table) == n_snaps  # no new snapshot
+
+    # restart with committed offsets: nothing re-reads, still exact
+    run()
+    assert cat.read_snapshot(spark, table).count() == want
