@@ -219,3 +219,32 @@ def test_rel_multiway_join_plan(spark, sf_dir):
     # broadcasts: nation, region (+ Catalyst may elect supplier);
     # never the orders/lineitem spine
     assert plan.count("BroadcastExchange") <= 3
+
+
+def test_fuzzy_pairs_is_equi_join_with_precap(spark):
+    """fuzzy_pairs must hash-join on the prefix block (never a
+    cartesian/BNLJ) and apply the block-size cap upstream of it."""
+    from gclog_parser_spark.operators.textstats import fuzzy_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} " * 10) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = fuzzy_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "pfx" in plan  # the equi key actually drives the join
+
+
+def test_pagerank_no_cartesian_and_bounded_plan(spark):
+    from gclog_parser_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(30)], "src long, dst long"
+    )
+    out = pagerank(edges, n_iter=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # localCheckpoint truncates lineage: the visible plan is the LAST
+    # iteration's join+agg, not 3 nested ones
+    assert plan.count("HashAggregate") <= 6
