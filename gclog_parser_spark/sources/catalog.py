@@ -923,3 +923,65 @@ def streaming_sink(table: str):
             f.write(snap.to_json())
 
     return _sink
+
+
+# ---------------------------------------------------------------------------
+# named refs (tags) + metadata tables
+# ---------------------------------------------------------------------------
+
+def _refs_path(table: str) -> str:
+    return os.path.join(table, _META, "refs.json")
+
+
+def create_tag(table: str, name: str, snapshot_id: int | None = None) -> int:
+    """Pin a name to a snapshot (Iceberg tag): time travel by label —
+    'the corpus release run X trained on'.  Expiry does not consult
+    tags (keep_last is the only retention rule here); reading a tag
+    whose snapshot was expired fails loudly.  Atomic read-modify-write
+    via tmp+rename."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table)
+    if sid is None or not os.path.exists(_snap_path(table, sid)):
+        raise FileNotFoundError(f"snapshot {sid} not in {table}")
+    refs = read_refs(table)
+    refs[name] = sid
+    tmp = _refs_path(table) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(refs, f, sort_keys=True)
+    os.replace(tmp, _refs_path(table))
+    return sid
+
+
+def read_refs(table: str) -> dict[str, int]:
+    p = _refs_path(table)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_tag(spark: SparkSession, table: str, name: str) -> DataFrame:
+    """Time-travel read by tag name."""
+    refs = read_refs(table)
+    if name not in refs:
+        raise KeyError(f"no tag {name!r} in {table} (have {sorted(refs)})")
+    return read_snapshot(spark, table, refs[name])
+
+
+def table_files(spark: SparkSession, table: str,
+                snapshot_id: int | None = None) -> DataFrame:
+    """The ``files`` metadata table (Iceberg's ``table.files`` twin):
+    one row per live file with rows/bytes/kind — what ops dashboards
+    and compaction planners query instead of listing storage."""
+    snap = load_snapshot(table, snapshot_id)
+    rows = []
+    for m in snap.manifests:
+        e = _norm_entry(m)
+        man = _load_manifest(table, e["path"])
+        for x in man["files"]:
+            rows.append(
+                (x["path"], e["kind"], e["seq"], x["rows"], x["bytes"])
+            )
+    return spark.createDataFrame(
+        rows,
+        "path string, kind string, seq int, rows bigint, bytes bigint",
+    )

@@ -384,3 +384,25 @@ def test_schema_evolution_add_widen_drop(spark, tmp_path):
     df, _ = cat.scan_with_pruning(spark, table, "id", 3, 4)
     assert df.columns == ["id", "name", "score"]
     assert df.count() == 2
+
+
+def test_tags_and_files_metadata_table(spark, tmp_path, events):
+    table, _ = _mk_table(tmp_path, events)
+    cat.create_tag(table, "v1-release", 1)
+    cat.create_tag(table, "latest")  # default = current
+    assert cat.read_refs(table) == {"v1-release": 1, "latest": 3}
+    assert cat.read_tag(spark, table, "v1-release").count() == (
+        events.filter(F.col("event_id") % 3 == 0).count()
+    )
+    assert cat.read_tag(spark, table, "latest").count() == events.count()
+    with pytest.raises(KeyError, match="no tag"):
+        cat.read_tag(spark, table, "nope")
+    with pytest.raises(FileNotFoundError):
+        cat.create_tag(table, "bad", 99)
+
+    files = cat.table_files(spark, table)
+    assert files.filter(F.col("kind") == "data").count() == files.count()
+    total = files.agg(F.sum("rows")).first()[0]
+    assert total == events.count()
+    # seq matches the committing snapshot
+    assert {r["seq"] for r in files.collect()} == {1, 2, 3}
