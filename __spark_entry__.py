@@ -1641,6 +1641,62 @@ def q_dedup_fuzzy(spark, sf_dir):
     return fuzzy_pairs(_docs(spark, sf_dir))
 
 
+BM25_TERMS = ["data", "table", "spark"]
+
+
+def q_text_postings(spark, sf_dir):
+    """Inverted-index postings (word, doc, tf, first position) — the
+    corpus search index build; oracle = DuckDB unnest+subscripts."""
+    from gclog_parser_spark.operators.textstats import postings
+
+    return postings(_docs(spark, sf_dir))
+
+
+def q_text_bm25(spark, sf_dir):
+    """BM25 top-10 per query term with a transcendental-free rational
+    idf — bit-comparable doubles across engines, deterministic
+    (rounded score, doc_id) ranking."""
+    from gclog_parser_spark.operators.textstats import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS)
+
+
+def q_rel_anomaly_hours(spark, sf_dir):
+    """Rate-anomaly detection: per event_type, flag hours whose count
+    exceeds mean + 2·σ (population σ from integer sums — the float
+    math reduces over exact integers, so both engines agree to the
+    bit); the telemetry alerting query over the hourly rollup."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+        .alias("hour_epoch"),
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("h"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1").cast("double") / F.col("h")
+    var = (
+        F.col("s2").cast("double") / F.col("h") - mean * mean
+    )
+    sigma = F.sqrt(var)
+    z = (F.col("n") - mean) / sigma
+    return (
+        j.filter(
+            (sigma > 0) & (F.col("n").cast("double") > mean + 2.0 * sigma)
+        )
+        .select(
+            "event_type",
+            "hour_epoch",
+            "n",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
 def q_snap_wap_publish(spark, sf_dir):
     """Write-audit-publish: even event_ids are the published base, odd
     event_ids go through stage → dq-audit (null/range checks on the
@@ -1872,6 +1928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_wap_publish": q_snap_wap_publish,
         "dedup_fuzzy": q_dedup_fuzzy,
         "snap_eq_delete": q_snap_eq_delete,
+        "text_postings": q_text_postings,
+        "text_bm25": q_text_bm25,
+        "rel_anomaly_hours": q_rel_anomaly_hours,
     }
 
 
@@ -2561,6 +2620,26 @@ sessions AS (
         " UNION ALL"
         " SELECT event_id, ts, user_id, event_type FROM events"
         " WHERE user_id IN (0, 1, 2) AND event_id % 7 = 0"
+    )
+    out["text_postings"] = ot.postings_sql()
+    out["text_bm25"] = ot.bm25_sql(BM25_TERMS)
+    out["rel_anomaly_hours"] = (
+        "WITH hourly AS (SELECT event_type,"
+        " CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,"
+        " count(*) AS n FROM events GROUP BY 1, 2),"
+        " st AS (SELECT event_type, count(*) AS h, sum(n) AS s1,"
+        " sum(n * n) AS s2 FROM hourly GROUP BY 1)"
+        " SELECT y.event_type, y.hour_epoch, y.n,"
+        " round((y.n - CAST(s.s1 AS DOUBLE) / s.h)"
+        " / sqrt(CAST(s.s2 AS DOUBLE) / s.h"
+        "  - (CAST(s.s1 AS DOUBLE) / s.h) * (CAST(s.s1 AS DOUBLE) / s.h)),"
+        " 6) AS zscore"
+        " FROM hourly y JOIN st s USING (event_type)"
+        " WHERE sqrt(CAST(s.s2 AS DOUBLE) / s.h"
+        "  - (CAST(s.s1 AS DOUBLE) / s.h) * (CAST(s.s1 AS DOUBLE) / s.h)) > 0"
+        " AND CAST(y.n AS DOUBLE) > CAST(s.s1 AS DOUBLE) / s.h"
+        "  + 2.0 * sqrt(CAST(s.s2 AS DOUBLE) / s.h"
+        "  - (CAST(s.s1 AS DOUBLE) / s.h) * (CAST(s.s1 AS DOUBLE) / s.h))"
     )
     out["dedup_fuzzy"] = (
         "WITH d AS (SELECT doc_id, lower(substr(text, 1, 16)) AS pfx,"

@@ -519,3 +519,86 @@ def fuzzy_pairs(
             dist.alias("edit_dist"),
         )
     )
+
+
+def postings(docs: DataFrame) -> DataFrame:
+    """Inverted-index postings: one row per (word, doc) with term
+    frequency and first position — the build side of search/BM25 over
+    the corpus (and the honest relational representation: the
+    "index" is a table you shuffle once on word, not a driver-side
+    dict).
+
+    Scale: posexplode is scan-side; ONE partial-aggregated exchange on
+    (word, doc_id).  At 10^12 docs the posting table is the classic
+    sharded inverted index — range-partition it on word for serving.
+    """
+    w = docs.select(
+        "doc_id",
+        F.posexplode(_words(F.col("text"))).alias("pos", "word"),
+    )
+    return w.groupBy("word", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.min("pos").alias("first_pos"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1_pct: int = 120,
+    b_pct: int = 75,
+) -> DataFrame:
+    """BM25 top-k docs per query term, cross-engine exact: the idf is
+    the RATIONAL Robertson form ``(N - df + 0.5)/(df + 0.5)`` with no
+    logarithm (the same trick as `tfidf_topk` — transcendental-free
+    scores are bit-comparable between Spark and DuckDB), saturation
+    uses k1=1.2 b=0.75 as integer percents, scores round to 6 dp and
+    rank deterministically by (rounded score DESC, doc_id ASC).
+
+    Scale: tf from the postings relation (one exchange), doc lengths
+    scan-side, N / total-length / per-term df are tiny aggregates
+    broadcast back; top-k per term is a bounded window over ≤N rows
+    per term.
+    """
+    k1 = k1_pct / 100.0
+    b = b_pct / 100.0
+    w = docs.select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "word")
+    ).filter(F.col("word").isin(terms))
+    tf = w.groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
+    dl = docs.select(
+        "doc_id", F.size(_words(F.col("text"))).alias("dl")
+    )
+    n_docs = docs.count()
+    l_sum = dl.agg(F.sum("dl")).first()[0]
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .select(
+            "word",
+            "doc_id",
+            F.round(
+                ((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        (1.0 - b)
+                        + b * F.col("dl") * F.lit(float(n_docs)) / F.lit(float(l_sum))
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("word").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+    )
+    return scored.withColumn("rn", rn).filter(F.col("rn") <= k).drop("rn")

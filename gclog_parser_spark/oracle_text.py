@@ -813,3 +813,66 @@ SELECT label, count(*) AS n_vecs,
   round(max(CASE WHEN scale <> 0 THEN max_abs_err / scale END), 6)
     AS worst_rel_err
 FROM err GROUP BY 1"""
+
+
+def postings_sql() -> str:
+    """Inverted-index postings twin: DuckDB's unnest +
+    generate_subscripts zip per row, 0-based positions like
+    posexplode."""
+    return """
+WITH w AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(text), '\\s+')) AS word,
+    generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) - 1
+      AS pos
+  FROM documents
+)
+SELECT word, doc_id, count(*) AS tf,
+  CAST(min(pos) AS INT) AS first_pos
+FROM w GROUP BY 1, 2
+"""
+
+
+def bm25_sql(terms: list[str], k: int = 10) -> str:
+    """BM25 twin — the EXACT same double-precision expression tree as
+    `textstats.bm25_topk` (rational idf, k1=1.2 b=0.75 literals, same
+    association order), ranked by (rounded score DESC, doc_id)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT word, doc_id, count(*) AS tf FROM w
+  WHERE word IN ({tl}) GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id,
+    len(string_split_regex(trim(text), '\\s+')) AS dl
+  FROM documents
+),
+consts AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT sum(dl) FROM dl) AS DOUBLE) AS lsum
+),
+dfreq AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT t.word, t.doc_id,
+    round(
+      ((c.n - f.df + 0.5) / (f.df + 0.5))
+      * (t.tf * 2.2)
+      / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * c.n / c.lsum)),
+      6) AS score
+  FROM tf t JOIN dfreq f USING (word)
+  JOIN dl d USING (doc_id) CROSS JOIN consts c
+)
+SELECT word, doc_id, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY word ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
