@@ -1641,6 +1641,57 @@ def q_dedup_fuzzy(spark, sf_dir):
     return fuzzy_pairs(_docs(spark, sf_dir))
 
 
+def q_rel_outer_join(spark, sf_dir):
+    """FULL OUTER customer⋈orders with null-side accounting — the
+    missing-join-type completeness row (inner/semi/anti/asof/range/
+    interval are elsewhere): customers without orders and orders
+    without customers both survive, aggregated per nation with
+    integer-cents sums."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return j.groupBy(
+        F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nationkey")
+    ).agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("no_order"),
+        F.sum(F.col("c_custkey").isNull().cast("long")).alias("no_customer"),
+        F.sum(
+            F.coalesce(F.round(F.col("o_totalprice") * 100), F.lit(0))
+            .cast("long")
+        ).alias("cents_sum"),
+    )
+
+
+def q_rel_correlated_subq(spark, sf_dir):
+    """Correlated subqueries through BOTH engines' planners: orders
+    above their customer's average order value (correlated scalar
+    subquery) that have at least one lineitem (correlated EXISTS).
+    Catalyst decorrelates to joins; DuckDB runs its own flattening —
+    two independent subquery planners checked equal."""
+    sql = CORRELATED_SQL
+    for t in ("orders", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+#: integer-exact "above the customer's average" via cross-multiplied
+#: cents (cents·cnt > Σcents) — no float averaging, so the boundary
+#: set is identical in both engines; ANSI text runs verbatim on both
+CORRELATED_SQL = (
+    "SELECT o_orderkey, o_custkey,"
+    " CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+    " FROM orders o"
+    " WHERE CAST(round(o_totalprice * 100) AS BIGINT)"
+    "  * (SELECT count(*) FROM orders o2"
+    "     WHERE o2.o_custkey = o.o_custkey)"
+    "  > (SELECT CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))"
+    "     AS BIGINT) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"
+    " AND EXISTS (SELECT 1 FROM lineitem l"
+    "  WHERE l.l_orderkey = o.o_orderkey)"
+)
+
+
 BM25_TERMS = ["data", "table", "spark"]
 
 
@@ -1931,6 +1982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_postings": q_text_postings,
         "text_bm25": q_text_bm25,
         "rel_anomaly_hours": q_rel_anomaly_hours,
+        "rel_outer_join": q_rel_outer_join,
+        "rel_correlated_subq": q_rel_correlated_subq,
     }
 
 
@@ -2621,6 +2674,19 @@ sessions AS (
         " SELECT event_id, ts, user_id, event_type FROM events"
         " WHERE user_id IN (0, 1, 2) AND event_id % 7 = 0"
     )
+    out["rel_outer_join"] = (
+        "SELECT coalesce(c.c_nationkey, -1) AS nationkey,"
+        " count(*) AS rows,"
+        " CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS no_order,"
+        " CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS no_customer,"
+        " CAST(sum(coalesce(CAST(round(o.o_totalprice * 100) AS BIGINT),"
+        "  0)) AS BIGINT) AS cents_sum"
+        " FROM customer c FULL OUTER JOIN orders o"
+        " ON c.c_custkey = o.o_custkey GROUP BY 1"
+    )
+    out["rel_correlated_subq"] = CORRELATED_SQL
     out["text_postings"] = ot.postings_sql()
     out["text_bm25"] = ot.bm25_sql(BM25_TERMS)
     out["rel_anomaly_hours"] = (
