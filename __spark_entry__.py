@@ -1641,6 +1641,45 @@ def q_dedup_fuzzy(spark, sf_dir):
     return fuzzy_pairs(_docs(spark, sf_dir))
 
 
+def q_rel_gapfill(spark, sf_dir):
+    """Time-series densification + LOCF: the hourly rollup has ~7 %
+    missing hours per event type; explode a per-type
+    sequence(min_hour, max_hour) to a dense axis, left-join the
+    observed counts (0-fill), and carry the last OBSERVED count
+    forward with last(ignorenulls) — the dashboard/resampling query
+    every telemetry store needs.  Scale: the dense axis is
+    types × hours (tiny vs events); ONE aggregated exchange builds
+    the rollup, one per-type window orders the axis."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(
+            F.date_trunc("hour", F.col("ts").cast("timestamp"))
+        ).alias("hour_epoch"),
+    ).agg(F.count("*").alias("n"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour_epoch").alias("mn"), F.max("hour_epoch").alias("mx")
+    )
+    dense = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.lit(3600))
+        ).alias("hour_epoch"),
+    )
+    j = dense.join(hourly, ["event_type", "hour_epoch"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "hour_epoch",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_filled"),
+        F.last("n", ignorenulls=True).over(w).cast("long").alias("locf"),
+    )
+
+
 def q_rel_outer_join(spark, sf_dir):
     """FULL OUTER customer⋈orders with null-side accounting — the
     missing-join-type completeness row (inner/semi/anti/asof/range/
@@ -1984,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_anomaly_hours": q_rel_anomaly_hours,
         "rel_outer_join": q_rel_outer_join,
         "rel_correlated_subq": q_rel_correlated_subq,
+        "rel_gapfill": q_rel_gapfill,
     }
 
 
@@ -2673,6 +2713,23 @@ sessions AS (
         " UNION ALL"
         " SELECT event_id, ts, user_id, event_type FROM events"
         " WHERE user_id IN (0, 1, 2) AND event_id % 7 = 0"
+    )
+    out["rel_gapfill"] = (
+        "WITH hourly AS (SELECT event_type,"
+        " CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,"
+        " count(*) AS n FROM events GROUP BY 1, 2),"
+        " b AS (SELECT event_type, min(hour_epoch) AS mn,"
+        " max(hour_epoch) AS mx FROM hourly GROUP BY 1),"
+        " dense AS (SELECT event_type,"
+        " unnest(generate_series(mn, mx, 3600)) AS hour_epoch FROM b)"
+        " SELECT d.event_type, d.hour_epoch,"
+        " CAST(coalesce(h.n, 0) AS BIGINT) AS n_filled,"
+        " CAST(last_value(h.n IGNORE NULLS) OVER ("
+        "  PARTITION BY d.event_type ORDER BY d.hour_epoch"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        "  AS BIGINT) AS locf"
+        " FROM dense d LEFT JOIN hourly h"
+        " USING (event_type, hour_epoch)"
     )
     out["rel_outer_join"] = (
         "SELECT coalesce(c.c_nationkey, -1) AS nationkey,"
