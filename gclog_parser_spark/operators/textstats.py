@@ -570,8 +570,11 @@ def bm25_topk(
     dl = docs.select(
         "doc_id", F.size(_words(F.col("text"))).alias("dl")
     )
-    n_docs = docs.count()
-    l_sum = dl.agg(F.sum("dl")).first()[0]
+    # one action for both scalars (count + total length)
+    consts = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("ls")
+    ).first()
+    n_docs, l_sum = consts["n"], consts["ls"]
     df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "word")
