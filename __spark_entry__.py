@@ -696,6 +696,36 @@ def q_rel_stream_sliding(spark, sf_dir):
     return spark.table(qname)
 
 
+def q_rel_stream_sessions(spark, sf_dir):
+    """Streaming twin of `rel_session_window`: the events table
+    replayed as a file-source stream → NATIVE session_window
+    aggregation → memory sink (complete mode so sessions still open
+    at end-of-input emit) — value-checked against the SAME DuckDB
+    gaps-and-islands oracle as the batch query: three independent
+    session implementations (Spark batch session_window, Spark
+    streaming session-state merge, DuckDB lag+running-sum) must all
+    agree."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.streaming.stream import run_session_stream
+
+    base = tempfile.mkdtemp(prefix="gps_sessions_")
+    inp = f"{base}/events"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(3).write.parquet(inp)
+    _STREAM_SEQ[0] += 1
+    qname = f"gps_stream_sessions_{_STREAM_SEQ[0]}"
+    q = run_session_stream(
+        spark, inp, ev.schema, f"{base}/ckpt", query_name=qname
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("rel_stream_sessions: stream timed out (600 s)")
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.table(qname)
+
+
 def q_rel_multiway_join(spark, sf_dir):
     """Six-table multiway join (TPC-H Q5 shape: local-supplier revenue
     per nation inside one region) — the Catalyst join-ordering
@@ -2024,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_outer_join": q_rel_outer_join,
         "rel_correlated_subq": q_rel_correlated_subq,
         "rel_gapfill": q_rel_gapfill,
+        "rel_stream_sessions": q_rel_stream_sessions,
     }
 
 
@@ -2383,6 +2414,8 @@ sessions AS (
         " date_diff('microsecond', min(ts), max(ts)) AS duration_us"
         " FROM s GROUP BY user_id, sid"
     )
+    # the streaming session-state merge must equal the batch result
+    out["rel_stream_sessions"] = out["rel_session_window"]
 
     out["rel_dq_checks"] = (
         "SELECT 'orders_pk_unique' AS rule,"

@@ -325,3 +325,49 @@ def run_attribution_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_window_counts(events: DataFrame, gap: str = "6 hours") -> DataFrame:
+    """Streaming twin of the native session_window aggregation
+    (__spark_entry__.q_rel_session_window): dynamic-gap event-time
+    sessions per user, schema-identical to the batch query so the
+    SAME DuckDB gaps-and-islands oracle value-checks both paths.
+    State ∝ open sessions; a watermark bounds it on an infinite
+    stream (the finite-replay runner uses complete mode so every
+    session — including still-open ones — is emitted at end of
+    input)."""
+    return (
+        events.select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("duration_us"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_us")
+    )
+
+
+def run_session_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    checkpoint: str,
+    query_name: str = "session_events",
+):
+    """Session-window streaming aggregate to an in-memory sink
+    (complete mode: the finite replay must emit sessions still open
+    at end-of-input too — exactly the batch result)."""
+    ev = spark.readStream.schema(schema).parquet(input_dir)
+    agg = session_window_counts(ev)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
