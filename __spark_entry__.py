@@ -1671,6 +1671,49 @@ def q_dedup_fuzzy(spark, sf_dir):
     return fuzzy_pairs(_docs(spark, sf_dir))
 
 
+def q_gc_catalog_fanout(spark, sf_dir):
+    """The north rule's exact sink shape: parse → route → fan-out to
+    PER-SINK snapshot-catalog tables (one partitioned data pass +
+    per-sink metadata commits), then read every sink table back and
+    aggregate — the result must equal the relational per-collector
+    rollup the oracle computes directly, proving routed-row equality
+    through the storage layer."""
+    import tempfile
+
+    from gclog_parser_spark.operators.parse import parse_events
+    from gclog_parser_spark.operators.route import (
+        fanout_commit_catalog,
+        with_sink,
+    )
+    from gclog_parser_spark.sources import catalog as cat
+
+    key = f"gps_fanout_{abs(hash(sf_dir)) % 10**8}"
+    base = os.path.join(tempfile.gettempdir(), key)
+    if not os.path.isdir(base):
+        events = with_sink(
+            parse_events(pages_from_documents(spark, sf_dir))
+        )
+        fanout_commit_catalog(events, base)
+    parts = []
+    for sink in sorted(os.listdir(base)):
+        table = os.path.join(base, sink)
+        if not os.path.isdir(os.path.join(table, "metadata")):
+            continue
+        df = cat.read_snapshot(spark, table)
+        parts.append(
+            df.agg(
+                F.count("*").alias("events"),
+                F.sum("heap_reclaimed_bytes")
+                .cast("long")
+                .alias("heap_reclaimed_sum"),
+            ).select(F.lit(sink).alias("family"), "events", "heap_reclaimed_sum")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_rel_gapfill(spark, sf_dir):
     """Time-series densification + LOCF: the hourly rollup has ~7 %
     missing hours per event type; explode a per-type
@@ -2055,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_correlated_subq": q_rel_correlated_subq,
         "rel_gapfill": q_rel_gapfill,
         "rel_stream_sessions": q_rel_stream_sessions,
+        "gc_catalog_fanout": q_gc_catalog_fanout,
     }
 
 
@@ -2182,6 +2226,9 @@ sessions AS (
         " FROM gc_events e LEFT JOIN family_dim f USING (gc_type)"
         " GROUP BY 1"
     )
+    # routed-row equality THROUGH the per-sink catalog tables: the
+    # fan-out read-back must equal the direct relational rollup
+    out["gc_catalog_fanout"] = out["gc_events_per_collector"]
 
     out["gc_appstopped"] = g() + (
         "SELECT count(*) AS events,"

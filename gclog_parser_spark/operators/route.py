@@ -49,3 +49,57 @@ def fanout_write(
 def read_sink(spark, base_path: str, sink: str) -> DataFrame:
     """Read one routed per-sink table back (partition-pruned scan)."""
     return spark.read.parquet(base_path).where(F.col("sink") == sink)
+
+
+def fanout_commit_catalog(events: DataFrame, base_dir: str) -> dict:
+    """Route events to **per-sink snapshot-catalog tables** with ONE
+    data pass — the north rule's 'routed by GC type to per-sink
+    Iceberg tables with fan-out writes' realized over
+    `sources/catalog.py`:
+
+    1. one partitioned Spark write (`partitionBy('sink')`) lands every
+       sink's files under a private staging dir — the only job that
+       touches data;
+    2. each sink's directory is MOVED (same-filesystem rename) into
+       its table's ``data/`` area and committed with
+       `catalog.commit_existing_files` — pure metadata, Iceberg's
+       add-files path, one append snapshot per sink.
+
+    A crash between 1 and 2 leaves only staging files no manifest
+    references (collected by expire); a crash mid-2 leaves some sinks
+    committed and the rest staged — re-running the job appends the
+    missing sinks only if the caller dedups (e.g. via the ledger's
+    chunk protocol or `streaming_sink`'s batch fencing); the
+    PRIMITIVE here is atomic per sink.
+
+    Returns ``{sink: snapshot_id}``.
+    """
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from gclog_parser_spark.sources import catalog as cat
+
+    routed = with_sink(events)
+    stage = os.path.join(base_dir, "_staging", f"c-{_uuid.uuid4().hex}")
+    routed.write.mode("overwrite").partitionBy("sink").parquet(stage)
+    schema_json = routed.drop("sink").schema.json()
+
+    committed: dict[str, int] = {}
+    for d in sorted(os.listdir(stage)):
+        if not d.startswith("sink="):
+            continue
+        sink = d.split("=", 1)[1]
+        table = os.path.join(base_dir, sink)
+        commit_rel = os.path.join("data", f"commit-{_uuid.uuid4().hex}")
+        os.makedirs(os.path.join(table, "data"), exist_ok=True)
+        shutil.move(os.path.join(stage, d), os.path.join(table, commit_rel))
+        snap = cat.commit_existing_files(
+            table, commit_rel, mode="append", schema_json=schema_json
+        )
+        committed[sink] = snap.snapshot_id
+    shutil.rmtree(stage, ignore_errors=True)
+    staging_root = os.path.join(base_dir, "_staging")
+    if os.path.isdir(staging_root) and not os.listdir(staging_root):
+        os.rmdir(staging_root)
+    return committed

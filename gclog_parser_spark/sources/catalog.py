@@ -327,7 +327,23 @@ def snapshot_write(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(os.path.join(table, commit_dir))
+    return commit_existing_files(
+        table, commit_dir, mode=mode, schema_json=df.schema.json()
+    )
 
+
+def commit_existing_files(
+    table: str,
+    commit_dir: str,
+    mode: str = "append",
+    schema_json: str | None = None,
+) -> Snapshot:
+    """Commit parquet files ALREADY inside ``table/<commit_dir>`` as a
+    new snapshot — the zero-copy half of :func:`snapshot_write`, and
+    the primitive the fan-out writer uses: one partitioned Spark write
+    produces every sink's files, then each sink table commits its own
+    directory with pure metadata work (no data rewrite, exactly
+    Iceberg's add-files path)."""
     files = []
     abs_dir = os.path.join(table, commit_dir)
     for f in sorted(os.listdir(abs_dir)):
@@ -338,13 +354,14 @@ def snapshot_write(
         entry.update(_file_stats(os.path.join(table, rel)))
         files.append(entry)
 
+    os.makedirs(os.path.join(table, _META), exist_ok=True)
     manifest_rel = os.path.join(_META, f"m-{uuid.uuid4().hex}.json")
     with open(os.path.join(table, manifest_rel), "w") as f:
         json.dump(
             {
                 "files": files,
                 "added_rows": sum(e["rows"] for e in files),
-                "schema": df.schema.json(),
+                "schema": schema_json,
             },
             f,
         )

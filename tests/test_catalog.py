@@ -406,3 +406,43 @@ def test_tags_and_files_metadata_table(spark, tmp_path, events):
     assert total == events.count()
     # seq matches the committing snapshot
     assert {r["seq"] for r in files.collect()} == {1, 2, 3}
+
+
+def test_fanout_commit_catalog_per_sink_tables(spark, sf_dir, tmp_path):
+    """North-rule fan-out: one partitioned data pass, then per-sink
+    metadata-only commits; each sink table reads back exactly its
+    routed rows, and a second run appends as snapshot 2."""
+    from gclog_parser_spark.datagen import pages_from_documents
+    from gclog_parser_spark.operators.parse import parse_events
+    from gclog_parser_spark.operators.route import (
+        fanout_commit_catalog,
+        with_sink,
+    )
+
+    events = with_sink(parse_events(pages_from_documents(spark, sf_dir)))
+    base = str(tmp_path / "sinks")
+    committed = fanout_commit_catalog(events, base)
+    want = {
+        r["sink"]: r["n"]
+        for r in events.groupBy("sink").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(committed) == set(want)
+    assert all(v == 1 for v in committed.values())
+    for sink, n in want.items():
+        table = os.path.join(base, sink)
+        got = cat.read_snapshot(spark, table)
+        assert got.count() == n
+        assert "sink" not in got.columns  # partition col lives in routing
+    assert not os.path.exists(os.path.join(base, "_staging"))
+
+    # second run: append snapshots, counts double
+    committed2 = fanout_commit_catalog(events, base)
+    assert all(v == 2 for v in committed2.values())
+    some = next(iter(want))
+    assert (
+        cat.read_snapshot(spark, os.path.join(base, some)).count()
+        == 2 * want[some]
+    )
+    # incremental read sees exactly the second batch
+    inc = cat.incremental_read(spark, os.path.join(base, some), 1, 2)
+    assert inc.count() == want[some]
