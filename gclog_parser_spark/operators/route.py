@@ -51,7 +51,9 @@ def read_sink(spark, base_path: str, sink: str) -> DataFrame:
     return spark.read.parquet(base_path).where(F.col("sink") == sink)
 
 
-def fanout_commit_catalog(events: DataFrame, base_dir: str) -> dict:
+def fanout_commit_catalog(
+    events: DataFrame, base_dir: str, fence_id: int | None = None
+) -> dict:
     """Route events to **per-sink snapshot-catalog tables** with ONE
     data pass — the north rule's 'routed by GC type to per-sink
     Iceberg tables with fan-out writes' realized over
@@ -72,7 +74,13 @@ def fanout_commit_catalog(events: DataFrame, base_dir: str) -> dict:
     chunk protocol or `streaming_sink`'s batch fencing); the
     PRIMITIVE here is atomic per sink.
 
-    Returns ``{sink: snapshot_id}``.
+    ``fence_id`` enables exactly-once streaming composition
+    (:func:`streaming_fanout_sink`): each sink table whose newest
+    committed ``stream_batch_id`` is ≥ the fence skips its commit (the
+    replayed batch is already durable there) and its staged files are
+    discarded.
+
+    Returns ``{sink: snapshot_id}`` for the sinks committed this call.
     """
     import os
     import shutil
@@ -91,15 +99,45 @@ def fanout_commit_catalog(events: DataFrame, base_dir: str) -> dict:
             continue
         sink = d.split("=", 1)[1]
         table = os.path.join(base_dir, sink)
+        if fence_id is not None:
+            cur = cat.current_snapshot_id(table)
+            if cur is not None:
+                last = cat.load_snapshot(table, cur).summary.get(
+                    "stream_batch_id"
+                )
+                if last is not None and fence_id <= last:
+                    continue  # replayed batch: this sink already has it
         commit_rel = os.path.join("data", f"commit-{_uuid.uuid4().hex}")
         os.makedirs(os.path.join(table, "data"), exist_ok=True)
         shutil.move(os.path.join(stage, d), os.path.join(table, commit_rel))
         snap = cat.commit_existing_files(
             table, commit_rel, mode="append", schema_json=schema_json
         )
+        if fence_id is not None:
+            snap.summary["stream_batch_id"] = fence_id
+            with open(
+                os.path.join(table, "metadata", f"v{snap.snapshot_id}.json"),
+                "w",
+            ) as f:
+                f.write(snap.to_json())
         committed[sink] = snap.snapshot_id
     shutil.rmtree(stage, ignore_errors=True)
     staging_root = os.path.join(base_dir, "_staging")
     if os.path.isdir(staging_root) and not os.listdir(staging_root):
         os.rmdir(staging_root)
     return committed
+
+
+def streaming_fanout_sink(base_dir: str):
+    """``foreachBatch`` fan-out into per-sink catalog tables with
+    batch-id fencing — the streaming twin of
+    :func:`fanout_commit_catalog` (and the per-sink generalization of
+    `catalog.streaming_sink`): each micro-batch routes once, commits
+    one append snapshot per sink it touched, and a replayed batch
+    re-commits ONLY the sink tables that missed it — per-table
+    exactly-once."""
+
+    def _sink(batch_df, batch_id: int) -> None:
+        fanout_commit_catalog(batch_df, base_dir, fence_id=batch_id)
+
+    return _sink

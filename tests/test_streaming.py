@@ -259,3 +259,64 @@ def test_streaming_sink_into_catalog_exactly_once(spark, sf_dir, tmp_path):
     # restart with committed offsets: nothing re-reads, still exact
     run()
     assert cat.read_snapshot(spark, table).count() == want
+
+
+def test_streaming_fanout_per_sink_catalog_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Stream → per-sink catalog tables: every sink's rows land
+    exactly once across a forced last-batch replay (per-table batch
+    fencing), totals equal the batch fan-out."""
+    import os
+
+    from gclog_parser_spark.operators.parse import parse_events
+    from gclog_parser_spark.operators.route import (
+        streaming_fanout_sink,
+        with_sink,
+    )
+    from gclog_parser_spark.sources import catalog as cat
+    from gclog_parser_spark.streaming.stream import parse_stream, stream_pages
+
+    inp = str(tmp_path / "pages")
+    base = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
+    pages = _write_pages_in_slices(spark, sf_dir, inp)
+    want = {
+        r["sink"]: r["n"]
+        for r in with_sink(parse_events(pages))
+        .groupBy("sink")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    def run():
+        ev = parse_stream(stream_pages(spark, inp, max_files_per_trigger=2))
+        q = (
+            ev.writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(streaming_fanout_sink(base))
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run()
+
+    def totals():
+        out = {}
+        for s in sorted(os.listdir(base)):
+            t = os.path.join(base, s)
+            if os.path.isdir(os.path.join(t, "metadata")):
+                out[s] = cat.read_snapshot(spark, t).count()
+        return out
+
+    assert totals() == want
+
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # replay of the final batch → fenced, no duplicates
+    assert totals() == want
