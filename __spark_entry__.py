@@ -1714,6 +1714,28 @@ def q_gc_catalog_fanout(spark, sf_dir):
     return out
 
 
+def q_rel_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (beyond the ROLLUP/CUBE specials):
+    ((type, user), (type), (user), ()) in ONE aggregation pass with
+    grouping_id() disambiguating the null-as-ALL rows — the Expand
+    operator under the hood; identical ANSI text on both engines."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+#: shared ANSI text (both planners implement GROUPING SETS natively)
+GROUPING_SETS_SQL = (
+    "SELECT event_type, user_id, grouping(event_type) AS g_type,"
+    " grouping(user_id) AS g_user, count(*) AS n,"
+    " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+    " AS value_cents"
+    " FROM events GROUP BY GROUPING SETS"
+    " ((event_type, user_id), (event_type), (user_id), ())"
+)
+
+
 def q_rel_gapfill(spark, sf_dir):
     """Time-series densification + LOCF: the hourly rollup has ~7 %
     missing hours per event type; explode a per-type
@@ -2099,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_gapfill": q_rel_gapfill,
         "rel_stream_sessions": q_rel_stream_sessions,
         "gc_catalog_fanout": q_gc_catalog_fanout,
+        "rel_grouping_sets": q_rel_grouping_sets,
     }
 
 
@@ -2794,6 +2817,7 @@ sessions AS (
         " SELECT event_id, ts, user_id, event_type FROM events"
         " WHERE user_id IN (0, 1, 2) AND event_id % 7 = 0"
     )
+    out["rel_grouping_sets"] = GROUPING_SETS_SQL
     out["rel_gapfill"] = (
         "WITH hourly AS (SELECT event_type,"
         " CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,"
