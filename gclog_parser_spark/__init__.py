@@ -62,3 +62,21 @@ from gclog_parser_spark.streaming.stream import (  # noqa: F401
     run_fanout_stream,
     stream_pages,
 )
+from gclog_parser_spark.operators.route import (  # noqa: F401
+    fanout_commit_catalog,
+    streaming_fanout_sink,
+)
+from gclog_parser_spark.sources.catalog import (  # noqa: F401
+    IncrementalConsumer,
+    create_tag,
+    equality_delete,
+    expire_snapshots,
+    incremental_read,
+    read_snapshot,
+    read_tag,
+    rewrite_compact,
+    scan_with_pruning,
+    snapshot_write,
+    table_files,
+    table_history,
+)
