@@ -1714,6 +1714,18 @@ def q_gc_catalog_fanout(spark, sf_dir):
     return out
 
 
+def q_rel_kmv_distinct(spark, sf_dir):
+    """KMV distinct sketch per event_type over user_id — the
+    mergeable approx-distinct with a DETERMINISTIC md5-prefix hash, so
+    the estimate itself (not just the exact twin) is value-checked
+    against the oracle's identical computation; 150 distinct users >
+    k=64 exercises the estimation path."""
+    from gclog_parser_spark.operators.aggregate import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
 def q_rel_grouping_sets(spark, sf_dir):
     """Arbitrary GROUPING SETS (beyond the ROLLUP/CUBE specials):
     ((type, user), (type), (user), ()) in ONE aggregation pass with
@@ -2122,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_stream_sessions": q_rel_stream_sessions,
         "gc_catalog_fanout": q_gc_catalog_fanout,
         "rel_grouping_sets": q_rel_grouping_sets,
+        "rel_kmv_distinct": q_rel_kmv_distinct,
     }
 
 
@@ -2818,6 +2831,21 @@ sessions AS (
         " WHERE user_id IN (0, 1, 2) AND event_id % 7 = 0"
     )
     out["rel_grouping_sets"] = GROUPING_SETS_SQL
+    out["rel_kmv_distinct"] = (
+        "WITH d AS (SELECT DISTINCT event_type,"
+        " CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) AS h FROM events),"
+        " g AS (SELECT event_type, count(*) AS n_exact FROM d GROUP BY 1),"
+        " t AS (SELECT event_type, h, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY h) AS rn FROM d),"
+        " kth AS (SELECT event_type, max(h) AS hk, count(*) AS m"
+        "  FROM t WHERE rn <= 64 GROUP BY 1)"
+        " SELECT g.event_type, g.n_exact,"
+        " CASE WHEN kth.m < 64 THEN CAST(kth.m AS DOUBLE)"
+        "  ELSE round(63.0 * 4294967296.0 / kth.hk, 6) END"
+        "  AS kmv_estimate"
+        " FROM g JOIN kth USING (event_type)"
+    )
     out["rel_gapfill"] = (
         "WITH hourly AS (SELECT event_type,"
         " CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,"

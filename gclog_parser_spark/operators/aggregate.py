@@ -235,3 +235,54 @@ def skew_stats(
         .orderBy(F.desc("n"), *[F.asc(c) for c in key_cols])
         .limit(top)
     )
+
+
+def kmv_distinct(
+    df, group_col: str, value_col: str, k: int = 64
+):
+    """KMV (k-minimum-values) distinct-count sketch per group — the
+    mergeable approximate-distinct a 10^12-row pipeline uses instead
+    of exact countDistinct (a KMV sketch is a fixed k-row state that
+    unions by keeping the k smallest hashes; HLL is the same idea with
+    tighter constants).  DETERMINISTIC by construction: the hash is
+    the first 32 bits of md5, so — unlike approx_count_distinct's
+    opaque HLL++ — the estimate is bit-reproducible and the DuckDB
+    oracle computes the identical number: estimate =
+    (k-1) · 2³² / h_k, exact count when a group has < k distinct
+    hashes.
+
+    Output: (group, n_exact, kmv_estimate) — exact kept alongside so
+    callers (and the tests) can bound the error.  Scale: ONE exchange
+    on (group, hash) for the distinct, a k-bounded per-group window,
+    and a tiny final aggregate; n_exact shares the same distinct
+    relation (no second scan).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    d = df.select(F.col(group_col), h.alias("h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    topk = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    per_group = d.groupBy(group_col).agg(
+        F.count("*").alias("n_exact")
+    )
+    kth = topk.groupBy(group_col).agg(
+        F.max("h").alias("hk"), F.count("*").alias("m")
+    )
+    est = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * 4294967296.0 / F.col("hk"), 6
+        )
+    )
+    return per_group.join(kth, group_col).select(
+        group_col,
+        "n_exact",
+        est.alias("kmv_estimate"),
+    )

@@ -153,3 +153,25 @@ def test_skew_stats_literal(spark):
     assert rows[0]["share"] == 0.8
     # 3 distinct keys, uniform would be 10/3 each: 8 / (10/3) = 2.4
     assert rows[0]["skew_ratio"] == 2.4
+
+
+def test_kmv_distinct_error_bound_and_exact_path(spark):
+    """KMV semantics: groups under k report exactly; groups over k
+    estimate within the theoretical ~1/sqrt(k) band (generous 3x)."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.aggregate import kmv_distinct
+
+    rows = [("small", i) for i in range(20)]
+    rows += [("big", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert out["small"]["n_exact"] == 20
+    assert out["small"]["kmv_estimate"] == 20.0  # exact path
+    big = out["big"]
+    assert big["n_exact"] == 5000
+    rel_err = abs(big["kmv_estimate"] - 5000) / 5000
+    assert rel_err < 3.0 / (64 ** 0.5), rel_err
+    # determinism: same data, same estimate
+    again = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert again["big"]["kmv_estimate"] == big["kmv_estimate"]
