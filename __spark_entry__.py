@@ -1714,6 +1714,28 @@ def q_gc_catalog_fanout(spark, sf_dir):
     return out
 
 
+def q_rel_range_frame(spark, sf_dir):
+    """RANGE-frame rolling window (the frame type the suite didn't yet
+    cover — rates/top-k use ROWS frames): per user, the rolling 1-hour
+    event count and integer-cents sum over event-time seconds; RANGE
+    includes peers at equal timestamps, which ROWS cannot express."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3599, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        epoch.alias("epoch_s"),
+        F.count("*").over(w).alias("rolling_n"),
+        F.sum(cents).over(w).alias("rolling_cents"),
+    )
+
+
 def q_rel_kmv_distinct(spark, sf_dir):
     """KMV distinct sketch per event_type over user_id — the
     mergeable approx-distinct with a DETERMINISTIC md5-prefix hash, so
@@ -2135,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_catalog_fanout": q_gc_catalog_fanout,
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_kmv_distinct": q_rel_kmv_distinct,
+        "rel_range_frame": q_rel_range_frame,
     }
 
 
@@ -2831,6 +2854,16 @@ sessions AS (
         " WHERE user_id IN (0, 1, 2) AND event_id % 7 = 0"
     )
     out["rel_grouping_sets"] = GROUPING_SETS_SQL
+    out["rel_range_frame"] = (
+        "SELECT event_id, user_id,"
+        " CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,"
+        " count(*) OVER w AS rolling_n,"
+        " CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)"
+        "  AS rolling_cents"
+        " FROM events WINDOW w AS (PARTITION BY user_id"
+        " ORDER BY CAST(floor(epoch(ts)) AS BIGINT)"
+        " RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)"
+    )
     out["rel_kmv_distinct"] = (
         "WITH d AS (SELECT DISTINCT event_type,"
         " CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
