@@ -122,6 +122,11 @@ def main(argv=None):
                    help="at most N events per log")
     p.add_argument("--dest", default=None,
                    help="host:port TCP sink for the formatted lines")
+    p.add_argument("--sink-catalog", action="store_true",
+                   help="additionally fan the routed events out to"
+                        " per-sink snapshot-catalog tables under"
+                        " OUTPUT/sinks (the north rule's per-sink"
+                        " Iceberg-table shape)")
     args = p.parse_args(argv)
     if args.heap_stats:
         args.mode = "heap_stats"
@@ -184,6 +189,11 @@ def main(argv=None):
     per_sink_hourly(events, exact=True).write.mode("overwrite").parquet(
         f"{args.output}/agg"
     )
+    if args.sink_catalog:
+        from gclog_parser_spark.operators.route import fanout_commit_catalog
+
+        committed = fanout_commit_catalog(events, f"{args.output}/sinks")
+        summary["sink_snapshots"] = committed
     print(json.dumps(summary))
     spark.stop()
 
