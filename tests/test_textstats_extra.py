@@ -206,3 +206,32 @@ def test_fuzzy_pairs_semantics_and_block_cap(spark):
     )
     t = fuzzy_pairs(twins).collect()
     assert len(t) == 1 and t[0]["edit_dist"] == 0
+
+
+def test_postings_and_bm25_hostile_text(spark):
+    """Hostile inputs must not crash or distort: empty text, unicode,
+    repeated single word, huge token."""
+    from gclog_parser_spark.operators.textstats import bm25_topk, postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "данные данные данные"),
+            (3, "data " * 50),
+            (4, "x" * 10000),
+            (5, "data table data"),
+        ],
+        "doc_id long, text string",
+    )
+    post = {(r["word"], r["doc_id"]): r for r in postings(docs).collect()}
+    assert post[("данные", 2)]["tf"] == 3
+    assert post[("data", 3)]["tf"] == 50
+    assert post[("data", 5)]["first_pos"] == 0
+    assert ("x" * 10000, 4) in post
+
+    top = bm25_topk(docs, ["data"], k=10).collect()
+    got_docs = {r["doc_id"] for r in top}
+    assert got_docs == {3, 5}
+    # tf saturation: doc 3 (tf=50, long) must not score 25x doc 5
+    s = {r["doc_id"]: r["score"] for r in top}
+    assert s[3] < 3 * s[5]
