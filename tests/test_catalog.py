@@ -520,3 +520,57 @@ def test_catalog_model_based_random_ops(spark, tmp_path):
         assert got == want, f"snapshot {sid}"
     # coverage sanity: the op mix actually exercised the variants
     assert {"append", "delete"} <= set(ops_run)
+
+
+def test_fanout_crash_mid_commit_resumes_with_fence(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash after SOME sinks committed: re-running the same fenced
+    batch commits only the sinks that missed it — per-table
+    exactly-once across the partial-failure window; the crashed run's
+    staging leftovers are invisible and vacuumable."""
+    from gclog_parser_spark.datagen import pages_from_documents
+    from gclog_parser_spark.operators.parse import parse_events
+    from gclog_parser_spark.operators.route import (
+        fanout_commit_catalog,
+        with_sink,
+    )
+
+    events = with_sink(parse_events(pages_from_documents(spark, sf_dir)))
+    base = str(tmp_path / "sinks")
+    want = {
+        r["sink"]: r["n"]
+        for r in events.groupBy("sink").agg(F.count("*").alias("n")).collect()
+    }
+
+    real = cat.commit_existing_files
+    calls = {"n": 0}
+
+    def crash_on_third(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated crash mid-fanout")
+        return real(*a, **kw)
+
+    # route imports the catalog module inside the function, so patching
+    # the module attribute intercepts its calls too
+    monkeypatch.setattr(cat, "commit_existing_files", crash_on_third)
+    with pytest.raises(RuntimeError, match="simulated"):
+        fanout_commit_catalog(events, base, fence_id=7)
+    monkeypatch.setattr(cat, "commit_existing_files", real)
+
+    committed_tables = {
+        s for s in os.listdir(base)
+        if s != "_staging"
+        and os.path.isdir(os.path.join(base, s, "metadata"))
+        and cat.current_snapshot_id(os.path.join(base, s)) is not None
+    }
+    assert 0 < len(committed_tables) < len(want)  # genuinely partial
+
+    # replay the SAME fenced batch: only the missing sinks commit
+    redo = fanout_commit_catalog(events, base, fence_id=7)
+    assert set(redo) == set(want) - committed_tables
+    for sink, n in want.items():
+        t = os.path.join(base, sink)
+        assert cat.read_snapshot(spark, t).count() == n
+        assert cat.current_snapshot_id(t) == 1  # exactly one commit each
