@@ -1714,6 +1714,34 @@ def q_gc_catalog_fanout(spark, sf_dir):
     return out
 
 
+def q_emb_clusters(spark, sf_dir):
+    """Embedding-space dedup clusters: LSH-blocked cosine near-dup
+    pairs → alternating-star connected components → canonical keeper
+    per cluster (the semantic-dedup twin of the MinHash
+    `dedup_clusters`); the oracle closes the same pair graph with a
+    recursive CTE — two entirely different CC algorithms."""
+    import pyspark.sql.functions as _F
+
+    from gclog_parser_spark.operators.dedup import connected_components
+    from gclog_parser_spark.operators.similarity import neardup_pairs
+
+    embs = _embs(spark, sf_dir)
+    pairs = neardup_pairs(embs).select("vec_a", "vec_b")
+    comp = connected_components(pairs, src="vec_a", dst="vec_b").select(
+        _F.col("node").alias("vec_id"),
+        _F.col("component").alias("cluster_id"),
+    )
+    return (
+        embs.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            _F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+        )
+        .withColumn("is_keeper", _F.col("vec_id") == _F.col("cluster_id"))
+    )
+
+
 def q_rel_range_frame(spark, sf_dir):
     """RANGE-frame rolling window (the frame type the suite didn't yet
     cover — rates/top-k use ROWS frames): per user, the rolling 1-hour
@@ -2158,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_kmv_distinct": q_rel_kmv_distinct,
         "rel_range_frame": q_rel_range_frame,
+        "emb_clusters": q_emb_clusters,
     }
 
 
@@ -2347,6 +2376,7 @@ sessions AS (
     out["web_url_facets"] = ot.url_facets_sql()
     out["gc_key_skew"] = oracle.skew_stats_sql()
     out["emb_neardup"] = ot.emb_neardup_sql()
+    out["emb_clusters"] = ot.emb_clusters_sql()
     out["media_meta"] = ot.media_meta_sql()
     out["media_resize"] = ot.media_resize_sql()
     out["media_frames"] = ot.media_frames_sql()

@@ -876,3 +876,26 @@ SELECT word, doc_id, score FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+def emb_clusters_sql(threshold: float = 0.9) -> str:
+    """Embedding-cluster oracle: transitive closure of the near-dup
+    pair graph via a recursive CTE (vs the Spark side's
+    alternating-star), singletons joined back from all embeddings."""
+    pairs = emb_neardup_sql(threshold)
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
+SELECT m.vec_id,
+  coalesce(c.cluster_id, m.vec_id) AS cluster_id,
+  (coalesce(c.cluster_id, m.vec_id) = m.vec_id) AS is_keeper
+FROM embeddings m LEFT JOIN comp c USING (vec_id)"""
