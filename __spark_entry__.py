@@ -1719,14 +1719,17 @@ def q_emb_clusters(spark, sf_dir):
     pairs → alternating-star connected components → canonical keeper
     per cluster (the semantic-dedup twin of the MinHash
     `dedup_clusters`); the oracle closes the same pair graph with a
-    recursive CTE — two entirely different CC algorithms."""
+    recursive CTE — two entirely different CC algorithms.  The
+    synthetic embeddings' max pairwise cosine is ~0.51, so the
+    threshold sits at 0.35 to give the graph real merges (37 blocked
+    pairs at sf0.01) — production near-dup keeps 0.9."""
     import pyspark.sql.functions as _F
 
     from gclog_parser_spark.operators.dedup import connected_components
     from gclog_parser_spark.operators.similarity import neardup_pairs
 
     embs = _embs(spark, sf_dir)
-    pairs = neardup_pairs(embs).select("vec_a", "vec_b")
+    pairs = neardup_pairs(embs, threshold=0.35).select("vec_a", "vec_b")
     comp = connected_components(pairs, src="vec_a", dst="vec_b").select(
         _F.col("node").alias("vec_id"),
         _F.col("component").alias("cluster_id"),
@@ -2376,7 +2379,7 @@ sessions AS (
     out["web_url_facets"] = ot.url_facets_sql()
     out["gc_key_skew"] = oracle.skew_stats_sql()
     out["emb_neardup"] = ot.emb_neardup_sql()
-    out["emb_clusters"] = ot.emb_clusters_sql()
+    out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)
     out["media_meta"] = ot.media_meta_sql()
     out["media_resize"] = ot.media_resize_sql()
     out["media_frames"] = ot.media_frames_sql()
