@@ -1529,9 +1529,13 @@ def q_gc_key_skew(spark, sf_dir):
 
 
 def q_emb_neardup(spark, sf_dir):
+    """LSH-blocked cosine near-dup pairs.  Exercised at threshold 0.4
+    because the synthetic embeddings' max pairwise cosine is ~0.51 —
+    at the production 0.9 default the gate would only ever check an
+    empty result (production callers keep 0.9)."""
     from gclog_parser_spark.operators.similarity import neardup_pairs
 
-    return neardup_pairs(_embs(spark, sf_dir))
+    return neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
 def q_media_meta(spark, sf_dir):
@@ -2378,7 +2382,7 @@ sessions AS (
     out["ann_quant_error"] = ot.quant_error_sql()
     out["web_url_facets"] = ot.url_facets_sql()
     out["gc_key_skew"] = oracle.skew_stats_sql()
-    out["emb_neardup"] = ot.emb_neardup_sql()
+    out["emb_neardup"] = ot.emb_neardup_sql(threshold=0.4)
     out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)
     out["media_meta"] = ot.media_meta_sql()
     out["media_resize"] = ot.media_resize_sql()
