@@ -265,14 +265,14 @@ def kmv_distinct(
     ).cast("long")
     d = df.select(F.col(group_col), h.alias("h")).distinct()
     w = Window.partitionBy(group_col).orderBy("h")
-    topk = d.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
-    )
-    per_group = d.groupBy(group_col).agg(
-        F.count("*").alias("n_exact")
-    )
-    kth = topk.groupBy(group_col).agg(
-        F.max("h").alias("hk"), F.count("*").alias("m")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    # ONE aggregation over the ranked distinct relation: exact count,
+    # k-th minimum, and in-sketch count together (a single FileScan —
+    # pinned in tests/test_plan_quality.py)
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n_exact"),
+        F.max(F.when(F.col("rn") <= k, F.col("h"))).alias("hk"),
+        F.sum((F.col("rn") <= k).cast("long")).alias("m"),
     )
     est = F.when(
         F.col("m") < k, F.col("m").cast("double")
@@ -281,8 +281,4 @@ def kmv_distinct(
             F.lit(float(k - 1)) * 4294967296.0 / F.col("hk"), 6
         )
     )
-    return per_group.join(kth, group_col).select(
-        group_col,
-        "n_exact",
-        est.alias("kmv_estimate"),
-    )
+    return agg.select(group_col, "n_exact", est.alias("kmv_estimate"))

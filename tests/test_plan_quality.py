@@ -248,3 +248,34 @@ def test_pagerank_no_cartesian_and_bounded_plan(spark):
     # localCheckpoint truncates lineage: the visible plan is the LAST
     # iteration's join+agg, not 3 nested ones
     assert plan.count("HashAggregate") <= 6
+
+
+def test_range_frame_single_exchange(spark, sf_dir):
+    """The RANGE-frame rolling window must cost exactly ONE exchange
+    (the user_id hash partitioning) — no extra sort shuffles."""
+    import __spark_entry__ as entry
+
+    df = entry.q_rel_range_frame(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_grouping_sets_is_single_pass_expand(spark, sf_dir):
+    """GROUPING SETS must compile to ONE Expand + one aggregation pass,
+    not a union of four separate scans."""
+    import __spark_entry__ as entry
+
+    df = entry.q_rel_grouping_sets(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_kmv_no_extra_scan_for_exact(spark, sf_dir):
+    """kmv_distinct's n_exact must reuse the distinct relation — one
+    FileScan total, not a second pass over events."""
+    import __spark_entry__ as entry
+
+    df = entry.q_rel_kmv_distinct(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
