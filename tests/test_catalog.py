@@ -574,3 +574,40 @@ def test_fanout_crash_mid_commit_resumes_with_fence(
         t = os.path.join(base, sink)
         assert cat.read_snapshot(spark, t).count() == n
         assert cat.current_snapshot_id(t) == 1  # exactly one commit each
+
+
+def test_append_rebases_over_concurrent_delete(
+    spark, tmp_path, events, monkeypatch
+):
+    """An append losing the commit race to an equality delete must
+    rebase onto the delete's manifest list: the delete stays live, and
+    the re-appended rows survive it (their seq is newer)."""
+    table = str(tmp_path / "race")
+    cat.snapshot_write(events, table)  # v1
+    kill = spark.createDataFrame([(5,)], "user_id bigint")
+
+    real = cat.current_snapshot_id
+    state = {"fired": False}
+
+    def racing_delete(t):
+        sid = real(t)
+        if not state["fired"] and sid == 1:
+            state["fired"] = True
+            # interloper commits a delete AFTER our append read v1:
+            # report the stale parent so the append's first O_EXCL
+            # attempt collides with the delete's v2
+            monkeypatch.setattr(cat, "current_snapshot_id", real)
+            cat.equality_delete(kill, table, ["user_id"])
+            return 1
+        return sid
+
+    monkeypatch.setattr(cat, "current_snapshot_id", racing_delete)
+    re_add = events.filter(F.col("user_id") == 5).limit(9)
+    n_re = re_add.count()
+    s = cat.snapshot_write(re_add, table)
+    assert s.snapshot_id == 3  # rebased past the delete's v2
+
+    got = cat.read_snapshot(spark, table)
+    survivors = events.filter(F.col("user_id") != 5).count()
+    assert got.filter(F.col("user_id") == 5).count() == n_re
+    assert got.count() == survivors + n_re
