@@ -2071,6 +2071,75 @@ def q_snap_prune_scan(spark, sf_dir):
     return df.select("event_id", "ts", "user_id", "event_type")
 
 
+#: the synthetic corpus has no newlines, so the line-granularity ops
+#: derive a lined view first: a newline after every 8th word, written
+#: independently in each engine (Spark Java-regex $1 backref vs DuckDB
+#: RE2 \1) — 8 chosen so cross-doc duplicate texts share many lines
+LINE_WRAP_RE = r"((\S+ ){7}\S+) "
+
+
+def _lined_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", LINE_WRAP_RE, "$1\n")
+    )
+
+
+def q_text_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide exact line dedup: each distinct line keeps
+    only its first (doc_id, pos) occurrence.  Spark plans the keeper as
+    a partial-aggregated min(struct) + equi-join (skew-proof); the
+    oracle uses the row_number-over-line window — two different
+    algorithms for the same rule."""
+    from gclog_parser_spark.operators.textstats import line_dedup
+
+    return line_dedup(_lined_docs(spark, sf_dir))
+
+
+#: deterministic messy tail for the normalization query: combining
+#: acute (NFC composes e+0301 -> é), combining ring (A+030A -> Å),
+#: zero-width space, double space, NBSP, a BEL control char
+MESSY_SUFFIX = (
+    " Cafe\u0301 A\u030a\u200bskew \u00a0 tail\u0007end"
+)
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode NFC + control-strip + whitespace-collapse over the corpus
+    with a constructed messy tail (the synthetic text is pure ASCII, so
+    the tail is what makes NFC composition observable).  Spark's NFC is
+    CPython unicodedata via an Arrow-batched pandas UDF; DuckDB's is
+    utf8proc — two independent Unicode implementations value-checked."""
+    from gclog_parser_spark.operators.textstats import normalize_text
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat("text", F.lit(MESSY_SUFFIX))
+    )
+    return normalize_text(docs)
+
+
+#: ANSI text run VERBATIM on both engines (like CORRELATED_SQL): top-2
+#: customers per nation by exact integer cents through a correlated
+#: LATERAL subquery with ORDER BY + LIMIT — Catalyst plans it via
+#: DomainJoin decorrelation + per-key limit, DuckDB via its own
+#: dependent-join flattening; deterministic tie-break on cust_name
+LATERAL_TOPK_SQL = (
+    "SELECT n.n_name AS nation, s.cust_name, s.bal_cents"
+    " FROM nation n JOIN LATERAL ("
+    "  SELECT c_name AS cust_name,"
+    "   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents"
+    "  FROM customer c"
+    "  WHERE c.c_nationkey = n.n_nationkey"
+    "  ORDER BY bal_cents DESC, cust_name ASC LIMIT 2"
+    " ) s ON TRUE"
+)
+
+
+def q_rel_lateral_topk(spark, sf_dir):
+    for t in ("nation", "customer"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(LATERAL_TOPK_SQL)
+
+
 #: queries with no DuckDB oracle (driver records a rows-only check) —
 #: none since round 2: the export formats now have independent DuckDB
 #: oracles (oracle.tsv_export_sql / graphite_export_sql) on top of the
@@ -2194,6 +2263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_kmv_distinct": q_rel_kmv_distinct,
         "rel_range_frame": q_rel_range_frame,
         "emb_clusters": q_emb_clusters,
+        "text_line_dedup": q_text_line_dedup,
+        "text_normalize": q_text_normalize,
+        "rel_lateral_topk": q_rel_lateral_topk,
     }
 
 
@@ -2384,6 +2456,21 @@ sessions AS (
     out["gc_key_skew"] = oracle.skew_stats_sql()
     out["emb_neardup"] = ot.emb_neardup_sql(threshold=0.4)
     out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)
+    # lined view re-derived independently: RE2 \1 backref vs Spark $1
+    out["text_line_dedup"] = ot.line_dedup_sql(
+        lined=(
+            r"SELECT doc_id, regexp_replace(text,"
+            r" '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS text"
+            r" FROM documents"
+        )
+    )
+    out["text_normalize"] = ot.normalize_text_sql(
+        source=(
+            f"SELECT doc_id, text || {ot.sql_str_expr(MESSY_SUFFIX)}"
+            " AS text FROM documents"
+        )
+    )
+    out["rel_lateral_topk"] = LATERAL_TOPK_SQL
     out["media_meta"] = ot.media_meta_sql()
     out["media_resize"] = ot.media_resize_sql()
     out["media_frames"] = ot.media_frames_sql()

@@ -605,3 +605,120 @@ def bm25_topk(
         )
     )
     return scored.withColumn("rn", rn).filter(F.col("rn") <= k).drop("rn")
+
+
+def line_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-wide exact line deduplication (the C4 preprocessing rule):
+    every distinct line survives only at its FIRST occurrence in
+    (doc_id, pos) order; all later copies — across documents or within
+    one — are dropped.  Returns per-doc
+    ``(doc_id, n_lines, n_kept, n_dropped, kept_hash)`` where
+    ``kept_hash`` digests the surviving lines re-joined in order
+    (production forwards the cleaned text column instead).
+
+    Differs from :func:`strip_boilerplate` (which drops lines whose
+    document frequency exceeds a threshold *everywhere*): here one copy
+    always survives, so unique content is never lost.
+
+    Relational shape, sized for a 10^12-line corpus: explode lines →
+    per-line lexicographic ``min(struct(doc_id, pos))`` — a partial
+    (map-side-combined) aggregate, so a line duplicated 10^9 times
+    collapses to one row per map task instead of sorting a single hot
+    window partition (the row_number-over-line plan the oracle uses
+    would skew) → equi-join the keeper back on the line text (AQE
+    reuses the agg's hash partitioning) → per-doc ordered reassembly.
+    Two line-keyed exchanges + one doc_id exchange, all combiner-
+    friendly."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    )
+    firsts = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    marked = lines.join(firsts, "line").withColumn(
+        "is_kept",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("is_kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("is_kept"),
+                                    F.struct("pos", "line"),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("kept_hash"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            (F.col("n_lines") - F.col("n_kept"))
+            .cast("long")
+            .alias("n_dropped"),
+            "kept_hash",
+        )
+    )
+
+
+#: C0 controls (minus \t \n) + DEL — stripped by normalize_text
+CONTROL_RE = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
+#: horizontal-whitespace run: space, tab, CR, NBSP, zero-width space
+SPACE_RE = "[ \t\r ​]+"
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Unicode + whitespace normalization — the first pass of every
+    web-text pipeline: NFC composition (``e`` + U+0301 → ``é``), C0/DEL
+    control-char strip, and collapse of horizontal-whitespace runs
+    (including NBSP and zero-width space) to a single space, trimmed.
+
+    NFC is the one step Spark has no built-in for, so it runs as an
+    Arrow-batched pandas UDF (``unicodedata.normalize`` over each
+    batch); the strips stay codegen ``regexp_replace``.  Scan-side
+    projection, zero shuffle — the UDF cost is bandwidth-bound on the
+    Arrow transfer, linear in bytes, embarrassingly parallel at any
+    cluster size.  Oracle twin: DuckDB ``nfc_normalize`` (utf8proc) —
+    an independent NFC implementation checked equal."""
+    import pandas as pd  # noqa: F401 — signature needs pandas at runtime
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFC", x)
+        )
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(_nfc(F.col("text")), CONTROL_RE, ""),
+            SPACE_RE,
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length(cleaned).alias("n_chars_norm"),
+        (cleaned != F.col("text")).alias("changed"),
+        F.md5(cleaned).alias("norm_hash"),
+    )

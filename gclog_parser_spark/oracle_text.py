@@ -899,3 +899,85 @@ SELECT m.vec_id,
   coalesce(c.cluster_id, m.vec_id) AS cluster_id,
   (coalesce(c.cluster_id, m.vec_id) = m.vec_id) AS is_keeper
 FROM embeddings m LEFT JOIN comp c USING (vec_id)"""
+
+
+def sql_str_expr(s: str) -> str:
+    """Render a Python string as a DuckDB expression, escaping every
+    non-printable / non-ASCII codepoint through ``chr()`` so the SQL
+    text stays 7-bit clean and the codepoints are provably identical to
+    the Spark literal."""
+    parts, buf = [], []
+
+    def flush():
+        if buf:
+            parts.append("'" + "".join(buf).replace("'", "''") + "'")
+            buf.clear()
+
+    for ch in s:
+        if 0x20 <= ord(ch) < 0x7F:
+            buf.append(ch)
+        else:
+            flush()
+            parts.append(f"chr({ord(ch)})")
+    flush()
+    return " || ".join(parts) if parts else "''"
+
+
+def line_dedup_sql(
+    lined: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Corpus-wide first-occurrence line-dedup oracle.  Independent
+    algorithm from the Spark operator: row_number() over each line's
+    occurrences ordered by (doc_id, pos) — the skew-prone window plan
+    Spark avoids with min(struct) — keep rn = 1."""
+    return f"""WITH lined AS ({lined}),
+lines AS (
+  SELECT doc_id,
+    generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+    unnest(string_split(text, chr(10))) AS line
+  FROM lined
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+)
+SELECT doc_id,
+  count(*) AS n_lines,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+  md5(coalesce(
+    string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1),
+    '')) AS kept_hash
+FROM ranked GROUP BY doc_id"""
+
+
+def normalize_text_sql(
+    source: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """NFC + control-strip + whitespace-collapse oracle.  DuckDB's
+    ``nfc_normalize`` is utf8proc — an NFC implementation independent
+    of CPython's ``unicodedata`` — so composition itself is
+    cross-checked, not just the regex strips."""
+    from gclog_parser_spark.operators.textstats import (
+        CONTROL_RE,
+        SPACE_RE,
+    )
+
+    # CONTROL_RE's \xNN escapes are literal backslash sequences RE2
+    # reads natively; SPACE_RE holds raw TAB/CR/NBSP/ZWSP codepoints
+    # that sql_str_expr rewrites as chr() so the SQL stays 7-bit clean
+    control = CONTROL_RE
+    space = sql_str_expr(SPACE_RE)
+    cleaned = (
+        "trim(regexp_replace(regexp_replace(nfc_normalize(text),"
+        f" '{control}', '', 'g'), {space}, ' ', 'g'))"
+    )
+    return f"""WITH src AS ({source}),
+norm AS (SELECT doc_id, text, {cleaned} AS cleaned FROM src)
+SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars_raw,
+  CAST(length(cleaned) AS INTEGER) AS n_chars_norm,
+  cleaned <> text AS changed,
+  md5(cleaned) AS norm_hash
+FROM norm"""

@@ -235,3 +235,65 @@ def test_postings_and_bm25_hostile_text(spark):
     # tf saturation: doc 3 (tf=50, long) must not score 25x doc 5
     s = {r["doc_id"]: r["score"] for r in top}
     assert s[3] < 3 * s[5]
+
+
+def test_line_dedup_keep_first_within_and_across_docs(spark):
+    from gclog_parser_spark.operators.textstats import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha"),  # within-doc dup: pos-2 alpha drops
+            (2, "beta\ngamma"),          # beta already seen in doc 1
+            (3, "alpha\nbeta"),          # both drop -> empty kept text
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert got[1]["n_lines"] == 3 and got[1]["n_kept"] == 2
+    assert got[2]["n_kept"] == 1 and got[2]["n_dropped"] == 1
+    # doc 3 loses everything but still yields a row, hashing ''
+    assert got[3]["n_kept"] == 0
+    import hashlib
+
+    assert got[3]["kept_hash"] == hashlib.md5(b"").hexdigest()
+    assert got[1]["kept_hash"] == hashlib.md5(b"alpha\nbeta").hexdigest()
+    assert got[2]["kept_hash"] == hashlib.md5(b"gamma").hexdigest()
+
+
+def test_line_dedup_plan_is_partial_agg_not_window(spark):
+    """The keeper is min(struct) — partial-aggregated map-side so a
+    10^9-copy hot line never sorts one window partition.  Pin: no
+    Window node in the physical plan."""
+    from gclog_parser_spark.operators.textstats import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string"
+    )
+    plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial" in plan
+
+
+def test_normalize_text_nfc_controls_and_whitespace(spark):
+    from gclog_parser_spark.operators.textstats import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Café"),            # NFC: e + U+0301 -> é (4 chars)
+            (2, "a\u0007b"),      # BEL stripped, no space left
+            (3, "x \t \u00a0\u200by"),  # ws run incl NBSP/ZWSP -> space
+            (4, " padded "),              # trimmed
+            (5, "plain"),                 # untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert got[1]["n_chars_raw"] == 5 and got[1]["n_chars_norm"] == 4
+    assert got[1]["changed"] is True
+    import hashlib
+
+    assert got[1]["norm_hash"] == hashlib.md5("Café".encode()).hexdigest()
+    assert got[2]["norm_hash"] == hashlib.md5(b"ab").hexdigest()
+    assert got[3]["norm_hash"] == hashlib.md5(b"x y").hexdigest()
+    assert got[4]["norm_hash"] == hashlib.md5(b"padded").hexdigest()
+    assert got[5]["changed"] is False
