@@ -1515,6 +1515,27 @@ def q_web_url_facets(spark, sf_dir):
     return url_facet_rollup(synth_urls(_docs(spark, sf_dir)))
 
 
+#: domain blocklist for the contract query — src1.org also proves the
+#: label boundary: it must block www.src1.org but never src11.org
+BLOCK_RULES = ["src3.com", "src1.org", "cdn.src7.org", "src15.com"]
+
+
+def q_web_blocklist(spark, sf_dir):
+    """Domain-blocklist filter with subdomain (label-boundary) matching
+    over the synthesized URL corpus.  Spark explodes each host into its
+    dot-suffixes and equi-joins the broadcast rule relation; the oracle
+    runs the direct ends_with predicate join — two algorithms, one
+    blocklist semantics."""
+    from gclog_parser_spark.operators.webstats import (
+        synth_urls,
+        url_blocklist_filter,
+    )
+
+    return url_blocklist_filter(
+        synth_urls(_docs(spark, sf_dir)), BLOCK_RULES
+    ).select("doc_id", "host", "blocked", "matched_rule")
+
+
 def q_gc_key_skew(spark, sf_dir):
     """Key-skew diagnosis on the pages hot-hour key (70 % of pages on
     hour 4 by construction) — the measurement that justifies the
@@ -2266,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": q_text_line_dedup,
         "text_normalize": q_text_normalize,
         "rel_lateral_topk": q_rel_lateral_topk,
+        "web_blocklist": q_web_blocklist,
     }
 
 
@@ -2471,6 +2493,7 @@ sessions AS (
         )
     )
     out["rel_lateral_topk"] = LATERAL_TOPK_SQL
+    out["web_blocklist"] = ot.url_blocklist_sql(BLOCK_RULES)
     out["media_meta"] = ot.media_meta_sql()
     out["media_resize"] = ot.media_resize_sql()
     out["media_frames"] = ot.media_frames_sql()

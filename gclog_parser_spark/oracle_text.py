@@ -981,3 +981,34 @@ SELECT doc_id,
   cleaned <> text AS changed,
   md5(cleaned) AS norm_hash
 FROM norm"""
+
+
+def url_blocklist_sql(rules: list[str]) -> str:
+    """Blocklist oracle — independent algorithm: direct
+    ``host = rule OR ends_with(host, '.' || rule)`` predicate join
+    (the O(rows·rules) form that is fine at oracle scale), vs Spark's
+    suffix-explode equi-join.  Longest matching rule wins; distinct
+    same-length matches are impossible (a host's dot-suffixes have
+    strictly decreasing lengths)."""
+    vals = ", ".join(
+        "('" + r.replace("'", "''") + "')" for r in sorted(set(rules))
+    )
+    return f"""WITH u AS (
+  SELECT doc_id, {_SYNTH_URL} AS url FROM documents
+),
+h AS (
+  SELECT doc_id,
+    regexp_extract(url, '^[a-z]+://([^/:?]+)', 1) AS host
+  FROM u
+),
+rules(rule) AS (VALUES {vals}),
+hit AS (
+  SELECT doc_id, max_by(rule, length(rule)) AS matched_rule
+  FROM h JOIN rules r
+    ON h.host = r.rule OR ends_with(h.host, '.' || r.rule)
+  GROUP BY doc_id
+)
+SELECT h.doc_id, h.host,
+  hit.matched_rule IS NOT NULL AS blocked,
+  hit.matched_rule
+FROM h LEFT JOIN hit USING (doc_id)"""

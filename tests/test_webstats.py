@@ -73,3 +73,49 @@ def test_url_rollup_single_exchange(spark, sf_dir):
     # Python evaluation anywhere in the URL path
     assert plan.count("Exchange") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_blocklist_label_boundary_and_longest_rule(spark):
+    from gclog_parser_spark.operators.webstats import url_blocklist_filter
+
+    rows = [
+        (1, "https://src1.org/a"),         # exact rule match
+        (2, "https://www.src1.org/a"),     # subdomain -> blocked
+        (3, "https://src11.org/a"),        # label boundary -> NOT blocked
+        (4, "https://a.b.src1.org/x"),     # deep subdomain -> blocked
+        (5, "https://cdn.src7.org/y"),     # longest of two matching rules
+        (6, "https://clean.example/z"),    # no rule
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    rules = ["src1.org", "src7.org", "cdn.src7.org"]
+    got = {
+        r["doc_id"]: (r["blocked"], r["matched_rule"])
+        for r in url_blocklist_filter(df, rules).collect()
+    }
+    assert got[1] == (True, "src1.org")
+    assert got[2] == (True, "src1.org")
+    assert got[3] == (False, None)
+    assert got[4] == (True, "src1.org")
+    # both src7.org and cdn.src7.org match host cdn.src7.org — the
+    # most specific (longest) rule is reported
+    assert got[5] == (True, "cdn.src7.org")
+    assert got[6] == (False, None)
+
+
+def test_blocklist_joins_broadcast_rules(spark):
+    """The rule relation must broadcast (it is the small dim); the
+    corpus side never shuffles for the match itself — only the
+    per-doc best-rule aggregate exchanges on doc_id."""
+    from gclog_parser_spark.operators.webstats import url_blocklist_filter
+
+    df = spark.createDataFrame(
+        [(i, f"https://h{i}.example.com/p") for i in range(50)],
+        "doc_id long, url string",
+    )
+    plan = (
+        url_blocklist_filter(df, ["example.com"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
