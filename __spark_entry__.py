@@ -1515,6 +1515,17 @@ def q_web_url_facets(spark, sf_dir):
     return url_facet_rollup(synth_urls(_docs(spark, sf_dir)))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-distance near-dup pairs: Spark generates
+    candidates by pigeonhole banding (hamming ≤ 3 ⇒ one of 4 8-bit
+    segments matches exactly) then verifies with popcount(xor); the
+    oracle runs the brute-force all-pairs scan — recall equivalence of
+    the banding proven by value equality."""
+    from gclog_parser_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
 #: domain blocklist for the contract query — src1.org also proves the
 #: label boundary: it must block www.src1.org but never src11.org
 BLOCK_RULES = ["src3.com", "src1.org", "cdn.src7.org", "src15.com"]
@@ -2288,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "rel_lateral_topk": q_rel_lateral_topk,
         "web_blocklist": q_web_blocklist,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
     }
 
 
@@ -2494,6 +2506,7 @@ sessions AS (
     )
     out["rel_lateral_topk"] = LATERAL_TOPK_SQL
     out["web_blocklist"] = ot.url_blocklist_sql(BLOCK_RULES)
+    out["dedup_simhash_pairs"] = ot.simhash_pairs_sql()
     out["media_meta"] = ot.media_meta_sql()
     out["media_resize"] = ot.media_resize_sql()
     out["media_frames"] = ot.media_frames_sql()

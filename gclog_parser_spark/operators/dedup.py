@@ -487,3 +487,69 @@ def jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the third
+    pair generator next to MinHash-Jaccard (set overlap) and
+    Levenshtein-fuzzy (edit distance): Hamming over the simhash catches
+    bag-of-words drift in O(1) per comparison.
+
+    Pigeonhole banding makes it scale: split the ``bits``-bit simhash
+    into ``bands`` equal segments — two hashes within Hamming distance
+    ``max_hamming`` (< bands) must agree EXACTLY on at least one
+    segment, so candidates come from ``bands`` equi-joins on
+    (band_idx, segment value) instead of the O(n²) all-pairs scan (the
+    plan the oracle deliberately runs).  Shuffle ∝ docs×bands; hot
+    segments are bounded by segment cardinality 2^(bits/bands).
+    Candidates then verify with a popcount on the XOR — exact, no
+    recall loss for max_hamming ≤ bands-1.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤
+    ``max_hamming``."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < bands, got"
+            f" {max_hamming} >= {bands}"
+        )
+    seg = bits // bands
+    sigs = simhash_docs(docs, bits=bits)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftright("simhash", b * seg)
+                    .bitwiseAND((1 << seg) - 1)
+                    .alias("band_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand

@@ -1012,3 +1012,14 @@ SELECT h.doc_id, h.host,
   hit.matched_rule IS NOT NULL AS blocked,
   hit.matched_rule
 FROM h LEFT JOIN hit USING (doc_id)"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3, bits: int = 32) -> str:
+    """SimHash near-dup pair oracle — deliberately the O(n²) all-pairs
+    plan (fine at oracle scale): popcount of the XOR over every doc
+    pair, vs Spark's pigeonhole band join."""
+    ham = "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)"
+    return f"""WITH s AS ({dedup_simhash_sql(bits=bits)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}"""

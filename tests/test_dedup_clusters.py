@@ -128,3 +128,69 @@ def test_verified_pairs_filter_lucky_bands(spark):
     }
     assert rows[1] == rows[2] == 1
     assert rows[3] == 3  # near-match survives under strict verification
+
+
+def test_simhash_pairs_banding_matches_bruteforce(spark):
+    """Pigeonhole banding must lose NO pair with hamming <= bands-1:
+    compare against the brute-force popcount over all pairs."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.dedup import (
+        simhash_docs,
+        simhash_pairs,
+    )
+
+    base = "spark table scan merge join filter sort window state "
+    rows = [
+        (i, base * 3 + f"tail{i % 4} extra{i % 2}") for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_docs(docs, bits=32).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want and len(want) > 0
+
+
+def test_simhash_pairs_rejects_uncoverable_hamming(spark):
+    import pytest
+
+    from gclog_parser_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, max_hamming=4, bands=4)
+
+
+def test_simhash_pairs_plan_is_equi_join(spark):
+    """The band join must plan as a hash equi-join on (band_idx,
+    band_val) — never a cartesian/broadcast-nested-loop over all doc
+    pairs."""
+    from gclog_parser_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = (
+        simhash_pairs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
