@@ -1515,6 +1515,32 @@ def q_web_url_facets(spark, sf_dir):
     return url_facet_rollup(synth_urls(_docs(spark, sf_dir)))
 
 
+def q_rel_table_diff(spark, sf_dir):
+    """Checksum-based reconciliation of a 'replica' of events with
+    deterministic damage (drop %97, perturb value %101, insert shifted
+    clones %103): Spark runs the two-stage anti-entropy diff (bucket
+    digests → row diff only in damaged buckets); the oracle computes
+    the same classification with one direct FULL OUTER join."""
+    from gclog_parser_spark.operators.quality import table_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    replica = (
+        ev.where(F.col("event_id") % 97 != 0)
+        .withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 101 == 0, F.col("value") + 1.5
+            ).otherwise(F.col("value")),
+        )
+        .unionByName(
+            ev.where(F.col("event_id") % 103 == 0).withColumn(
+                "event_id", F.col("event_id") + F.lit(2_000_000_000)
+            )
+        )
+    )
+    return table_diff(ev, replica, key_cols=["event_id"])
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash Hamming-distance near-dup pairs: Spark generates
     candidates by pigeonhole banding (hamming ≤ 3 ⇒ one of 4 8-bit
@@ -2300,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_lateral_topk": q_rel_lateral_topk,
         "web_blocklist": q_web_blocklist,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "rel_table_diff": q_rel_table_diff,
     }
 
 
@@ -2507,6 +2534,28 @@ sessions AS (
     out["rel_lateral_topk"] = LATERAL_TOPK_SQL
     out["web_blocklist"] = ot.url_blocklist_sql(BLOCK_RULES)
     out["dedup_simhash_pairs"] = ot.simhash_pairs_sql()
+    # reconciliation oracle: direct FULL OUTER classification of the
+    # identically-derived replica (IS DISTINCT FROM = Spark eqNullSafe)
+    out["rel_table_diff"] = """WITH replica AS (
+  SELECT event_id, ts, user_id, event_type,
+    CASE WHEN event_id % 101 = 0 THEN value + 1.5 ELSE value END AS value,
+    props
+  FROM events WHERE event_id % 97 <> 0
+  UNION ALL
+  SELECT event_id + 2000000000, ts, user_id, event_type, value, props
+  FROM events WHERE event_id % 103 = 0
+)
+SELECT coalesce(a.event_id, b.event_id) AS event_id,
+  CASE WHEN b.event_id IS NULL THEN 'only_left'
+       WHEN a.event_id IS NULL THEN 'only_right'
+       ELSE 'changed' END AS diff_kind
+FROM events a FULL OUTER JOIN replica b ON a.event_id = b.event_id
+WHERE a.event_id IS NULL OR b.event_id IS NULL
+   OR a.ts IS DISTINCT FROM b.ts
+   OR a.user_id IS DISTINCT FROM b.user_id
+   OR a.event_type IS DISTINCT FROM b.event_type
+   OR a.value IS DISTINCT FROM b.value
+   OR a.props IS DISTINCT FROM b.props"""
     out["media_meta"] = ot.media_meta_sql()
     out["media_resize"] = ot.media_resize_sql()
     out["media_frames"] = ot.media_frames_sql()

@@ -161,6 +161,15 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     t("text_quality_sf", lambda: quality_stats(docs).count())
     from gclog_parser_spark.operators.textstats import strip_boilerplate
     t("text_boilerplate_sf", lambda: strip_boilerplate(docs).count())
+    from gclog_parser_spark.operators.dedup import simhash_pairs
+    from gclog_parser_spark.operators.textstats import line_dedup
+
+    t("dedup_simhash_pairs_sf", lambda: simhash_pairs(docs).count())
+    lined = docs.withColumn(
+        "text",
+        F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n"),
+    )
+    t("line_dedup_sf", lambda: line_dedup(lined).count())
     t("token_counts_sf", lambda: token_counts(docs)
         .agg(F.sum("tokens")).collect()[0][0])
     from gclog_parser_spark.operators.temporal import asof_join, range_join

@@ -78,3 +78,56 @@ def test_profile_table_counts_nulls_and_types(spark):
     assert prof["s"]["n_nulls"] == 1 and prof["s"]["sum_len"] == 3
     assert prof["s"]["min_num"] is None  # strings: no numeric range
     assert prof["v"]["n_distinct"] == 2 and prof["v"]["max_num"] == 2.5
+
+
+def test_table_diff_equal_tables_is_empty(spark, sf_dir):
+    from gclog_parser_spark.operators.quality import table_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert table_diff(ev, ev, key_cols=["event_id"]).count() == 0
+
+
+def test_table_diff_classifies_damage(spark):
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.quality import table_diff
+
+    left = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i)) for i in range(40)],
+        "id long, tag string, v double",
+    )
+    right = (
+        left.where(F.col("id") != 7)                       # only_left: 7
+        .withColumn(
+            "v", F.when(F.col("id") == 11, F.col("v") + 0.5)
+            .otherwise(F.col("v"))                          # changed: 11
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(99, "uX", 0.0)], "id long, tag string, v double"
+            )                                               # only_right: 99
+        )
+    )
+    got = {
+        r["id"]: r["diff_kind"]
+        for r in table_diff(left, right, key_cols=["id"]).collect()
+    }
+    assert got == {7: "only_left", 11: "changed", 99: "only_right"}
+
+
+def test_table_diff_null_vs_value_is_changed(spark):
+    """NULL -> value and value -> NULL must classify as changed (the
+    digest's null sentinel and the null-safe compare agree)."""
+    from gclog_parser_spark.operators.quality import table_diff
+
+    left = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "keep")], "id long, s string"
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "keep")], "id long, s string"
+    )
+    got = {
+        r["id"]: r["diff_kind"]
+        for r in table_diff(left, right, key_cols=["id"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
