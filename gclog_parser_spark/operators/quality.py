@@ -223,6 +223,12 @@ def table_diff(
     row_str = F.concat_ws("\x1e", *row_parts)
 
     def summarize(df):
+        # commutative bucket fingerprint that can NEVER overflow under
+        # ANSI mode: bit_xor of the 60-bit digest plus a 32-bit modular
+        # sum (sum bound: bucket_rows·2^32 < 2^63 ⇒ buckets of up to
+        # 2^31 rows — raise n_buckets long before that).  XOR alone
+        # would let a duplicated corrupt row cancel itself; the pair is
+        # the standard anti-entropy fingerprint.
         return (
             df.select(
                 (md5_long(key_str) % n_buckets).alias("bucket"),
@@ -231,7 +237,10 @@ def table_diff(
             .groupBy("bucket")
             .agg(
                 F.count("*").alias("n"),
-                F.sum("digest").alias("sum_digest"),
+                F.expr("bit_xor(digest)").alias("xor_digest"),
+                F.sum(F.col("digest") % F.lit(1 << 32)).alias(
+                    "sum_digest32"
+                ),
             )
         )
 
@@ -241,7 +250,10 @@ def table_diff(
         .where(
             ~(
                 F.col("l.n").eqNullSafe(F.col("r.n"))
-                & F.col("l.sum_digest").eqNullSafe(F.col("r.sum_digest"))
+                & F.col("l.xor_digest").eqNullSafe(F.col("r.xor_digest"))
+                & F.col("l.sum_digest32").eqNullSafe(
+                    F.col("r.sum_digest32")
+                )
             )
         )
         .select(
