@@ -607,14 +607,15 @@ def bm25_topk(
     return scored.withColumn("rn", rn).filter(F.col("rn") <= k).drop("rn")
 
 
-def line_dedup(docs: DataFrame) -> DataFrame:
+def line_dedup(docs: DataFrame, return_text: bool = False) -> DataFrame:
     """Corpus-wide exact line deduplication (the C4 preprocessing rule):
     every distinct line survives only at its FIRST occurrence in
     (doc_id, pos) order; all later copies — across documents or within
     one — are dropped.  Returns per-doc
     ``(doc_id, n_lines, n_kept, n_dropped, kept_hash)`` where
-    ``kept_hash`` digests the surviving lines re-joined in order
-    (production forwards the cleaned text column instead).
+    ``kept_hash`` digests the surviving lines re-joined in order;
+    ``return_text=True`` adds the re-joined ``kept_text`` column itself
+    (the pipeline-stage form).
 
     Differs from :func:`strip_boilerplate` (which drops lines whose
     document frequency exceeds a threshold *everywhere*): here one copy
@@ -648,22 +649,20 @@ def line_dedup(docs: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("is_kept"), 1).otherwise(0))
             .cast("long")
             .alias("n_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("is_kept"),
-                                    F.struct("pos", "line"),
-                                )
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_kept"),
+                                F.struct("pos", "line"),
                             )
-                        ),
-                        lambda s: s["line"],
+                        )
                     ),
-                    "\n",
-                )
-            ).alias("kept_hash"),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("kept_text"),
         )
         .select(
             "doc_id",
@@ -672,7 +671,8 @@ def line_dedup(docs: DataFrame) -> DataFrame:
             (F.col("n_lines") - F.col("n_kept"))
             .cast("long")
             .alias("n_dropped"),
-            "kept_hash",
+            F.md5("kept_text").alias("kept_hash"),
+            *(["kept_text"] if return_text else []),
         )
     )
 
@@ -681,6 +681,32 @@ def line_dedup(docs: DataFrame) -> DataFrame:
 CONTROL_RE = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
 #: horizontal-whitespace run: space, tab, CR, NBSP, zero-width space
 SPACE_RE = "[ \t\r ​]+"
+
+
+def normalize_text_col(col="text"):
+    """The normalized-text Column expression (NFC → control strip →
+    whitespace collapse → trim); see :func:`normalize_text`.  Pipeline
+    stages apply it directly (``withColumn("text", ...)``) to carry the
+    cleaned text forward."""
+    import pandas as pd  # noqa: F401 — signature needs pandas at runtime
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFC", x)
+        )
+
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(_nfc(F.col(col)), CONTROL_RE, ""),
+            SPACE_RE,
+            " ",
+        )
+    )
 
 
 def normalize_text(docs: DataFrame) -> DataFrame:
@@ -696,25 +722,7 @@ def normalize_text(docs: DataFrame) -> DataFrame:
     Arrow transfer, linear in bytes, embarrassingly parallel at any
     cluster size.  Oracle twin: DuckDB ``nfc_normalize`` (utf8proc) —
     an independent NFC implementation checked equal."""
-    import pandas as pd  # noqa: F401 — signature needs pandas at runtime
-
-    @F.pandas_udf("string")
-    def _nfc(s):
-        import unicodedata
-
-        return s.map(
-            lambda x: None
-            if x is None
-            else unicodedata.normalize("NFC", x)
-        )
-
-    cleaned = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(_nfc(F.col("text")), CONTROL_RE, ""),
-            SPACE_RE,
-            " ",
-        )
-    )
+    cleaned = normalize_text_col("text")
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_raw"),

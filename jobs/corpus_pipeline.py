@@ -37,6 +37,7 @@ if os.path.isdir(os.path.join(_REPO, "gclog_parser_spark")):
 def run_corpus(
     spark, docs, out, split_weights=None,
     sample_rates=None, sample_default=1.0, compact=False,
+    normalize=False, line_dedup_stage=False,
 ):
     import pyspark.sql.functions as F
 
@@ -57,6 +58,29 @@ def run_corpus(
         )
         n_sampled_out = n_input - sampled.count()
         docs = sampled
+
+    # 0b. optional Unicode/whitespace normalization (scan-side rewrite)
+    if normalize:
+        from gclog_parser_spark.operators.textstats import (
+            normalize_text_col,
+        )
+
+        docs = docs.withColumn("text", normalize_text_col("text"))
+
+    # 0c. optional corpus-wide exact line dedup (C4 keep-first rule);
+    # the surviving text replaces the raw column for every later stage
+    n_lines_dropped = 0
+    if line_dedup_stage:
+        from gclog_parser_spark.operators.textstats import line_dedup
+
+        ld = line_dedup(docs, return_text=True)
+        n_lines_dropped = (
+            ld.agg(F.sum("n_dropped")).collect()[0][0] or 0
+        )
+        docs = docs.drop("text").join(
+            ld.select("doc_id", F.col("kept_text").alias("text")),
+            "doc_id",
+        )
 
     # 1. quality gate
     verdict = corpus_filter(docs)
@@ -115,6 +139,11 @@ def run_corpus(
     stats = {
         "n_input": n_input,
         "n_sampled_out": n_sampled_out,
+        **(
+            {"n_lines_dropped": int(n_lines_dropped)}
+            if line_dedup_stage
+            else {}
+        ),
         "n_quality_rejected": (n_input - n_sampled_out) - n_kept,
         "n_dup_removed": n_kept - n_final,
         "n_final": n_final,
@@ -143,6 +172,12 @@ def main(argv=None):
     ap.add_argument("--compact", action="store_true",
                     help="write the corpus split-partitioned, "
                          "doc_id-clustered, size-capped")
+    ap.add_argument("--normalize", action="store_true",
+                    help="NFC + control/whitespace normalization "
+                         "before the quality gate")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="corpus-wide exact line dedup (keep first "
+                         "occurrence) before the quality gate")
     args = ap.parse_args(argv)
 
     sample_rates = None
@@ -171,6 +206,8 @@ def main(argv=None):
         sample_rates=sample_rates,
         sample_default=args.sample_default,
         compact=args.compact,
+        normalize=args.normalize,
+        line_dedup_stage=args.line_dedup,
     )
     import json
 

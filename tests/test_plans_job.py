@@ -294,3 +294,45 @@ def test_embed_pipeline_outputs_and_determinism(spark, tmp_path):
         ).fetchone()[0]
         == 0
     )
+
+
+def test_corpus_pipeline_normalize_and_line_dedup(spark, sf_dir, tmp_path):
+    """The two text-hygiene stages compose into the job: normalization
+    rewrites the text column scan-side, line dedup drops cross-doc
+    duplicate lines before the quality gate, and the run stays
+    deterministic."""
+    from jobs.corpus_pipeline import run_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # give the corpus real lines so the line-dedup stage has work
+    lined = docs.withColumn(
+        "text",
+        F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n"),
+    )
+    out = str(tmp_path / "c1")
+    s1 = run_corpus(
+        spark, lined, out, normalize=True, line_dedup_stage=True
+    )
+    assert s1["n_lines_dropped"] > 0
+    assert s1["n_final"] > 0
+    # dedup of cross-doc duplicate lines makes former exact-duplicate
+    # docs diverge only in the one surviving copy — the corpus text
+    # must contain no repeated line at all
+    corpus = spark.read.parquet(f"{out}/corpus")
+    n_dup_lines = (
+        corpus.select(
+            F.explode(F.split("text", "\n")).alias("line")
+        )
+        .where(F.length("line") > 0)
+        .groupBy("line")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert n_dup_lines == 0
+    # deterministic re-run
+    out2 = str(tmp_path / "c2")
+    s2 = run_corpus(
+        spark, lined, out2, normalize=True, line_dedup_stage=True
+    )
+    assert s2 == s1
