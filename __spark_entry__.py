@@ -1515,6 +1515,50 @@ def q_web_url_facets(spark, sf_dir):
     return url_facet_rollup(synth_urls(_docs(spark, sf_dir)))
 
 
+def _fixture_glob() -> str:
+    import gclog_parser_spark
+
+    return os.path.join(
+        os.path.dirname(gclog_parser_spark.__file__),
+        "resources",
+        "*.log",
+    )
+
+
+def q_gc_source_lines(spark, sf_dir):
+    """The Spark-4 Python DataSource (format 'gclog', one partition per
+    file, executor-side streamed reads) over the reference fixture
+    logs: per-file line count + ordered line digest.  Oracle = DuckDB
+    ``read_text`` + its own split — an independent file reader checking
+    the source's partition planning, ordering, and line numbering."""
+    from gclog_parser_spark.sources.datasource import gclog_lines
+
+    df = gclog_lines(spark, _fixture_glob())
+    return (
+        df.groupBy(
+            F.regexp_extract("log_path", r"([^/]+)$", 1).alias(
+                "log_name"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("line_no", "line")
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("lines_hash"),
+        )
+    )
+
+
 def q_rel_table_diff(spark, sf_dir):
     """Checksum-based reconciliation of a 'replica' of events with
     deterministic damage (drop %97, perturb value %101, insert shifted
@@ -2327,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_blocklist": q_web_blocklist,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "rel_table_diff": q_rel_table_diff,
+        "gc_source_lines": q_gc_source_lines,
     }
 
 
@@ -2534,6 +2579,23 @@ sessions AS (
     out["rel_lateral_topk"] = LATERAL_TOPK_SQL
     out["web_blocklist"] = ot.url_blocklist_sql(BLOCK_RULES)
     out["dedup_simhash_pairs"] = ot.simhash_pairs_sql()
+    # independent file reader: DuckDB read_text + its own line split
+    # (trailing-newline-aware) re-derives the DataSource's output
+    glob = _fixture_glob().replace("'", "''")
+    out["gc_source_lines"] = f"""WITH t AS (
+  SELECT filename, content FROM read_text('{glob}')
+),
+ls AS (
+  SELECT filename,
+    list_slice(string_split(content, chr(10)), 1,
+      len(string_split(content, chr(10))) -
+      CASE WHEN ends_with(content, chr(10)) THEN 1 ELSE 0 END) AS lines
+  FROM t
+)
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS log_name,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  md5(array_to_string(lines, chr(10))) AS lines_hash
+FROM ls"""
     # reconciliation oracle: direct FULL OUTER classification of the
     # identically-derived replica (IS DISTINCT FROM = Spark eqNullSafe)
     out["rel_table_diff"] = """WITH replica AS (
