@@ -17,6 +17,9 @@ Usage::
     register(spark)
     lines = (spark.read.format("gclog")
              .option("path", "/logs/*.log").load())
+    tail = (spark.readStream.format("gclog")          # streaming twin
+            .option("path", "/logs/*.log").load())    # file-arrival
+                                                      # micro-batches
 
 Scale: file-grained partitions match the GC-log domain (one JVM's log
 is one file; logs are MBs, not TBs).  For pathological single huge
@@ -33,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 
@@ -77,11 +81,54 @@ class GcLogReader(DataSourceReader):
 
     def read(self, partition):
         # executor-side: stream the file, never whole-file in memory
-        with open(
-            partition.path, encoding="utf-8", errors="replace"
-        ) as f:
-            for i, ln in enumerate(f):
-                yield (partition.path, i, ln.rstrip("\n"))
+        yield from _read_file(partition.path)
+
+
+def _read_file(path: str):
+    with open(path, encoding="utf-8", errors="replace") as f:
+        for i, ln in enumerate(f):
+            yield (path, i, ln.rstrip("\n"))
+
+
+class GcLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin — the reference's stdin tail (StdIn.scala:9-23)
+    as a micro-batch file-arrival stream: each batch consumes the files
+    that appeared since the committed offset.
+
+    Offset = ``{"files": [consumed file names…]}`` — a file is consumed
+    exactly once even if listing order changes between batches, and
+    ``readBetweenOffsets`` replays the exact file-set difference after
+    a crash (deterministic replay = exactly-once with the idempotent
+    sinks used throughout this repo).  Files must be closed/immutable
+    when they land, the standard file-stream contract (Spark's own
+    FileStreamSource assumes the same)."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("gclog source requires .option('path', …)")
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        files = [p for p in _expand(self.path) if p not in seen]
+        # materialized (not a generator): the SimpleDataSourceStream
+        # runtime prefetches batches driver-side and copy.copy()s the
+        # iterator — list iterators support that, generators don't.
+        # GC-log files are MBs; for TB-scale streams use the
+        # partition-planning streamReader variant instead.
+        rows = [r for p in files for r in _read_file(p)]
+        end = {"files": sorted(seen | set(files))}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        new = sorted(
+            set(end.get("files", [])) - set(start.get("files", []))
+        )
+        return iter([r for p in new for r in _read_file(p)])
 
 
 class GcLogDataSource(DataSource):
@@ -94,6 +141,9 @@ class GcLogDataSource(DataSource):
 
     def reader(self, schema):
         return GcLogReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return GcLogStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -76,3 +76,59 @@ def test_line_numbers_are_zero_based_and_dense(spark):
         (r["line_no"] for r in df.collect())
     )
     assert rows == list(range(len(rows))) and rows[0] == 0
+
+
+def test_stream_reader_consumes_each_file_exactly_once(spark, tmp_path):
+    """Micro-batch file-arrival stream: files landing between batches
+    are consumed exactly once, and a restart over the same checkpoint
+    re-emits nothing (exactly-once into the file sink)."""
+    from gclog_parser_spark.sources.datasource import register
+
+    register(spark)
+    src = tmp_path / "logs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    (src / "a.log").write_text("a1\na2\n")
+    (src / "b.log").write_text("b1\n")
+
+    def start():
+        return (
+            spark.readStream.format("gclog")
+            .option("path", str(src / "*.log"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    (src / "c.log").write_text("c1\nc2\nc3\n")  # lands mid-stream
+    q.processAllAvailable()
+    q.stop()
+
+    def rows():
+        return sorted(
+            (r["log_path"].split("/")[-1], r["line_no"], r["line"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    assert rows() == [
+        ("a.log", 0, "a1"), ("a.log", 1, "a2"),
+        ("b.log", 0, "b1"),
+        ("c.log", 0, "c1"), ("c.log", 1, "c2"), ("c.log", 2, "c3"),
+    ]
+
+    # restart on the same checkpoint: committed files never re-emit,
+    # a file added after the restart arrives exactly once
+    q2 = start()
+    q2.processAllAvailable()
+    (src / "d.log").write_text("d1\n")
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = rows()
+    assert got2.count(("d.log", 0, "d1")) == 1
+    assert len(got2) == 7
