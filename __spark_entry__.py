@@ -1515,6 +1515,32 @@ def q_web_url_facets(spark, sf_dir):
     return url_facet_rollup(synth_urls(_docs(spark, sf_dir)))
 
 
+def q_rel_kmv_merge(spark, sf_dir):
+    """Sketch mergeability, value-proven: events split into two halves,
+    each half sketched independently (the per-shard partial state a
+    distributed agg tree ships), sketches merged, estimate taken — the
+    oracle computes the WHOLE-table estimate, so equality IS the proof
+    that merge(sketch(A), sketch(B)) == sketch(A ∪ B)."""
+    from gclog_parser_spark.operators.aggregate import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half_a = ev.where(F.col("event_id") % 2 == 0)
+    half_b = ev.where(F.col("event_id") % 2 == 1)
+    merged = kmv_merge(
+        [
+            kmv_sketch(half_a, "event_type", "user_id", k=64),
+            kmv_sketch(half_b, "event_type", "user_id", k=64),
+        ],
+        "event_type",
+        k=64,
+    )
+    return kmv_estimate(merged, "event_type", k=64)
+
+
 def _fixture_glob() -> str:
     import gclog_parser_spark
 
@@ -2372,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "rel_table_diff": q_rel_table_diff,
         "gc_source_lines": q_gc_source_lines,
+        "rel_kmv_merge": q_rel_kmv_merge,
     }
 
 
@@ -3149,6 +3176,22 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
         "  ELSE round(63.0 * 4294967296.0 / kth.hk, 6) END"
         "  AS kmv_estimate"
         " FROM g JOIN kth USING (event_type)"
+    )
+    # mergeability oracle: the WHOLE-table estimate — equality with the
+    # Spark side's merged per-half sketches is the mergeability proof
+    out["rel_kmv_merge"] = (
+        "WITH d AS (SELECT DISTINCT event_type,"
+        " CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) AS h FROM events),"
+        " t AS (SELECT event_type, h, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY h) AS rn FROM d),"
+        " kth AS (SELECT event_type, max(h) AS hk, count(*) AS m"
+        "  FROM t WHERE rn <= 64 GROUP BY 1)"
+        " SELECT event_type,"
+        " CASE WHEN m < 64 THEN CAST(m AS DOUBLE)"
+        "  ELSE round(63.0 * 4294967296.0 / hk, 6) END"
+        "  AS kmv_estimate"
+        " FROM kth"
     )
     out["rel_gapfill"] = (
         "WITH hourly AS (SELECT event_type,"

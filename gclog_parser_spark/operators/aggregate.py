@@ -282,3 +282,68 @@ def kmv_distinct(
         )
     )
     return agg.select(group_col, "n_exact", est.alias("kmv_estimate"))
+
+
+def kmv_sketch(df, group_col: str, value_col: str, k: int = 64):
+    """The KMV sketch STATE itself: per group, the k smallest distinct
+    32-bit value hashes — ≤ k rows per group, the thing a distributed
+    aggregation tree actually ships between levels.  See
+    :func:`kmv_merge` for the mergeability contract."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    d = df.select(F.col(group_col), h.alias("h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(group_col, "h")
+    )
+
+
+def kmv_merge(sketches, group_col: str, k: int = 64):
+    """Merge KMV sketches: union the per-partition sketch states and
+    keep the k smallest distinct hashes per group.
+
+    THE property that makes a sketch a sketch: merge(sketch(A),
+    sketch(B)) == sketch(A ∪ B) exactly — the k smallest of a union
+    are found among the k smallest of each side — so partial sketches
+    built independently per shard/day/site combine losslessly at any
+    tree depth.  The contract query proves it: the merged estimate is
+    value-identical to the whole-table estimate."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return _kmv_top(out, group_col, k)
+
+
+def _kmv_top(d, group_col: str, k: int):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        d.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(group_col, "h")
+    )
+
+
+def kmv_estimate(sketch, group_col: str, k: int = 64):
+    """(group, kmv_estimate) from a sketch state — same estimator as
+    :func:`kmv_distinct` ((k−1)·2³²/h_k; exact m when m < k)."""
+    import pyspark.sql.functions as F
+
+    agg = sketch.groupBy(group_col).agg(
+        F.max("h").alias("hk"), F.count("*").alias("m")
+    )
+    est = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(
+        F.round((k - 1) * 4294967296.0 / F.col("hk"), 6)
+    )
+    return agg.select(group_col, est.alias("kmv_estimate"))

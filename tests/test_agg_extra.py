@@ -175,3 +175,46 @@ def test_kmv_distinct_error_bound_and_exact_path(spark):
     # determinism: same data, same estimate
     again = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
     assert again["big"]["kmv_estimate"] == big["kmv_estimate"]
+
+
+def test_kmv_merge_equals_whole_table_sketch(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly — the k
+    smallest of a union are found among each side's k smallest."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.aggregate import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 7919 % 1511).alias("v"),  # many dup values
+    )
+    a = df.where(F.col("id") % 2 == 0)
+    b = df.where(F.col("id") % 2 == 1)
+    merged = kmv_merge(
+        [kmv_sketch(a, "g", "v", k=32), kmv_sketch(b, "g", "v", k=32)],
+        "g",
+        k=32,
+    )
+    whole = kmv_sketch(df, "g", "v", k=32)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    est = {
+        r["g"]: r["kmv_estimate"]
+        for r in kmv_estimate(merged, "g", k=32).collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    # k=32 is a deliberately tiny sketch — its estimator is heavy
+    # tailed, so only order-of-magnitude sanity is pinned here; the
+    # contract query (k=64, real corpus) is value-checked exactly
+    # against the whole-table oracle
+    for g, e in est.items():
+        assert exact[g] / 4 < e < exact[g] * 4, (g, e, exact[g])
