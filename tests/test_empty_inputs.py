@@ -1,0 +1,134 @@
+"""Every operator family over EMPTY input: no crash, schema intact,
+zero rows out (or the operator's documented empty-shape).  Empty
+partitions are routine at 10^12-row scale (a filter that eliminates a
+whole date range, a replay of an empty batch) — operators must be
+total over them."""
+
+import pyspark.sql.functions as F  # noqa: F401
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_dedup_family_empty(spark, empty_docs):
+    from gclog_parser_spark.operators.dedup import (
+        dedup_clusters,
+        exact_dedup,
+        jaccard_pairs,
+        minhash_band_pairs,
+        simhash_docs,
+        simhash_pairs,
+    )
+
+    assert exact_dedup(empty_docs).count() == 0
+    assert minhash_band_pairs(empty_docs).count() == 0
+    assert simhash_docs(empty_docs).count() == 0
+    assert simhash_pairs(empty_docs).count() == 0
+    assert jaccard_pairs(empty_docs).count() == 0
+    assert dedup_clusters(empty_docs).count() == 0
+
+
+def test_textstats_family_empty(spark, empty_docs):
+    from gclog_parser_spark.operators.textstats import (
+        corpus_filter,
+        corpus_ngrams,
+        line_dedup,
+        normalize_text,
+        quality_stats,
+        scrub_pii,
+        strip_boilerplate,
+        tfidf_topk,
+    )
+
+    assert quality_stats(empty_docs).count() == 0
+    assert corpus_filter(empty_docs).count() == 0
+    assert scrub_pii(empty_docs).count() == 0
+    assert strip_boilerplate(empty_docs).count() == 0
+    assert line_dedup(empty_docs).count() == 0
+    assert normalize_text(empty_docs).count() == 0
+    assert corpus_ngrams(empty_docs).count() == 0
+    assert tfidf_topk(empty_docs, k=3).count() == 0
+
+
+def test_sampling_and_quality_empty(spark, empty_docs, empty_events):
+    from gclog_parser_spark.operators.quality import table_diff
+    from gclog_parser_spark.operators.sampling import (
+        hash_split,
+        shard_by_tokens,
+        stratified_sample,
+    )
+
+    assert hash_split(empty_docs).count() == 0
+    assert stratified_sample(empty_docs, rates={"en": 0.5}).count() == 0
+    assert shard_by_tokens(empty_docs, n_groups=4).count() == 0
+    # empty vs empty reconciles to zero differences
+    assert table_diff(
+        empty_events, empty_events, key_cols=["event_id"]
+    ).count() == 0
+
+
+def test_table_diff_empty_vs_full(spark, empty_events, sf_dir):
+    """Empty replica vs real table: every row classifies only_left."""
+    from gclog_parser_spark.operators.quality import table_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    diff = table_diff(ev, empty_events, key_cols=["event_id"])
+    agg = diff.groupBy("diff_kind").count().collect()
+    assert len(agg) == 1 and agg[0]["diff_kind"] == "only_left"
+    assert agg[0]["count"] == ev.count()
+
+
+def test_temporal_and_agg_empty(spark, empty_events):
+    from gclog_parser_spark.operators.aggregate import (
+        kmv_distinct,
+        kmv_sketch,
+        sliding_counts,
+        value_histogram,
+    )
+    from gclog_parser_spark.operators.temporal import asof_join
+
+    facts = empty_events.select("event_id", "user_id", "ts")
+    quotes = empty_events.select(
+        "user_id", "ts", F.col("value").alias("v")
+    )
+    assert asof_join(facts, quotes, key="user_id").count() == 0
+    assert kmv_distinct(
+        empty_events, "event_type", "user_id"
+    ).count() == 0
+    assert kmv_sketch(
+        empty_events, "event_type", "user_id"
+    ).count() == 0
+    assert sliding_counts(empty_events).count() == 0
+    assert value_histogram(empty_events, "value").count() == 0
+
+
+def test_blocklist_and_parse_empty(spark, empty_docs):
+    from gclog_parser_spark.operators.parse import parse_events
+    from gclog_parser_spark.operators.webstats import (
+        synth_urls,
+        url_blocklist_filter,
+    )
+
+    assert url_blocklist_filter(
+        synth_urls(empty_docs), ["example.com"]
+    ).count() == 0
+    pages = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, text string"
+    )
+    assert parse_events(pages, stitch="narrow").count() == 0
+    assert parse_events(pages, stitch="window").count() == 0
