@@ -1515,6 +1515,91 @@ def q_web_url_facets(spark, sf_dir):
     return url_facet_rollup(synth_urls(_docs(spark, sf_dir)))
 
 
+def q_gc_stream_source_counts(spark, sf_dir):
+    """End-to-end streaming ingestion through the pluggable source: the
+    reference fixture logs LAND AS FILES in a watched directory (two
+    waves → two-plus micro-batches), the gclog streaming source
+    delivers each file's lines exactly once, foreachBatch rebuilds the
+    per-file text (whole-file-per-batch is the source's offset
+    invariant), runs the REAL parse, and appends typed events to an
+    idempotent sink.  The oracle runs the SAME SQL GC parser the page
+    corpus is checked with, pointed at the files via DuckDB read_text —
+    transport + parse verified together."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.operators.parse import parse_events
+    from gclog_parser_spark.sources.datasource import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix="gps_srcstream_")
+    logs = os.path.join(base, "logs")
+    out = os.path.join(base, "out")
+    os.makedirs(logs)
+    import glob as globmod
+
+    # every fixture (incl. the CMS fragments; README parses to zero
+    # events in BOTH engines — the silent-drop grammar rule at work)
+    fixtures = sorted(globmod.glob(_fixture_glob("*")))
+
+    def handle(batch, _bid):
+        pages = (
+            batch.groupBy("log_path")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("line_no", "line"))
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                ).alias("text")
+            )
+            .select(
+                F.col("log_path").alias("url"),
+                F.lit("2016-11-10 00:00:00")
+                .cast("timestamp")
+                .alias("warc_ts"),
+                "text",
+            )
+        )
+        ev = parse_events(pages, stitch="narrow", require_marker=False)
+        ev.select("url", "gc_class", "gc_type").write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.format("gclog")
+        .option("path", os.path.join(logs, "*"))
+        .load()
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    try:
+        # wave 1, then wave 2 lands mid-stream
+        for p in fixtures[:3]:
+            shutil.copy(p, logs)
+        q.processAllAvailable()
+        for p in fixtures[3:]:
+            shutil.copy(p, logs)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = (
+        spark.read.parquet(out)
+        .groupBy("gc_class", "gc_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.countDistinct("url").alias("urls"),
+        )
+    )
+    rows = res.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, res.schema)
+
+
 def q_rel_kmv_merge(spark, sf_dir):
     """Sketch mergeability, value-proven: events split into two halves,
     each half sketched independently (the per-shard partial state a
@@ -1541,13 +1626,13 @@ def q_rel_kmv_merge(spark, sf_dir):
     return kmv_estimate(merged, "event_type", k=64)
 
 
-def _fixture_glob() -> str:
+def _fixture_glob(pattern: str = "*.log") -> str:
     import gclog_parser_spark
 
     return os.path.join(
         os.path.dirname(gclog_parser_spark.__file__),
         "resources",
-        "*.log",
+        pattern,
     )
 
 
@@ -2399,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_table_diff": q_rel_table_diff,
         "gc_source_lines": q_gc_source_lines,
         "rel_kmv_merge": q_rel_kmv_merge,
+        "gc_stream_source_counts": q_gc_stream_source_counts,
     }
 
 
@@ -2606,6 +2692,14 @@ sessions AS (
     out["rel_lateral_topk"] = LATERAL_TOPK_SQL
     out["web_blocklist"] = ot.url_blocklist_sql(BLOCK_RULES)
     out["dedup_simhash_pairs"] = ot.simhash_pairs_sql()
+    # the SAME SQL GC parser, pointed at the raw files via read_text —
+    # verifies the streaming source's transport AND the parse together
+    out["gc_stream_source_counts"] = oracle.gcline_prefix(
+        pages_cte=oracle.file_pages_cte(_fixture_glob("*"))
+    ) + (
+        "SELECT gc_class, gc_type, count(*) AS events,"
+        " count(DISTINCT url) AS urls FROM gc_events GROUP BY 1, 2"
+    )
     # independent file reader: DuckDB read_text + its own line split
     # (trailing-newline-aware) re-derives the DataSource's output
     glob = _fixture_glob().replace("'", "''")

@@ -379,17 +379,35 @@ region_deltas AS (
 )
 
 
-def with_prefix(*ctes: str) -> str:
-    parts = [fixtures_values(), PAGES_CTE, LINES_CTE, FLAGGED_CTE]
+def with_prefix(*ctes: str, pages_cte: str = PAGES_CTE) -> str:
+    parts = [fixtures_values(), pages_cte, LINES_CTE, FLAGGED_CTE]
     parts.extend(ctes)
     return "WITH " + ",\n".join(parts) + "\n"
 
 
-def gcline_prefix(*extra: str) -> str:
+def gcline_prefix(*extra: str, pages_cte: str = PAGES_CTE) -> str:
+    """The full SQL GC parser over ``pages(url, warc_ts, gc_text)``.
+    ``pages_cte`` swaps the input relation — the default synthesizes
+    pages from the documents table; ``file_pages_cte`` points the SAME
+    parser at raw log files via DuckDB ``read_text``."""
     return with_prefix(
         BLOCKS_CTE, PARSED_CTE, TYPED_CTE, EVENTS_ALL_CTE, GC_EVENTS_CTE,
         *extra,
+        pages_cte=pages_cte,
     )
+
+
+def file_pages_cte(glob: str) -> str:
+    """pages CTE over raw log files (DuckDB's independent file reader);
+    warc_ts is a constant — the raw-file queries aggregate by event
+    content, never by crawl hour."""
+    g = glob.replace("'", "''")
+    return f"""pages AS (
+  SELECT filename AS url,
+         TIMESTAMP '2016-11-10 00:00:00' AS warc_ts,
+         content AS gc_text
+  FROM read_text('{g}')
+)"""
 
 
 def heap_prefix(*extra: str) -> str:
