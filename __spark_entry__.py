@@ -1879,6 +1879,44 @@ def q_snap_eq_delete(spark, sf_dir):
     )
 
 
+def q_snap_diff(spark, sf_dir):
+    """What changed between two snapshots — time travel × merge-on-read
+    × checksum reconciliation: v1 = all events; v2 = equality-DELETE
+    users 0-2; v3 = append updated copies (user 0, event_id%7==0,
+    value bumped) and brand-new clones (event_id%11==0, shifted ids).
+    ``table_diff(read @snapshot 1, read @current)`` must classify every
+    key as only_left / changed / only_right exactly as the oracle
+    derives from the commit rules directly."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.operators.quality import table_diff
+    from gclog_parser_spark.sources import catalog as cat
+
+    key = f"gps_sdiff_{abs(hash(sf_dir)) % 10**8}"
+    base = os.path.join(tempfile.gettempdir(), key)
+    if cat.current_snapshot_id(base) != 3:
+        shutil.rmtree(base, ignore_errors=True)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cat.snapshot_write(ev, base)
+        kill = spark.createDataFrame(
+            [(0,), (1,), (2,)], "user_id bigint"
+        )
+        cat.equality_delete(kill, base, ["user_id"])
+        updated = (
+            ev.filter(
+                (F.col("user_id") == 0) & (F.col("event_id") % 7 == 0)
+            ).withColumn("value", F.col("value") + 10.0)
+        )
+        clones = ev.filter(F.col("event_id") % 11 == 0).withColumn(
+            "event_id", F.col("event_id") + F.lit(5_000_000_000)
+        )
+        cat.snapshot_write(updated.unionByName(clones), base)
+    v1 = cat.read_snapshot(spark, base, snapshot_id=1)
+    cur = cat.read_snapshot(spark, base)
+    return table_diff(v1, cur, key_cols=["event_id"])
+
+
 def q_dedup_fuzzy(spark, sf_dir):
     """Edit-distance near-dup pairs (prefix-blocked Levenshtein) —
     catches small in-place edits MinHash's bag-of-shingles misses;
@@ -2485,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_source_lines": q_gc_source_lines,
         "rel_kmv_merge": q_rel_kmv_merge,
         "gc_stream_source_counts": q_gc_stream_source_counts,
+        "snap_diff": q_snap_diff,
     }
 
 
@@ -2717,6 +2756,20 @@ SELECT regexp_extract(filename, '([^/]+)$', 1) AS log_name,
   CAST(len(lines) AS BIGINT) AS n_lines,
   md5(array_to_string(lines, chr(10))) AS lines_hash
 FROM ls"""
+    # snapshot-diff oracle: the commit rules stated directly — deleted
+    # users are only_left unless re-inserted updated (changed); clones
+    # with shifted ids are only_right
+    out["snap_diff"] = (
+        "SELECT event_id, 'only_left' AS diff_kind FROM events"
+        " WHERE user_id IN (0, 1, 2)"
+        "  AND NOT (user_id = 0 AND event_id % 7 = 0)"
+        " UNION ALL"
+        " SELECT event_id, 'changed' FROM events"
+        " WHERE user_id = 0 AND event_id % 7 = 0"
+        " UNION ALL"
+        " SELECT event_id + 5000000000, 'only_right' FROM events"
+        " WHERE event_id % 11 = 0"
+    )
     # reconciliation oracle: direct FULL OUTER classification of the
     # identically-derived replica (IS DISTINCT FROM = Spark eqNullSafe)
     out["rel_table_diff"] = """WITH replica AS (
