@@ -131,3 +131,40 @@ def test_table_diff_null_vs_value_is_changed(spark):
         for r in table_diff(left, right, key_cols=["id"]).collect()
     }
     assert got == {1: "changed", 2: "changed"}
+
+
+def test_reconcile_job_exit_codes(spark, sf_dir, tmp_path):
+    """The reconcile job as a replication gate: equal tables exit 0
+    with an empty diff; a damaged replica exits 3 with the counts."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    ev = f"{sf_dir}/events.parquet"
+    damaged_dir = str(tmp_path / "damaged")
+    spark.read.parquet(ev).where(
+        "event_id % 50 != 0"
+    ).write.parquet(damaged_dir)
+
+    def run(right, out):
+        res = subprocess.run(
+            [
+                _sys.executable, "jobs/reconcile.py",
+                "--master", "local[4]",
+                "--left", ev, "--right", right,
+                "--keys", "event_id", "--output", out,
+            ],
+            capture_output=True, text=True, cwd="/root/repo",
+            timeout=600,
+        )
+        return res.returncode, json.loads(
+            res.stdout.strip().splitlines()[-1]
+        )
+
+    rc, stats = run(ev, str(tmp_path / "o1"))
+    assert rc == 0 and stats["equal"] is True
+
+    rc, stats = run(damaged_dir, str(tmp_path / "o2"))
+    assert rc == 3 and stats["equal"] is False
+    assert stats["n_only_left"] > 0
+    assert stats["n_changed"] == 0 and stats["n_only_right"] == 0
