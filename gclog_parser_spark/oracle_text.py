@@ -51,14 +51,24 @@ def dedup_exact_sql() -> str:
 
 def _minhash_ctes() -> str:
     """The shingles→signatures→bands CTE chain, reusable by both the
-    pair query and the connected-components cluster oracle."""
+    pair query and the connected-components cluster oracle.
+
+    Hash family mirrors dedup.minhash_signatures: hash j is the
+    32-bit lane ``substr(md5(block), (j%4)*8+1, 8)`` of digest block
+    ``j//4`` (block 0 = md5(s), block b = md5('b:'||s)) — four lanes
+    per md5, the optimization that halves hashing cost Spark-side."""
     rows = NUM_HASHES // BANDS
+    lane = (
+        "CAST('0x' || substr(md5(CASE WHEN j // 4 = 0 THEN s"
+        " ELSE CAST(j // 4 AS VARCHAR) || ':' || s END),"
+        " (j % 4) * 8 + 1, 8) AS BIGINT)"
+    )
     return f"""{SHINGLES_CTE},
 sig AS (
   SELECT doc_id,
     list_transform(generate_series(0, {NUM_HASHES - 1}), j ->
       list_min(list_transform(shingles, s ->
-        {_hex60("CAST(j AS VARCHAR) || ':' || s")}))) AS sig
+        {lane}))) AS sig
   FROM sh
 ),
 banded AS (
