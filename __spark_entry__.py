@@ -1600,6 +1600,30 @@ def q_gc_stream_source_counts(spark, sf_dir):
     return spark.createDataFrame(rows, res.schema)
 
 
+#: ANN recall probe points (deterministic vec_ids) and depth
+RECALL_QUERY_IDS = [0, 7, 42]
+RECALL_K = 10
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 vs exact cosine for three probe queries, for BOTH
+    approximate paths: the single-bucket LSH index (honest near-zero
+    recall on this weakly-clustered corpus — the evidence for why
+    multiband exists) and the int8-quantized scan (recall loss is pure
+    quantization re-ordering at the top-k boundary).  Set-based over
+    all probes at once — no per-query driver loop."""
+    from gclog_parser_spark.operators.similarity import ann_recall_at_k
+
+    emb = _embs(spark, sf_dir)
+    out = None
+    for m in ("lsh", "int8"):
+        r = ann_recall_at_k(
+            emb, RECALL_QUERY_IDS, k=RECALL_K, method=m
+        ).select(F.lit(m).alias("method"), "*")
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def q_rel_kmv_merge(spark, sf_dir):
     """Sketch mergeability, value-proven: events split into two halves,
     each half sketched independently (the per-shard partial state a
@@ -2524,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_kmv_merge": q_rel_kmv_merge,
         "gc_stream_source_counts": q_gc_stream_source_counts,
         "snap_diff": q_snap_diff,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -2731,6 +2756,7 @@ sessions AS (
     out["rel_lateral_topk"] = LATERAL_TOPK_SQL
     out["web_blocklist"] = ot.url_blocklist_sql(BLOCK_RULES)
     out["dedup_simhash_pairs"] = ot.simhash_pairs_sql()
+    out["ann_recall"] = ot.ann_recall_sql(RECALL_QUERY_IDS, k=RECALL_K)
     # the SAME SQL GC parser, pointed at the raw files via read_text —
     # verifies the streaming source's transport AND the parse together
     out["gc_stream_source_counts"] = oracle.gcline_prefix(

@@ -595,3 +595,113 @@ def quantization_error(emb: DataFrame) -> DataFrame:
             ), 6).alias("worst_rel_err"),
         )
     )
+
+
+def ann_recall_at_k(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    seed: int = 42,
+    method: str = "lsh",
+) -> DataFrame:
+    """Recall@k of an approximate retrieval path vs exact cosine — the
+    quality metric every ANN deployment monitors (is the index still
+    good enough after a re-embed / re-shard / compression change?).
+
+    ``method='lsh'``: candidates = the query's single LSH bucket (the
+    recall a one-band index actually delivers — near zero on weakly
+    clustered corpora, which is WHY multiband exists).
+    ``method='int8'``: candidates = the full corpus ranked by
+    quantized int8 cosine — recall loss here is pure quantization
+    error re-ordering the boundary of the top-k.
+
+    Fully set-based over all probe queries at once: the tiny query
+    relation broadcasts against the corpus for both rankings (one scan
+    each, per-query window top-k), recall is a left-semi hit count —
+    no per-query driver loop, so probing with 10^4 queries costs the
+    same shape as 3.  Deterministic: sims round to 6 dp with vec_id
+    tie-break, matching every other ANN oracle here.
+
+    Returns (query_id, n_exact, n_hit, recall)."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        emb.where(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+        )
+    )
+    exact_scored = (
+        emb.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_sim(F.col("embedding"), F.col("q")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    exact = (
+        exact_scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    if method == "lsh":
+        b = lsh_buckets(emb, seed)
+        qb = F.broadcast(
+            b.where(F.col("vec_id").isin(query_ids)).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("bucket").alias("qbucket"),
+                F.col("embedding").alias("q"),
+            )
+        )
+        cand = (
+            b.join(qb, F.col("bucket") == F.col("qbucket"))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                _cos_sim(F.col("embedding"), F.col("q")).alias("sim"),
+            )
+        )
+    elif method == "int8":
+        qz = quantize_embeddings(emb)
+        qq = F.broadcast(
+            qz.where(F.col("vec_id").isin(query_ids)).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("qvec").alias("q"),
+            )
+        )
+        cand = (
+            qz.crossJoin(qq)
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                _cos_sim(F.col("qvec"), F.col("q")).alias("sim"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    approx = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"], "left_semi")
+    per_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )

@@ -1033,3 +1033,65 @@ def simhash_pairs_sql(max_hamming: int = 3, bits: int = 32) -> str:
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE {ham} <= {max_hamming}"""
+
+
+def ann_recall_sql(query_ids: list[int], k: int = 10) -> str:
+    """Recall@k oracle for BOTH approximate paths (single-bucket LSH
+    and int8-quantized scan) vs exact fp32 cosine — the same
+    comparison derived independently with window ranks over DuckDB's
+    list_dot_product; one row per (method, probe query)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    bits = _planes_sql().split(", (")
+    bits = [b if b.startswith("(") else "(" + b for b in bits]
+    bucket = " || ".join(
+        f"(CASE WHEN {b} THEN '1' ELSE '0' END)" for b in bits
+    )
+    qcos = _cos_guarded("e.qvec", "q.q")
+
+    def _recall_block(method: str, ak: str) -> str:
+        return f"""SELECT '{method}' AS method, g.query_id, g.n_exact,
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  round(coalesce(h.n_hit, 0) / {k}.0, 6) AS recall
+FROM (SELECT query_id, count(*) AS n_exact FROM ek GROUP BY 1) g
+LEFT JOIN (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM {ak} a JOIN ek USING (query_id, vec_id) GROUP BY 1
+) h USING (query_id)"""
+
+    return f"""WITH {_QUANT_CTE},
+buckets AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, bucket AS qbucket, embedding AS q
+  FROM buckets WHERE vec_id IN ({ids})
+),
+qq AS (
+  SELECT vec_id AS query_id, qvec AS q
+  FROM qv WHERE vec_id IN ({ids})
+),
+exact AS (
+  SELECT q.query_id, e.vec_id,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {_COS} DESC, e.vec_id ASC) AS rn
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ek AS (SELECT query_id, vec_id FROM exact WHERE rn <= {k}),
+lsh_cand AS (
+  SELECT q.query_id, e.vec_id,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {_COS} DESC, e.vec_id ASC) AS rn
+  FROM buckets e, q
+  WHERE e.bucket = q.qbucket AND e.vec_id <> q.query_id
+),
+lsh_k AS (SELECT query_id, vec_id FROM lsh_cand WHERE rn <= {k}),
+i8_cand AS (
+  SELECT q.query_id, e.vec_id,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {qcos} DESC, e.vec_id ASC) AS rn
+  FROM qv e, qq q WHERE e.vec_id <> q.query_id
+),
+i8_k AS (SELECT query_id, vec_id FROM i8_cand WHERE rn <= {k})
+{_recall_block("lsh", "lsh_k")}
+UNION ALL
+{_recall_block("int8", "i8_k")}"""
