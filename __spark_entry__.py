@@ -636,6 +636,28 @@ def q_text_ngrams(spark, sf_dir):
     return corpus_ngrams(_docs(spark, sf_dir), k=2, top=50)
 
 
+#: heavy-hitter frequency cut: items with count > n_words / HH_K
+HH_K = 30
+
+
+def q_text_heavy_hitters(spark, sf_dir):
+    """EXACT heavy-hitter words (count·k > n, k=30) via the
+    bounded-state two-pass plan — per-partition Misra–Gries candidate
+    sketch (state ≤ capacity counters however large the partition),
+    then an exact semi-joined verification count; the oracle is the
+    unbounded GROUP BY/HAVING the sketch replaces at 10^11 distinct
+    keys."""
+    from gclog_parser_spark.operators.aggregate import heavy_hitters
+    from gclog_parser_spark.operators.dedup import _words
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(_words(F.col("text"))).alias("w")
+    )
+    return heavy_hitters(words, "w", k=HH_K).withColumnRenamed(
+        "item", "word"
+    )
+
+
 def q_rel_json_extract(spark, sf_dir):
     """Semi-structured extraction (every log/telemetry pipeline's
     bread and butter): pull the numeric ``k`` out of the JSON ``props``
@@ -2488,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_interval_join": q_rel_interval_join,
         "rel_multiway_join": q_rel_multiway_join,
         "text_ngrams": q_text_ngrams,
+        "text_heavy_hitters": q_text_heavy_hitters,
         "rel_window_suite": q_rel_window_suite,
         "rel_transitions": q_rel_transitions,
         "rel_retention": q_rel_retention,
@@ -2881,6 +2904,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
 
     out["text_decontam"] = ot.decontam_sql()
     out["text_ngrams"] = ot.corpus_ngrams_sql(k=2, top=50)
+    out["text_heavy_hitters"] = ot.heavy_hitters_sql(k=HH_K)
 
     out["rel_window_suite"] = (
         "SELECT o_orderkey, o_orderpriority,"

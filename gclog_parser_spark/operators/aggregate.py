@@ -347,3 +347,97 @@ def kmv_estimate(sketch, group_col: str, k: int = 64):
         F.round((k - 1) * 4294967296.0 / F.col("hk"), 6)
     )
     return agg.select(group_col, est.alias("kmv_estimate"))
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 100, capacity: int | None = None
+) -> DataFrame:
+    """EXACT heavy hitters — items whose count strictly exceeds n/k —
+    via the canonical bounded-state two-pass plan (Misra–Gries
+    candidates, then exact verification), the 100 TB answer to "top
+    words" when a global groupBy would shuffle 10^11 distinct keys.
+
+    Pass 1 (candidates): a per-partition Misra–Gries summary over the
+    Arrow batches — state ≤ ``capacity`` counters regardless of
+    partition size — emitting each partition's surviving items plus
+    its row count.  The superset guarantee is arithmetic: if an item's
+    global count exceeds n/k then some partition has count_p > n_p/k
+    (otherwise summing the per-partition bounds gives ≤ n/k), and MG
+    with capacity ≥ k under-counts by at most n_p/(capacity+1) ≤
+    n_p/k, so that item survives there.  Candidate volume is
+    ≤ capacity·partitions rows — never the distinct-item count.
+
+    Pass 2 (exact): the raw column left-semi-joins the broadcast
+    candidate set (scan-side filter, nothing shuffles but matches),
+    one partial-aggregated exchange over candidate items only, and
+    the threshold is exact integer cross-multiplication
+    ``cnt · k > n`` — no float boundary.  Any candidate-set variation
+    between runs (MG survivors depend on batch order) is filtered
+    back to the same exact answer, so the OUTPUT is deterministic
+    even though the sketch state is not.
+
+    The DuckDB oracle is a plain GROUP BY … HAVING over all items —
+    a genuinely different (unbounded-state) algorithm.
+
+    Returns (item, cnt, share) ordered (cnt DESC, item ASC).
+    """
+    cap = capacity or 4 * k
+    if cap < k:
+        raise ValueError(f"capacity {cap} must be >= k {k}")
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        n_p = 0
+        for pdf in batches:
+            vals = pdf[col].dropna()
+            n_p += len(vals)
+            merged = counters.add(vals.value_counts(), fill_value=0)
+            if len(merged) > cap:
+                # subtract the (cap+1)-th largest residual: zeroes out
+                # at least len-cap counters, removes ≥ (cap+1)·t mass,
+                # so Σt over a partition ≤ n_p/(cap+1)
+                t = merged.nlargest(cap + 1).iloc[-1]
+                merged = merged - t
+                merged = merged[merged > 0]
+            counters = merged
+        out = pd.DataFrame(
+            {
+                "item": counters.index.astype(str),
+                "cnt": counters.to_numpy("int64"),
+                "is_total": False,
+            }
+        )
+        yield pd.concat(
+            [out, pd.DataFrame(
+                {"item": [None], "cnt": [n_p], "is_total": [True]}
+            )],
+            ignore_index=True,
+        )
+
+    summary = (
+        df.select(F.col(col).cast("string").alias(col))
+        .mapInPandas(_mg, "item string, cnt long, is_total boolean")
+        # tiny (≤ cap·partitions rows); materialize once so the totals
+        # and the candidate set don't each re-scan the corpus
+        .localCheckpoint(eager=True)
+    )
+    total = summary.where("is_total").agg(F.sum("cnt").alias("n_total"))
+    cands = summary.where(~F.col("is_total")).select("item").distinct()
+    exact = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k > F.col("n_total"))
+        .select(
+            "item",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("item"))
+    )

@@ -1095,3 +1095,21 @@ i8_k AS (SELECT query_id, vec_id FROM i8_cand WHERE rn <= {k})
 {_recall_block("lsh", "lsh_k")}
 UNION ALL
 {_recall_block("int8", "i8_k")}"""
+
+
+def heavy_hitters_sql(k: int = 30) -> str:
+    """Oracle for aggregate.heavy_hitters over document words: the
+    plain unbounded GROUP BY … HAVING the two-pass MG plan replaces —
+    exact integer cross-multiplied threshold, same tokenization as
+    every other word op (string_split_regex(trim, '\\s+'))."""
+    return f"""WITH w AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM w)
+SELECT word, count(*) AS cnt,
+  round(count(*) * 1.0 / max(n), 6) AS share
+FROM w, tot
+GROUP BY word
+HAVING count(*) * {k} > max(n)
+ORDER BY cnt DESC, word ASC"""

@@ -218,3 +218,29 @@ def test_kmv_merge_equals_whole_table_sketch(spark):
     # against the whole-table oracle
     for g, e in est.items():
         assert exact[g] / 4 < e < exact[g] * 4, (g, e, exact[g])
+
+
+def test_heavy_hitters_exact_with_tiny_capacity(spark):
+    from gclog_parser_spark.operators.aggregate import heavy_hitters
+
+    # 300 'hot' + 700 distinct singletons over 7 partitions; k=5 →
+    # threshold 200, so only 'hot' qualifies.  capacity=k (the minimum
+    # that preserves the superset guarantee) forces constant MG
+    # decrement churn in every partition.
+    rows = [("hot",)] * 300 + [(f"u{i}",) for i in range(700)]
+    df = spark.createDataFrame(rows, "w string").repartition(7)
+    out = heavy_hitters(df, "w", k=5, capacity=5).collect()
+    assert [(r["item"], r["cnt"]) for r in out] == [("hot", 300)]
+    assert abs(out[0]["share"] - 0.3) < 1e-9
+
+
+def test_heavy_hitters_threshold_is_strict_integer(spark):
+    from gclog_parser_spark.operators.aggregate import heavy_hitters
+
+    # n=100, k=4 → threshold 25: a 25-count item is NOT a hitter
+    # (strict >), a 26-count item is — exact integer cross-multiply,
+    # no float boundary.
+    rows = [("a",)] * 26 + [("b",)] * 25 + [(f"u{i}",) for i in range(49)]
+    df = spark.createDataFrame(rows, "w string").repartition(3)
+    out = heavy_hitters(df, "w", k=4).collect()
+    assert [(r["item"], r["cnt"]) for r in out] == [("a", 26)]
