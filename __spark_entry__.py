@@ -1358,6 +1358,22 @@ def q_corpus_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+#: per-source page quota (every sf0.01 source holds 25 docs, so 20
+#: forces the over-quota rank path on all of them)
+QUOTA_MAX = 20
+
+
+def q_corpus_quota(spark, sf_dir):
+    """C4-style per-host page cap: keep the 20 lowest-hash-bucket docs
+    per source — zipf-aware two-path plan (tiny over-quota group set
+    broadcast; the long tail passes through with NO sort, only
+    over-quota rows take the rank window); oracle ranks every group in
+    one unbounded window — two plans, one keep-rule."""
+    from gclog_parser_spark.operators.sampling import domain_quota
+
+    return domain_quota(_docs(spark, sf_dir), max_per_group=QUOTA_MAX)
+
+
 #: shard_by_tokens group count for the contract query — pinned (the
 #: operator default auto-sizes from defaultParallelism, which the
 #: static DuckDB oracle text cannot see)
@@ -2452,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
+        "corpus_quota": q_corpus_quota,
         "corpus_shards": q_corpus_shards,
         "corpus_filter": q_corpus_filter,
         "text_repetition": q_text_repetition,
@@ -2741,6 +2758,7 @@ sessions AS (
         SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
     )
     out["corpus_filter"] = ot.corpus_filter_sql()
+    out["corpus_quota"] = ot.domain_quota_sql(max_per_group=QUOTA_MAX)
     out["corpus_shards"] = ot.shard_by_tokens_sql(n_groups=SHARD_GROUPS)
     out["gc_stream_dedup"] = ot.stream_dedup_sql()
     out["text_repetition"] = ot.repetition_stats_sql()

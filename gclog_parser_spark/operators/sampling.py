@@ -139,3 +139,55 @@ def stratified_sample(
         else F.lit(int(round(default_rate * BUCKETS)))
     )
     return docs.where(b < thr)
+
+
+def domain_quota(
+    docs: DataFrame,
+    max_per_group: int,
+    group_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Cap rows per group — the C4/web-corpus 'at most N pages per
+    host' balance rule.  Which N survive is the content-keyed
+    pseudo-random choice used everywhere in this module (lowest
+    ``hash_bucket`` wins, ``key`` breaks bucket collisions): the kept
+    set is a pure function of the group's membership — independent of
+    arrival order, partitioning, retries, and cluster size.
+
+    Scale shape — the zipf-aware two-path plan: one tiny
+    partial-aggregated count per group finds the over-quota groups
+    (the head of the host distribution — broadcastable by
+    construction, it's the set a curator audits by hand); the long
+    tail of under-quota groups passes through with a broadcast
+    anti-join, NO sort at all; only over-quota rows take the
+    per-group rank window — and Catalyst pushes the rank limit down
+    as ``WindowGroupLimit`` (plan-pinned), so each map task ships at
+    most N rows per hot group into the rank exchange.  A naive global
+    row_number would instead sort every group's full row set.
+
+    Returns the kept rows as (key, group, bucket).
+    """
+    b = hash_bucket(F.col(key), salt)
+    base = docs.select(
+        F.col(key).alias(key),
+        F.col(group_col).alias(group_col),
+        b.alias("bucket"),
+    )
+    over = F.broadcast(
+        base.groupBy(group_col)
+        .agg(F.count("*").alias("n_in_group"))
+        .where(F.col("n_in_group") > max_per_group)
+        .select(group_col)
+    )
+    under_rows = base.join(over, group_col, "left_anti")
+    w = Window.partitionBy(group_col).orderBy("bucket", key)
+    over_rows = (
+        base.join(over, group_col, "left_semi")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_per_group)
+        .drop("rn")
+    )
+    return under_rows.unionByName(over_rows).select(
+        key, group_col, "bucket"
+    )

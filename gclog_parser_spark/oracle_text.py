@@ -1113,3 +1113,24 @@ FROM w, tot
 GROUP BY word
 HAVING count(*) * {k} > max(n)
 ORDER BY cnt DESC, word ASC"""
+
+
+def domain_quota_sql(
+    max_per_group: int = 20,
+    group_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "quota",
+) -> str:
+    """Oracle for sampling.domain_quota: one unbounded rank window
+    over every group (the plan the zipf-aware two-path Spark operator
+    avoids) filtered to the same lowest-bucket keep rule."""
+    b = _bucket_sql(key, salt)
+    return f"""WITH b AS (
+  SELECT {key}, {group_col}, {b} AS bucket FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY {group_col}
+    ORDER BY bucket, {key}) AS rn
+  FROM b
+)
+SELECT {key}, {group_col}, bucket FROM r WHERE rn <= {max_per_group}"""

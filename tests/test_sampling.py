@@ -214,3 +214,52 @@ def test_shard_groups_default_to_parallelism(spark):
     out = shard_by_tokens(docs)
     n = out.select("shard_group").distinct().count()
     assert n == min(dp, 4000) == dp
+
+
+def test_domain_quota_two_path_keep_rule(spark):
+    from gclog_parser_spark.operators.sampling import (
+        domain_quota,
+        hash_bucket,
+    )
+
+    rows = [(f"a{i}", "small") for i in range(5)] + [
+        (f"b{i}", "big") for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, source string"
+    ).repartition(6)
+    out = domain_quota(docs, max_per_group=10).collect()
+    small = sorted(r["doc_id"] for r in out if r["source"] == "small")
+    big = {r["doc_id"] for r in out if r["source"] == "big"}
+    # under-quota group passes through whole
+    assert small == [f"a{i}" for i in range(5)]
+    # over-quota group keeps exactly the 10 lowest buckets
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", hash_bucket(F.col("doc_id"), "quota").alias("b")
+        ).collect()
+        if r["doc_id"].startswith("b")
+    }
+    expected = set(sorted(buckets, key=lambda d: (buckets[d], d))[:10])
+    assert big == expected
+
+
+def test_domain_quota_skips_window_when_no_group_over(spark):
+    from gclog_parser_spark.operators.sampling import domain_quota
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"s{i % 4}") for i in range(12)],
+        "doc_id string, source string",
+    )
+    q = domain_quota(docs, max_per_group=10)
+    assert q.count() == 12
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE Window exec (the over-quota branch; the pass-through
+    # branch is a plain broadcast anti-join)...
+    assert plan.count("Window [row_number()") == 1
+    # ...and Spark pushes the rank limit down as a partial-per-map-task
+    # top-N (WindowGroupLimit), so even a 10^9-row hot host ships at
+    # most N rows per map task into the rank exchange
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
