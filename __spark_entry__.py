@@ -1348,6 +1348,17 @@ def q_corpus_split(spark, sf_dir):
     )
 
 
+def q_corpus_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: every member of a MinHash
+    near-dup cluster hashes on the shared cluster_id, so duplicated
+    pages can never straddle train and test — the memorization-proof
+    split protocol; oracle re-derives the clusters with a recursive
+    CTE and applies the same bucket thresholds."""
+    from gclog_parser_spark.operators.sampling import leakage_safe_split
+
+    return leakage_safe_split(_docs(spark, sf_dir))
+
+
 def q_corpus_sample(spark, sf_dir):
     from gclog_parser_spark.operators.sampling import stratified_sample
 
@@ -2469,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
         "corpus_quota": q_corpus_quota,
+        "corpus_leakage_split": q_corpus_leakage_split,
         "corpus_shards": q_corpus_shards,
         "corpus_filter": q_corpus_filter,
         "text_repetition": q_text_repetition,
@@ -2759,6 +2771,7 @@ sessions AS (
     )
     out["corpus_filter"] = ot.corpus_filter_sql()
     out["corpus_quota"] = ot.domain_quota_sql(max_per_group=QUOTA_MAX)
+    out["corpus_leakage_split"] = ot.leakage_split_sql()
     out["corpus_shards"] = ot.shard_by_tokens_sql(n_groups=SHARD_GROUPS)
     out["gc_stream_dedup"] = ot.stream_dedup_sql()
     out["text_repetition"] = ot.repetition_stats_sql()

@@ -191,3 +191,28 @@ def domain_quota(
     return under_rows.unionByName(over_rows).select(
         key, group_col, "bucket"
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test split keyed on the near-dup CLUSTER rather than
+    the document — the leakage-safe protocol: a plain per-doc split
+    puts one copy of a near-duplicated page in train and another in
+    test, and the eval silently measures memorization.  Here every
+    member of a MinHash-LSH connected component (dedup_clusters)
+    hashes on its shared cluster_id, so near-duplicates move between
+    splits as a unit by construction.
+
+    Cost on top of the plain split is the clustering itself (LSH
+    pairs + O(log n) CC rounds — the pipeline usually already ran it
+    for dedup); the split assignment stays a scan-side projection of
+    the cluster relation.  Returns (doc_id, cluster_id, split)."""
+    from gclog_parser_spark.operators.dedup import dedup_clusters
+
+    cl = dedup_clusters(docs).select("doc_id", "cluster_id")
+    return hash_split(cl, weights, key="cluster_id", salt=salt).select(
+        "doc_id", "cluster_id", "split"
+    )

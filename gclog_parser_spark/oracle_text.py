@@ -1134,3 +1134,32 @@ r AS (
   FROM b
 )
 SELECT {key}, {group_col}, bucket FROM r WHERE rn <= {max_per_group}"""
+
+
+def _split_case(weights=None) -> str:
+    """The shared bucket→split-name CASE used by hash_split_sql and
+    leakage_split_sql (same thresholds as sampling.hash_split)."""
+    from gclog_parser_spark.operators.sampling import BUCKETS
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    names = list(weights)
+    cum = 0.0
+    cases = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cases.append(f"WHEN b < {int(round(cum * BUCKETS))} THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def leakage_split_sql(weights=None, salt: str = "split") -> str:
+    """Oracle for sampling.leakage_safe_split: the recursive-CTE
+    transitive-closure clusters (independent of the Spark side's
+    alternating-star CC) bucketed on cluster_id with the same split
+    thresholds as hash_split."""
+    return f"""WITH b AS (
+  SELECT doc_id, cluster_id,
+    {_bucket_sql("cluster_id", salt)} AS b
+  FROM ({dedup_clusters_sql()})
+)
+SELECT doc_id, cluster_id, {_split_case(weights)} AS split FROM b"""

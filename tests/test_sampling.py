@@ -263,3 +263,40 @@ def test_domain_quota_skips_window_when_no_group_over(spark):
     # most N rows per map task into the rank exchange
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark):
+    from gclog_parser_spark.operators.sampling import leakage_safe_split
+
+    # four exact-duplicate families (each clusters under MinHash) plus
+    # singletons; no family may straddle splits
+    fams = {
+        f"fam{f}": " ".join(f"word{f} tok{i}" for i in range(30))
+        for f in range(4)
+    }
+    rows = []
+    did = 0
+    for f, text in fams.items():
+        for _ in range(3):
+            rows.append((did, text, f))
+            did += 1
+    for i in range(20):
+        text = " ".join(f"s{i}w{j}" for j in range(30))
+        rows.append((did, text, "solo"))
+        did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = leakage_safe_split(docs).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # the duplicate families really did cluster (3 members each)
+    sizes = sorted(
+        sum(1 for r in out if r["cluster_id"] == c)
+        for c in by_cluster
+        if sum(1 for r in out if r["cluster_id"] == c) > 1
+    )
+    assert sizes == [3, 3, 3, 3]
+    assert len(out) == did
