@@ -1673,6 +1673,15 @@ def q_ann_recall(spark, sf_dir):
     return out
 
 
+def q_emb_label_stats(spark, sf_dir):
+    """Per-label centroid norm / mean member norm / cohesion
+    (resultant length) — the embedding-drift monitor; every cross-row
+    sum is integer ticks so both engines aggregate exactly."""
+    from gclog_parser_spark.operators.similarity import label_centroids
+
+    return label_centroids(_embs(spark, sf_dir))
+
+
 def q_rel_kmv_merge(spark, sf_dir):
     """Sketch mergeability, value-proven: events split into two halves,
     each half sketched independently (the per-shard partial state a
@@ -2601,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_stream_source_counts": q_gc_stream_source_counts,
         "snap_diff": q_snap_diff,
         "ann_recall": q_ann_recall,
+        "emb_label_stats": q_emb_label_stats,
     }
 
 
@@ -2811,6 +2821,7 @@ sessions AS (
     out["web_blocklist"] = ot.url_blocklist_sql(BLOCK_RULES)
     out["dedup_simhash_pairs"] = ot.simhash_pairs_sql()
     out["ann_recall"] = ot.ann_recall_sql(RECALL_QUERY_IDS, k=RECALL_K)
+    out["emb_label_stats"] = ot.label_centroids_sql()
     # the SAME SQL GC parser, pointed at the raw files via read_text —
     # verifies the streaming source's transport AND the parse together
     out["gc_stream_source_counts"] = oracle.gcline_prefix(

@@ -705,3 +705,89 @@ def ann_recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+#: integer-tick resolution for cross-row centroid sums (exact in both
+#: engines — no float accumulation order to disagree on)
+CENTROID_TICKS = 1 << 24
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label embedding centroid statistics — the drift/cohesion
+    monitor a serving pipeline runs after every re-embed: ``n_vecs``,
+    the centroid's norm, the mean member norm, and ``cohesion`` =
+    centroid_norm / mean_norm (the resultant length — 1.0 when all
+    members point the same way, →0 as the label's vectors scatter).
+
+    Determinism discipline: every CROSS-ROW sum is integer —
+    components quantize to ``CENTROID_TICKS`` ticks and norms to 1e-6
+    ticks (the PageRank integer-tick trick), so the per-(label,pos)
+    and per-label aggregates are exact BIGINTs in both engines and no
+    float accumulation order can disagree.  The only float folds are
+    WITHIN one ordered array (centroid components ordered by pos —
+    the same sequential-fold-vs-list_aggregate precedent as the
+    cosine scorers) and they round to 6 dp.
+
+    Scale shape: posexplode scan-side, ONE (label,pos)
+    partial-aggregated exchange (∝ labels×dims rows — tiny), one
+    label-key norm rollup, broadcast-joined; never a per-pair or
+    per-vector-squared term.  Returns (label, n_vecs, centroid_norm,
+    mean_norm, cohesion)."""
+    t = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("x").cast("double") * CENTROID_TICKS)
+        .cast("long")
+        .alias("tk"),
+    )
+    per = t.groupBy("label", "pos").agg(F.sum("tk").alias("s"))
+    comp = F.transform(
+        F.col("a"),
+        lambda st: st["s"]
+        / F.col("n_vecs")
+        / F.lit(float(CENTROID_TICKS)),
+    )
+    cent = (
+        per.join(
+            F.broadcast(
+                emb.groupBy("label").agg(
+                    F.count("*").alias("n_vecs"),
+                    F.sum(
+                        F.round(
+                            _norm(F.col("embedding")) * 1e6
+                        ).cast("long")
+                    ).alias("norm_ticks"),
+                )
+            ),
+            "label",
+        )
+        .groupBy("label", "n_vecs", "norm_ticks")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("a"))
+        .withColumn(
+            "centroid_norm",
+            F.sqrt(
+                F.aggregate(
+                    comp, F.lit(0.0), lambda acc, v: acc + v * v
+                )
+            ),
+        )
+        .withColumn(
+            "mean_norm",
+            F.col("norm_ticks") / F.col("n_vecs") / F.lit(1e6),
+        )
+    )
+    return cent.select(
+        "label",
+        "n_vecs",
+        F.round("centroid_norm", 6).alias("centroid_norm"),
+        F.round("mean_norm", 6).alias("mean_norm"),
+        F.round(
+            F.when(
+                F.col("mean_norm") != 0,
+                F.col("centroid_norm") / F.col("mean_norm"),
+            ),
+            6,
+        ).alias("cohesion"),
+    ).orderBy("label")

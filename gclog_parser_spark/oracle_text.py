@@ -1163,3 +1163,47 @@ def leakage_split_sql(weights=None, salt: str = "split") -> str:
   FROM ({dedup_clusters_sql()})
 )
 SELECT doc_id, cluster_id, {_split_case(weights)} AS split FROM b"""
+
+
+def label_centroids_sql() -> str:
+    """Oracle for similarity.label_centroids — the same integer-tick
+    centroid/cohesion statistics re-derived with DuckDB's
+    unnest+generate_subscripts and ordered-list folds."""
+    from gclog_parser_spark.operators.similarity import CENTROID_TICKS
+
+    tk = CENTROID_TICKS
+    return f"""WITH t AS (
+  SELECT label,
+    generate_subscripts(embedding, 1) - 1 AS pos,
+    CAST(round(unnest(embedding)::DOUBLE * {tk}) AS BIGINT) AS tk
+  FROM embeddings
+),
+per AS (
+  SELECT label, pos, CAST(sum(tk) AS BIGINT) AS s FROM t GROUP BY 1, 2
+),
+nv AS (
+  SELECT label, count(*) AS n_vecs,
+    CAST(sum(CAST(round(sqrt(list_dot_product(
+      embedding::DOUBLE[], embedding::DOUBLE[])) * 1000000)
+      AS BIGINT)) AS BIGINT) AS norm_ticks
+  FROM embeddings GROUP BY 1
+),
+arr AS (
+  SELECT p.label, n.n_vecs, n.norm_ticks, list(s ORDER BY pos) AS sl
+  FROM per p JOIN nv n USING (label)
+  GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT label, n_vecs, norm_ticks,
+    sqrt(list_aggregate(list_transform(sl,
+      s -> (s / n_vecs / {tk}.0) * (s / n_vecs / {tk}.0)),
+      'sum')) AS centroid_norm,
+    norm_ticks / n_vecs / 1000000.0 AS mean_norm
+  FROM arr
+)
+SELECT label, n_vecs,
+  round(centroid_norm, 6) AS centroid_norm,
+  round(mean_norm, 6) AS mean_norm,
+  CASE WHEN mean_norm <> 0
+    THEN round(centroid_norm / mean_norm, 6) END AS cohesion
+FROM m"""
