@@ -1348,6 +1348,16 @@ def q_corpus_split(spark, sf_dir):
     )
 
 
+def q_corpus_contamination(spark, sf_dir):
+    """Cross-split 5-gram contamination per test doc after the
+    standard hash split — the eval-hygiene audit; train side is ~90 %
+    of the corpus so the shared-gram check is a relational equi-join,
+    never a broadcast."""
+    from gclog_parser_spark.operators.textstats import split_contamination
+
+    return split_contamination(_docs(spark, sf_dir))
+
+
 def q_corpus_leakage_split(spark, sf_dir):
     """Leakage-safe train/val/test split: every member of a MinHash
     near-dup cluster hashes on the shared cluster_id, so duplicated
@@ -2490,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "corpus_quota": q_corpus_quota,
         "corpus_leakage_split": q_corpus_leakage_split,
+        "corpus_contamination": q_corpus_contamination,
         "corpus_shards": q_corpus_shards,
         "corpus_filter": q_corpus_filter,
         "text_repetition": q_text_repetition,
@@ -2782,6 +2793,7 @@ sessions AS (
     out["corpus_filter"] = ot.corpus_filter_sql()
     out["corpus_quota"] = ot.domain_quota_sql(max_per_group=QUOTA_MAX)
     out["corpus_leakage_split"] = ot.leakage_split_sql()
+    out["corpus_contamination"] = ot.split_contamination_sql()
     out["corpus_shards"] = ot.shard_by_tokens_sql(n_groups=SHARD_GROUPS)
     out["gc_stream_dedup"] = ot.stream_dedup_sql()
     out["text_repetition"] = ot.repetition_stats_sql()

@@ -730,3 +730,68 @@ def normalize_text(docs: DataFrame) -> DataFrame:
         (cleaned != F.col("text")).alias("changed"),
         F.md5(cleaned).alias("norm_hash"),
     )
+
+
+def split_contamination(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    k: int = 5,
+    train_split: str = "train",
+    eval_split: str = "test",
+    salt: str = "split",
+) -> DataFrame:
+    """Cross-split contamination audit: after a train/eval split, what
+    fraction of each EVAL document's distinct word ``k``-grams also
+    appears anywhere in train?  The post-split hygiene check that
+    catches what per-doc dedup missed (an eval doc quoting a train doc
+    scores as memorization, not generalization).
+
+    Unlike ``ngram_decontaminate`` — where the benchmark side is tiny
+    and broadcasts — the train side here is ~90 % of the corpus, so
+    the shared-gram check is a relational equi-join on the gram key:
+    train grams dedup in one partial-aggregated exchange, eval
+    postings equi-join on gram (shuffle ∝ distinct postings, the
+    sides co-partition), then a per-doc rollup.  Nothing broadcasts,
+    nothing is quadratic.
+
+    Returns one row per eval doc, including gram-less ones:
+    (doc_id, n_grams, n_shared, contamination)."""
+    from gclog_parser_spark.operators.sampling import hash_split
+
+    s = hash_split(docs, weights, salt=salt)
+    grams = s.select(
+        "doc_id", "split", _words(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(_shingle_expr(F.col("w"), k))
+        ).alias("gram"),
+    )
+    train_g = (
+        grams.where(F.col("split") == train_split)
+        .select("gram")
+        .distinct()
+    )
+    ev = grams.where(F.col("split") == eval_split)
+    tot = ev.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    shd = (
+        ev.join(train_g, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    base = s.where(F.col("split") == eval_split).select("doc_id")
+    n_grams = F.coalesce("n_grams", F.lit(0)).cast("long")
+    n_shared = F.coalesce("n_shared", F.lit(0)).cast("long")
+    return (
+        base.join(tot, "doc_id", "left")
+        .join(shd, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_shared.alias("n_shared"),
+            F.round(
+                n_shared / F.greatest(n_grams, F.lit(1)), 6
+            ).alias("contamination"),
+        )
+    )

@@ -1207,3 +1207,48 @@ SELECT label, n_vecs,
   CASE WHEN mean_norm <> 0
     THEN round(centroid_norm / mean_norm, 6) END AS cohesion
 FROM m"""
+
+
+def split_contamination_sql(
+    k: int = 5,
+    weights=None,
+    train_split: str = "train",
+    eval_split: str = "test",
+    salt: str = "split",
+) -> str:
+    """Oracle for textstats.split_contamination — same split
+    thresholds, DuckDB list shingles, direct inner-join shared-gram
+    count."""
+    return f"""WITH b AS (
+  SELECT doc_id, text, {_bucket_sql("doc_id", salt)} AS b
+  FROM documents
+),
+s AS (SELECT doc_id, text, {_split_case(weights)} AS split FROM b),
+w AS (
+  SELECT doc_id, split,
+    string_split_regex(trim(text), '\\s+') AS w
+  FROM s
+),
+g AS (
+  SELECT doc_id, split,
+    unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - {k - 1}, 0)),
+      i -> array_to_string(list_slice(w, i, i + {k - 1}), ' ')
+    ))) AS gram
+  FROM w
+),
+tr AS (SELECT DISTINCT gram FROM g WHERE split = '{train_split}'),
+te AS (SELECT doc_id, gram FROM g WHERE split = '{eval_split}'),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM te GROUP BY 1),
+shd AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM te JOIN tr USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(shd.n_shared, 0) AS BIGINT) AS n_shared,
+  round(coalesce(shd.n_shared, 0)
+        / greatest(coalesce(tot.n_grams, 0), 1), 6) AS contamination
+FROM (SELECT doc_id FROM s WHERE split = '{eval_split}') d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN shd USING (doc_id)"""
