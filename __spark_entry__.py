@@ -1348,6 +1348,19 @@ def q_corpus_split(spark, sf_dir):
     )
 
 
+def q_corpus_weighted_sample(spark, sf_dir):
+    """Quality-weighted resampling: each doc kept with probability
+    equal to its quality score — the soft alternative to a hard
+    quality cutoff; content-keyed hash draw, zero exchanges."""
+    from gclog_parser_spark.operators.sampling import weighted_sample
+    from gclog_parser_spark.operators.textstats import quality_stats
+
+    q = quality_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "quality_score"
+    )
+    return weighted_sample(q, "quality_score")
+
+
 def q_corpus_contamination(spark, sf_dir):
     """Cross-split 5-gram contamination per test doc after the
     standard hash split — the eval-hygiene audit; train side is ~90 %
@@ -2501,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quota": q_corpus_quota,
         "corpus_leakage_split": q_corpus_leakage_split,
         "corpus_contamination": q_corpus_contamination,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
         "corpus_shards": q_corpus_shards,
         "corpus_filter": q_corpus_filter,
         "text_repetition": q_text_repetition,
@@ -2794,6 +2808,7 @@ sessions AS (
     out["corpus_quota"] = ot.domain_quota_sql(max_per_group=QUOTA_MAX)
     out["corpus_leakage_split"] = ot.leakage_split_sql()
     out["corpus_contamination"] = ot.split_contamination_sql()
+    out["corpus_weighted_sample"] = ot.weighted_sample_sql()
     out["corpus_shards"] = ot.shard_by_tokens_sql(n_groups=SHARD_GROUPS)
     out["gc_stream_dedup"] = ot.stream_dedup_sql()
     out["text_repetition"] = ot.repetition_stats_sql()

@@ -216,3 +216,28 @@ def leakage_safe_split(
     return hash_split(cl, weights, key="cluster_id", salt=salt).select(
         "doc_id", "cluster_id", "split"
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col,
+    key: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Keep each row with probability equal to its own ``weight_col``
+    (clamped to [0,1]) — per-row importance resampling, e.g. keep
+    probability ∝ quality score so the corpus tilts toward high
+    quality without a hard cutoff's cliff.  Same discipline as every
+    sampler here: the draw is the content-keyed hash bucket, not
+    ``rand()`` — a doc's fate is a pure function of (salt, key,
+    weight), reproducible under retry/preemption/re-run and across
+    cluster sizes — and the whole operator is a codegen'd scan filter
+    (zero exchanges).  Rates are exact to 1/BUCKETS (1e-6): the keep
+    rule is ``bucket < round(clamp(w)·BUCKETS)``, integer comparison
+    in both engines."""
+    b = hash_bucket(F.col(key), salt)
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    return docs.where(b < F.round(w * BUCKETS).cast("long"))

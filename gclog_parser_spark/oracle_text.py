@@ -1252,3 +1252,21 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM s WHERE split = '{eval_split}') d
 LEFT JOIN tot USING (doc_id)
 LEFT JOIN shd USING (doc_id)"""
+
+
+def weighted_sample_sql(
+    weight_expr: str = "quality_score",
+    key: str = "doc_id",
+    salt: str = "wsample",
+) -> str:
+    """Oracle for sampling.weighted_sample with the quality score as
+    the keep probability — same clamp, same integer bucket rule."""
+    from gclog_parser_spark.operators.sampling import BUCKETS
+
+    thr = (
+        f"CAST(round(least(greatest({weight_expr}, 0.0), 1.0)"
+        f" * {BUCKETS}) AS BIGINT)"
+    )
+    return f"""WITH q AS ({text_quality_sql()})
+SELECT doc_id, quality_score FROM q
+WHERE {_bucket_sql(key, salt)} < {thr}"""

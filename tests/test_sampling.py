@@ -300,3 +300,29 @@ def test_leakage_safe_split_keeps_neardups_together(spark):
     )
     assert sizes == [3, 3, 3, 3]
     assert len(out) == did
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    from gclog_parser_spark.operators.sampling import weighted_sample
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        # weights 0.0 / 0.5 / 1.0 / out-of-range 1.7 (clamps to 1)
+        F.when(F.col("id") % 4 == 0, 0.0)
+        .when(F.col("id") % 4 == 1, 0.5)
+        .when(F.col("id") % 4 == 2, 1.0)
+        .otherwise(1.7)
+        .alias("w"),
+    )
+    out = weighted_sample(docs, "w")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {r["doc_id"] for r in out.collect()}  # deterministic
+    by_w = {0: 0, 1: 0, 2: 0, 3: 0}
+    for d in kept:
+        by_w[d % 4] += 1
+    assert by_w[0] == 0            # p=0 keeps nothing
+    assert by_w[2] == 1000         # p=1 keeps everything
+    assert by_w[3] == 1000         # clamped to 1
+    assert abs(by_w[1] / 1000 - 0.5) < 0.06
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan-side filter
