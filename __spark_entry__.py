@@ -1817,6 +1817,21 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 BLOCK_RULES = ["src3.com", "src1.org", "cdn.src7.org", "src15.com"]
 
 
+def q_web_canonical_urls(spark, sf_dir):
+    """URL canonicalization over a deterministically messy corpus
+    (case noise, default ports, fragments, tracking params, unsorted
+    query, trailing slashes) — the URL-dedup key derivation; pure
+    codegen regexp/array expressions, zero shuffle."""
+    from gclog_parser_spark.operators.webstats import (
+        canonicalize_url,
+        synth_messy_urls,
+    )
+
+    return canonicalize_url(
+        synth_messy_urls(_docs(spark, sf_dir))
+    ).select("doc_id", "url", "canon_url")
+
+
 def q_web_blocklist(spark, sf_dir):
     """Domain-blocklist filter with subdomain (label-boundary) matching
     over the synthesized URL corpus.  Spark explodes each host into its
@@ -2628,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "rel_lateral_topk": q_rel_lateral_topk,
         "web_blocklist": q_web_blocklist,
+        "web_canonical_urls": q_web_canonical_urls,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "rel_table_diff": q_rel_table_diff,
         "gc_source_lines": q_gc_source_lines,
@@ -2846,6 +2862,7 @@ sessions AS (
     )
     out["rel_lateral_topk"] = LATERAL_TOPK_SQL
     out["web_blocklist"] = ot.url_blocklist_sql(BLOCK_RULES)
+    out["web_canonical_urls"] = ot.canonical_urls_sql()
     out["dedup_simhash_pairs"] = ot.simhash_pairs_sql()
     out["ann_recall"] = ot.ann_recall_sql(RECALL_QUERY_IDS, k=RECALL_K)
     out["emb_label_stats"] = ot.label_centroids_sql()

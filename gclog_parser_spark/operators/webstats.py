@@ -156,3 +156,108 @@ def url_blocklist_filter(
         with_host.join(hits, id_col, "left")
         .withColumn("blocked", F.col("matched_rule").isNotNull())
     )
+
+
+def synth_messy_urls(docs: DataFrame) -> DataFrame:
+    """Messy variants of the ``synth_urls`` recipe — uppercase
+    scheme/host, explicit default ports, fragments, tracking params,
+    unsorted query order, trailing slashes — every choice a pure
+    function of doc_id so the DuckDB oracle rebuilds the identical
+    strings.  The canonicalization test corpus."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 7 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    hostbase = F.concat(
+        F.when(d % 3 == 0, F.lit("WWW."))
+        .when(d % 5 == 0, F.lit("cdn."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.when(d % 2 == 0, F.lit(".com")).otherwise(F.lit(".org")),
+    )
+    host = F.when(d % 9 == 0, F.upper(hostbase)).otherwise(hostbase)
+    port = (
+        F.when(d % 11 == 0, F.lit(":8080"))
+        .when(
+            d % 13 == 0,
+            F.when(d % 7 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/p"),
+        (d % 100).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                d.cast("string"),
+                F.lit("&ref=rss"),
+            ),
+        )
+        .when(d % 10 == 0, F.lit("?b=2&a=1&gclid=xyz"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(
+        d % 5 == 0, F.concat(F.lit("#sec"), (d % 3).cast("string"))
+    ).otherwise(F.lit(""))
+    return docs.withColumn(
+        "url",
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag),
+    )
+
+
+#: query params dropped by canonicalize_url (pure tracking noise)
+TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid)="
+
+
+def canonicalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization — the dedup key every web pipeline derives
+    before URL-level dedup/frontier checks: lowercase scheme+host,
+    strip the scheme's default port, drop the fragment, drop tracking
+    params (``TRACKING_RE``), sort surviving query params, collapse
+    trailing slashes (bare authority → '/').  Idempotent
+    (canon(canon(u)) == canon(u), pinned) and entirely codegen
+    regexp/array expressions — scan-side, zero shuffle, no Python.
+
+    Adds ``canon_url``."""
+    u = F.col(url_col)
+    no_frag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    auth_raw = F.lower(
+        F.regexp_extract(no_frag, r"^[^:]+://([^/?#]*)", 1)
+    )
+    auth = (
+        F.when(
+            scheme == "http", F.regexp_replace(auth_raw, ":80$", "")
+        )
+        .when(
+            scheme == "https", F.regexp_replace(auth_raw, ":443$", "")
+        )
+        .otherwise(auth_raw)
+    )
+    path_raw = F.regexp_replace(
+        F.regexp_extract(no_frag, r"^[^:]+://[^/?#]*([^?#]*)", 1),
+        "/+$",
+        "",
+    )
+    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    q = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_RE),
+    )
+    qs = F.when(
+        F.size(params) > 0,
+        F.concat(
+            F.lit("?"), F.array_join(F.array_sort(params), "&")
+        ),
+    ).otherwise(F.lit(""))
+    return df.withColumn(
+        "canon_url", F.concat(scheme, F.lit("://"), auth, path, qs)
+    )

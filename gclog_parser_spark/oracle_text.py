@@ -1270,3 +1270,72 @@ def weighted_sample_sql(
     return f"""WITH q AS ({text_quality_sql()})
 SELECT doc_id, quality_score FROM q
 WHERE {_bucket_sql(key, salt)} < {thr}"""
+
+
+_SYNTH_MESSY_URL = """
+  (CASE WHEN doc_id % 7 = 0 THEN 'HTTP' ELSE 'https' END || '://'
+   || CASE WHEN doc_id % 9 = 0 THEN upper(
+        CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+             WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+        || source
+        || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END)
+      ELSE
+        CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+             WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+        || source
+        || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+      END
+   || CASE WHEN doc_id % 11 = 0 THEN ':8080'
+           WHEN doc_id % 13 = 0 THEN
+             CASE WHEN doc_id % 7 = 0 THEN ':80' ELSE ':443' END
+           ELSE '' END
+   || '/' || lang || '/p' || CAST(doc_id % 100 AS VARCHAR)
+   || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+   || CASE WHEN doc_id % 6 = 0
+           THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                || '&ref=rss'
+           WHEN doc_id % 10 = 0 THEN '?b=2&a=1&gclid=xyz'
+           ELSE '' END
+   || CASE WHEN doc_id % 5 = 0
+           THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+"""
+
+
+def canonical_urls_sql() -> str:
+    """Oracle for webstats.canonicalize_url over the identically
+    messy-synthesized corpus — the same canonical rules re-derived
+    with DuckDB regexps and list functions."""
+    from gclog_parser_spark.operators.webstats import TRACKING_RE
+
+    track = TRACKING_RE.replace("'", "''")
+    return f"""WITH u AS (
+  SELECT doc_id, {_SYNTH_MESSY_URL} AS url FROM documents
+),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+      '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+      '^[^:]+://([^/?#]*)', 1)) AS auth_raw,
+    regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''),
+      '^[^:]+://[^/?#]*([^?#]*)', 1), '/+$', '') AS path_raw,
+    regexp_extract(regexp_replace(url, '#.*$', ''),
+      '\\?([^#]*)', 1) AS q
+  FROM u
+),
+c AS (
+  SELECT doc_id, url, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(auth_raw, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(auth_raw, ':443$', '')
+         ELSE auth_raw END AS auth,
+    CASE WHEN path_raw = '' THEN '/' ELSE path_raw END AS path,
+    list_sort(list_filter(string_split(q, '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '{track}'))) AS params
+  FROM p
+)
+SELECT doc_id, url,
+  scheme || '://' || auth || path ||
+  CASE WHEN len(params) > 0
+       THEN '?' || array_to_string(params, '&') ELSE '' END
+  AS canon_url
+FROM c"""

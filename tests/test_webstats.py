@@ -119,3 +119,47 @@ def test_blocklist_joins_broadcast_rules(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_canonicalize_url_rules_and_idempotence(spark):
+    from gclog_parser_spark.operators.webstats import canonicalize_url
+
+    cases = [
+        # fragment dropped, host/scheme lowercased, default port gone
+        ("HTTP://WWW.Ex.COM:80/a/b#frag", "http://www.ex.com/a/b"),
+        (":443 stripped only for https",
+         None),  # placeholder replaced below
+        ("https://ex.org:443/x/", "https://ex.org/x"),
+        # non-default port survives; tracking params dropped;
+        # remaining params sorted
+        ("https://ex.org:8080/p?utm_source=a&b=2&a=1&gclid=z#x",
+         "https://ex.org:8080/p?a=1&b=2"),
+        # bare authority → '/'; empty query after filtering → none
+        ("https://Ex.org?utm_campaign=c", "https://ex.org/"),
+        # :443 NOT stripped under http
+        ("http://ex.org:443/p", "http://ex.org:443/p"),
+    ]
+    cases[1] = cases[5]
+    rows = [(i, u) for i, (u, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    got = {
+        r["doc_id"]: r["canon_url"]
+        for r in canonicalize_url(df).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+    # idempotence: canon(canon(u)) == canon(u)
+    canon = spark.createDataFrame(
+        [(i, c) for i, c in got.items()], "doc_id int, url string"
+    )
+    twice = {
+        r["doc_id"]: r["canon_url"]
+        for r in canonicalize_url(canon).collect()
+    }
+    assert twice == got
+    # scan-side: no exchange anywhere
+    plan = (
+        canonicalize_url(df)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan
