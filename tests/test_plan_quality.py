@@ -279,3 +279,41 @@ def test_kmv_no_extra_scan_for_exact(spark, sf_dir):
     df = entry.q_rel_kmv_distinct(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1, plan
+
+
+def test_heavy_hitters_exact_pass_broadcasts_candidates(spark, sf_dir):
+    """The verification pass must semi-join the BROADCAST candidate
+    set (≤ capacity·partitions rows) — never shuffle the corpus
+    against it — and aggregate only candidate items."""
+    import __spark_entry__ as entry
+
+    df = entry.q_text_heavy_hitters(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # corpus side never sorts: no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_contamination_train_side_not_hinted_broadcast(spark, sf_dir):
+    """split_contamination's train-gram relation is ~90 % of the
+    corpus at scale, so the operator must NOT hard-code a broadcast
+    hint (unlike ngram_decontaminate, whose benchmark side is tiny by
+    contract).  At sf0.01 Catalyst rightly broadcasts the small train
+    side on its own; with auto-broadcast disabled the plan must
+    degrade to a shuffled equi-join — proving the choice is the
+    planner's, not the operator's."""
+    import __spark_entry__ as entry
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = entry.q_corpus_contamination(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    semi = [
+        seg for seg in plan.split("\n")
+        if "Join" in seg and "LeftSemi" in seg
+    ]
+    assert semi, plan
+    assert not any("Broadcast" in s for s in semi), semi
