@@ -132,3 +132,45 @@ def test_blocklist_and_parse_empty(spark, empty_docs):
     )
     assert parse_events(pages, stitch="narrow").count() == 0
     assert parse_events(pages, stitch="window").count() == 0
+
+
+def test_round3_session_ops_empty(spark, empty_docs):
+    from gclog_parser_spark.operators.aggregate import heavy_hitters
+    from gclog_parser_spark.operators.sampling import (
+        domain_quota,
+        leakage_safe_split,
+        weighted_sample,
+    )
+    from gclog_parser_spark.operators.textstats import (
+        split_contamination,
+    )
+    from gclog_parser_spark.operators.webstats import (
+        canonicalize_url,
+        synth_messy_urls,
+    )
+
+    words = empty_docs.select(F.col("text").alias("w"))
+    assert heavy_hitters(words, "w", k=5).count() == 0
+    assert domain_quota(empty_docs, max_per_group=3).count() == 0
+    assert leakage_safe_split(empty_docs).count() == 0
+    assert weighted_sample(
+        empty_docs.withColumn("w", F.lit(0.5)), "w"
+    ).count() == 0
+    assert split_contamination(empty_docs).count() == 0
+    assert canonicalize_url(synth_messy_urls(empty_docs)).count() == 0
+
+
+def test_embedding_session_ops_empty(spark):
+    from gclog_parser_spark.operators.similarity import (
+        ann_recall_at_k,
+        label_centroids,
+    )
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, label int, embedding array<double>"
+    )
+    assert label_centroids(empty_emb).count() == 0
+    for m in ("lsh", "int8"):
+        assert ann_recall_at_k(
+            empty_emb, [0, 1], k=5, method=m
+        ).count() == 0
