@@ -515,6 +515,40 @@ def q_rel_shuffle_join(spark, sf_dir):
     )
 
 
+def q_rel_bloom_join(spark, sf_dir):
+    """Runtime Bloom-filter join reduction (operators/bloomjoin.py):
+    the urgent-orders keys are sketched into a fixed 8 KiB bitmap
+    (bounded O(m_bits) driver state, same legitimacy class as the KMV
+    sketch) and the lineitem FACT side is filtered by codegen bit math
+    BELOW its join exchange — the rows a 100 TB cluster never pays to
+    shuffle.  Bloom filters have false positives but never false
+    negatives, so the post-join result is exactly the plain join the
+    DuckDB oracle runs; the ``merge`` hints keep the fact⋈fact
+    SortMergeJoin path a real cluster would take."""
+    from gclog_parser_spark.operators.bloomjoin import bloom_reduce
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lif = bloom_reduce(li, "l_orderkey", orders, "o_orderkey")
+    return (
+        lif.hint("merge")
+        .join(orders.hint("merge"), lif.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("items"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
 def q_rel_asof_join(spark, sf_dir):
     """Backward AS-OF join (pandas merge_asof / kdb aj semantics —
     Spark has no primitive for it): each click joined to the latest
@@ -2581,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_topk_orders": q_rel_topk_orders,
         "rel_join_agg": q_rel_join_agg,
         "rel_shuffle_join": q_rel_shuffle_join,
+        "rel_bloom_join": q_rel_bloom_join,
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
         "rel_sliding_window": q_rel_sliding_window,
@@ -2963,6 +2998,15 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
         "   * 100) AS BIGINT)) AS BIGINT) AS revenue_cents"
         " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         " WHERE l.l_shipdate > o.o_orderdate"
+        " GROUP BY 1"
+    )
+
+    out["rel_bloom_join"] = (
+        "SELECT l.l_returnflag, count(*) AS items,"
+        " CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)"
+        "   * 100) AS BIGINT)) AS BIGINT) AS revenue_cents"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " WHERE o.o_orderpriority = '1-URGENT'"
         " GROUP BY 1"
     )
 
