@@ -2489,6 +2489,21 @@ def _lined_docs(spark, sf_dir):
     )
 
 
+def q_text_span_dedup(spark, sf_dir):
+    """ExactSubstr-style dedup (Lee et al., ACL 2022): corpus-wide
+    duplicated word 5-grams mark the tokens they cover; covered tokens
+    are removed and the survivors re-joined.  The paper's suffix array
+    has no distributed form — the relational plan is k-gram postings →
+    global occurrence count → semi-join → per-doc ROWS-frame coverage
+    window (operators/dedup.py::span_dedup).  The oracle builds its
+    grams by list-slicing over an unnested range — a structurally
+    different construction that must produce byte-identical
+    clean_text."""
+    from gclog_parser_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), k=5)
+
+
 def q_text_line_dedup(spark, sf_dir):
     """C4-style corpus-wide exact line dedup: each distinct line keeps
     only its first (doc_id, pos) occurrence.  Spark plans the keeper as
@@ -2675,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_frame": q_rel_range_frame,
         "emb_clusters": q_emb_clusters,
         "text_line_dedup": q_text_line_dedup,
+        "text_span_dedup": q_text_span_dedup,
         "text_normalize": q_text_normalize,
         "rel_lateral_topk": q_rel_lateral_topk,
         "web_blocklist": q_web_blocklist,
@@ -2882,6 +2898,8 @@ sessions AS (
     out["emb_neardup"] = ot.emb_neardup_sql(threshold=0.4)
     out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)
     # lined view re-derived independently: RE2 \1 backref vs Spark $1
+    out["text_span_dedup"] = ot.span_dedup_sql(k=5)
+
     out["text_line_dedup"] = ot.line_dedup_sql(
         lined=(
             r"SELECT doc_id, regexp_replace(text,"

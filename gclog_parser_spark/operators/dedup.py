@@ -22,7 +22,7 @@ from __future__ import annotations
 import time
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 #: number of minhash functions and LSH band layout
 NUM_HASHES = 8
@@ -565,3 +565,68 @@ def simhash_pairs(
         .distinct()
     )
     return cand
+
+
+def span_dedup(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Exact-substring dedup (the ExactSubstr pass of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022): every word ``k``-gram that occurs more than once in the
+    ENTIRE corpus (cross-doc or within-doc) marks the tokens it covers;
+    covered tokens are removed and the survivors are re-joined with
+    single spaces.  Returns ``(doc_id, clean_text, n_tokens,
+    n_removed)`` for every document.
+
+    The paper builds a corpus-wide suffix array — a data structure with
+    no distributed equivalent.  The relational re-expression: k-gram
+    *postings* (start position + md5 of the space-joined gram), a
+    global occurrence count per gram (duplicated := count > 1), a
+    semi-join back to the start positions, and a per-doc sliding
+    ``max`` window (ROWS k-1 PRECEDING .. CURRENT) that turns "a
+    duplicated gram starts at s" into "token t ∈ [s, s+k-1] is
+    covered" — positions are dense per doc so the ROWS frame IS the
+    position range.
+
+    Scale shape: every relation is ∝ corpus tokens.  One exchange for
+    the gram count (partial map-side — hot grams collapse before the
+    wire), one equi-join start↔duplicated-gram on the fixed-width md5
+    key, then one doc-keyed exchange shared by the coverage window and
+    the ordered reassembly.  No suffix array, no driver state, no
+    Python in the row path.
+    """
+    base = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    tok = base.select(
+        "doc_id", F.posexplode("w").alias("pos", "word")
+    )
+    starts = base.select(
+        "doc_id", F.posexplode(_shingle_expr(F.col("w"), k)).alias("spos", "s")
+    ).select("doc_id", "spos", F.md5("s").alias("sh"))
+    dup = (
+        starts.groupBy("sh")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("sh")
+    )
+    flagged = starts.join(dup, "sh").select(
+        "doc_id", F.col("spos").alias("pos"), F.lit(1).alias("st")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(k - 1), 0)
+    )
+    cov = (
+        tok.join(flagged, ["doc_id", "pos"], "left")
+        .withColumn("st", F.coalesce("st", F.lit(0)))
+        .withColumn("covered", F.max("st").over(win))
+    )
+    kept = F.when(F.col("covered") == 0, F.struct("pos", "word"))
+    return cov.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda x: x["word"]
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_tokens"),
+        F.sum("covered").alias("n_removed"),
+    )

@@ -1339,3 +1339,45 @@ SELECT doc_id, url,
        THEN '?' || array_to_string(params, '&') ELSE '' END
   AS canon_url
 FROM c"""
+
+
+def span_dedup_sql(k: int = 5) -> str:
+    """ExactSubstr span-dedup oracle (twin of
+    ``operators/dedup.py::span_dedup``).  Independent construction:
+    DuckDB builds k-gram starts by unnesting ``range()`` and slicing
+    the words list (Spark uses the shingle HOF), and marks coverage
+    with the same ROWS-frame window both engines must agree on."""
+    return f"""WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+tok AS (
+  SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS word
+  FROM t
+),
+st0 AS (
+  SELECT doc_id, w,
+    unnest(range(1, greatest(len(w) - {k - 1}, 0) + 1)) AS i
+  FROM t
+),
+st AS (
+  SELECT doc_id, i - 1 AS spos,
+    md5(array_to_string(w[i:i + {k - 1}], ' ')) AS sh
+  FROM st0
+),
+dup AS (SELECT sh FROM st GROUP BY sh HAVING count(*) > 1),
+flg AS (SELECT st.doc_id, st.spos, 1 AS s FROM st JOIN dup USING (sh)),
+cov AS (
+  SELECT tok.doc_id, tok.pos, tok.word,
+    max(coalesce(flg.s, 0)) OVER (
+      PARTITION BY tok.doc_id ORDER BY tok.pos
+      ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS covered
+  FROM tok LEFT JOIN flg
+    ON tok.doc_id = flg.doc_id AND tok.pos = flg.spos
+)
+SELECT doc_id,
+  coalesce(
+    string_agg(CASE WHEN covered = 0 THEN word END, ' ' ORDER BY pos),
+    '') AS clean_text,
+  count(*) AS n_tokens,
+  CAST(sum(covered) AS BIGINT) AS n_removed
+FROM cov GROUP BY doc_id"""
