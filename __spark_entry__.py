@@ -1730,6 +1730,20 @@ def q_ann_recall(spark, sf_dir):
     return out
 
 
+def q_emb_rproj(spark, sf_dir):
+    """Signed random projection (JL transform, SRP-LSH front end):
+    proj[j] = Σ_i sign(i,j)·emb[i] with the ±1 matrix a pure md5
+    function of (i, j) — never stored, never shipped.  Components
+    quantize to integer ticks first so every cross-term is exact
+    int64: the Arrow int-matmul path this query runs, the relational
+    broadcast-join path, and the DuckDB oracle all produce identical
+    bits (operators/similarity.py::srp_project; np≡rel pinned in
+    tests/test_srp.py)."""
+    from gclog_parser_spark.operators.similarity import srp_project
+
+    return srp_project(_embs(spark, sf_dir), out_dim=16, path="np")
+
+
 def q_emb_label_stats(spark, sf_dir):
     """Per-label centroid norm / mean member norm / cohesion
     (resultant length) — the embedding-drift monitor; every cross-row
@@ -2703,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_diff": q_snap_diff,
         "ann_recall": q_ann_recall,
         "emb_label_stats": q_emb_label_stats,
+        "emb_rproj": q_emb_rproj,
     }
 
 
@@ -2919,6 +2934,7 @@ sessions AS (
     out["dedup_simhash_pairs"] = ot.simhash_pairs_sql()
     out["ann_recall"] = ot.ann_recall_sql(RECALL_QUERY_IDS, k=RECALL_K)
     out["emb_label_stats"] = ot.label_centroids_sql()
+    out["emb_rproj"] = ot.srp_project_sql(in_dim=64, out_dim=16)
     # the SAME SQL GC parser, pointed at the raw files via read_text —
     # verifies the streaming source's transport AND the parse together
     out["gc_stream_source_counts"] = oracle.gcline_prefix(

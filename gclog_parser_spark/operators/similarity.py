@@ -791,3 +791,109 @@ def label_centroids(emb: DataFrame) -> DataFrame:
             6,
         ).alias("cohesion"),
     ).orderBy("label")
+
+
+#: ticks per unit for the random-projection quantization (1e6 = the
+#: repo-wide 6-dp convention; component sums stay far inside int64)
+SRP_TICKS = 1_000_000
+
+
+def _srp_sign(i: int, j: int) -> int:
+    """±1 from the first md5 hex nibble of ``"i:j"`` — the same string
+    md5 both engines (and CPython's hashlib) expose, so the 'random'
+    matrix is a pure function of (i, j), never shipped, never stored."""
+    import hashlib
+
+    h = hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0]
+    return 1 if h in "02468ace" else -1
+
+
+def srp_sign_df(spark, in_dim: int, out_dim: int) -> DataFrame:
+    """The sign matrix as a (i, j, s) relation — in_dim×out_dim rows
+    (64×16 = 1 024 by default), broadcast-sized by construction."""
+    rows = [
+        (i, j, _srp_sign(i, j))
+        for i in range(in_dim)
+        for j in range(out_dim)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, s int")
+
+
+def srp_project(
+    emb: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = EMB_DIM,
+    path: str = "rel",
+) -> DataFrame:
+    """Signed random projection (Achlioptas/JL): ``proj[j] = Σ_i
+    sign(i,j)·emb[i]`` — the dimensionality-reduction front end of
+    SRP-LSH and the cheapest honest JL transform (the dense Gaussian
+    needs a stored matrix; the sign matrix is a hash).
+
+    Determinism discipline: components quantize to ``SRP_TICKS`` ticks
+    first (F.round = DuckDB round, HALF_UP), then every cross-term is
+    INTEGER — both the relational path and the numpy path compute the
+    exact same int64s, and float accumulation order cannot disagree
+    with the oracle.  Output is long-form ``(vec_id, j, pt)`` —
+    out_dim rows per vector of exact BIGINT projection ticks.
+
+    Two physical paths, bit-identical:
+
+    * ``path='rel'`` — posexplode → broadcast-join the (i,j,s) sign
+      relation → partial-aggregated sum.  One exchange carrying
+      out_dim rows per vector (the 64×out_dim multiply fan-out
+      collapses map-side).
+    * ``path='np'`` — ticks computed JVM-side (same F.round), then one
+      Arrow batch int64 matmul per partition (``mapInPandas``), no
+      join, no explode; the exchange-free scan shape a 100 TB re-embed
+      job wants.  Integer matmul is exact, so 'np' ≡ 'rel' bit-for-bit
+      (pinned in tests), unlike the float cosine scorers where the HOF
+      fold is kept for oracle parity.
+    """
+    ticks = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * SRP_TICKS).cast("long"),
+    )
+    if path == "rel":
+        t = emb.select(
+            "vec_id", F.posexplode(ticks).alias("i", "tick")
+        )
+        sgn = srp_sign_df(emb.sparkSession, in_dim, out_dim)
+        return (
+            t.join(F.broadcast(sgn), "i")
+            .groupBy("vec_id", "j")
+            .agg(F.sum(F.col("s") * F.col("tick")).alias("pt"))
+        )
+    if path != "np":
+        raise ValueError(f"unknown path {path!r}")
+
+    import numpy as np
+
+    S = np.array(
+        [
+            [_srp_sign(i, j) for j in range(out_dim)]
+            for i in range(in_dim)
+        ],
+        dtype=np.int64,
+    )
+
+    def _proj(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["tk"].to_numpy()).astype(np.int64)
+            p = m @ S  # exact: int64 × {±1}
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(out_dim),
+                    "j": np.tile(np.arange(out_dim, dtype=np.int32), n),
+                    "pt": p.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", ticks.alias("tk")).mapInPandas(
+        _proj, "vec_id long, j int, pt long"
+    )

@@ -1381,3 +1381,24 @@ SELECT doc_id,
   count(*) AS n_tokens,
   CAST(sum(covered) AS BIGINT) AS n_removed
 FROM cov GROUP BY doc_id"""
+
+
+def srp_project_sql(in_dim: int = 64, out_dim: int = 16) -> str:
+    """Signed-random-projection oracle (twin of
+    ``operators/similarity.py::srp_project``): the ±1 matrix is the
+    parity of the first md5 hex nibble of ``"i:j"`` — computable in
+    pure SQL — and all cross-terms are integer ticks, so the sums are
+    exact BIGINTs no matter the aggregation order."""
+    return f"""WITH sgn AS (
+  SELECT i, j, CASE WHEN substr(md5(concat(i, ':', j)), 1, 1)
+    IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS s
+  FROM range({in_dim}) t1(i), range({out_dim}) t2(j)
+),
+tk AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+      AS tick
+  FROM embeddings
+)
+SELECT vec_id, j, CAST(sum(s * tick) AS BIGINT) AS pt
+FROM tk JOIN sgn USING (i) GROUP BY vec_id, j"""
