@@ -170,6 +170,9 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
         F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n"),
     )
     t("line_dedup_sf", lambda: line_dedup(lined).count())
+    from gclog_parser_spark.operators.dedup import span_dedup
+
+    t("span_dedup_sf", lambda: span_dedup(docs).count())
     t("token_counts_sf", lambda: token_counts(docs)
         .agg(F.sum("tokens")).collect()[0][0])
     from gclog_parser_spark.operators.temporal import asof_join, range_join
@@ -279,6 +282,35 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     embs_q = spark.read.parquet(quant_path)
     t("ann_int8_np_512d",
       lambda: quantized_scan_topk(embs_q).count())
+
+    # signed random projection over the wide corpus: the Arrow int64
+    # matmul path (exchange-free scan; bit-identical to the relational
+    # oracle path by integer-tick construction)
+    from gclog_parser_spark.operators.similarity import srp_project
+    t("srp_np_512d", lambda: srp_project(
+        embs_wide, out_dim=16, in_dim=512, path="np").count())
+
+    # runtime Bloom-filter join reduction vs the plain merge join on
+    # the same fact⋈filtered-build query — the reduction a 100 TB run
+    # banks as shuffle bytes (probe rows dropped below the exchange)
+    from gclog_parser_spark.operators.bloomjoin import bloom_reduce
+    li_b = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ord_b = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT")
+
+    def _plain_join():
+        return li_b.hint("merge").join(
+            ord_b.hint("merge"),
+            li_b.l_orderkey == ord_b.o_orderkey).count()
+
+    def _bloom_join():
+        lif = bloom_reduce(li_b, "l_orderkey", ord_b, "o_orderkey")
+        return lif.hint("merge").join(
+            ord_b.hint("merge"),
+            lif.l_orderkey == ord_b.o_orderkey).count()
+
+    t("shuffle_join_plain_sf", _plain_join)
+    t("shuffle_join_bloom_sf", _bloom_join)
     extras["emb_fp32_bytes"] = _dir_bytes(wide_path)
     extras["emb_int8_bytes"] = _dir_bytes(quant_path)
 

@@ -883,8 +883,18 @@ def srp_project(
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.stack(pdf["tk"].to_numpy()).astype(np.int64)
-            p = m @ S  # exact: int64 × {±1}
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m *= SRP_TICKS
+            # half-away-from-zero, exactly F.round/DuckDB round(): for
+            # |v| < 2^51 the +0.5 is representable so floor(|v|+0.5)
+            # IS the HALF_UP result (ticks here are ≤ a few 1e6).
+            # Quantizing in numpy (not a 512-element HOF transform
+            # JVM-side) keeps the scan Arrow-speed: the interpreted
+            # per-element path costs ~5× the whole matmul.
+            tk = np.copysign(np.floor(np.abs(m) + 0.5), m).astype(
+                np.int64
+            )
+            p = tk @ S  # exact: int64 × {±1}
             n = len(pdf)
             yield pd.DataFrame(
                 {
@@ -894,6 +904,6 @@ def srp_project(
                 }
             )
 
-    return emb.select("vec_id", ticks.alias("tk")).mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         _proj, "vec_id long, j int, pt long"
     )
