@@ -1779,6 +1779,37 @@ def q_rel_kmv_merge(spark, sf_dir):
     return kmv_estimate(merged, "event_type", k=64)
 
 
+def q_rel_quantile_sketch(spark, sf_dir):
+    """Bottom-k quantile sketch, mergeability value-proven (the fourth
+    member of the sketch family: KMV distinct-count, Misra–Gries heavy
+    hitters, Bloom membership, now quantiles).  Events shard 8 ways by
+    event_id; each shard is sketched independently (the per-shard
+    state a distributed agg tree ships — ≤ k rows per group per
+    shard); sketches merge; p50/p90/p99 are PICKED (never
+    interpolated) from the sorted sample.  The oracle computes the
+    single-level whole-table sketch, so hash-equality IS the proof
+    that merge(sketch(shard_i)) == sketch(∪ shards)."""
+    from gclog_parser_spark.operators.aggregate import (
+        quantile_sketch,
+        quantile_sketch_merge,
+        sketch_quantiles,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    shards = [
+        quantile_sketch(
+            ev.where(F.pmod(F.col("event_id"), F.lit(8)) == i),
+            "event_type",
+            "value",
+            "event_id",
+            k=128,
+        )
+        for i in range(8)
+    ]
+    merged = quantile_sketch_merge(shards, "event_type", k=128)
+    return sketch_quantiles(merged, "event_type")
+
+
 def _fixture_glob(pattern: str = "*.log") -> str:
     import gclog_parser_spark
 
@@ -2701,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_catalog_fanout": q_gc_catalog_fanout,
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_kmv_distinct": q_rel_kmv_distinct,
+        "rel_quantile_sketch": q_rel_quantile_sketch,
         "rel_range_frame": q_rel_range_frame,
         "emb_clusters": q_emb_clusters,
         "text_line_dedup": q_text_line_dedup,
@@ -3537,6 +3569,22 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
         "  ELSE round(63.0 * 4294967296.0 / kth.hk, 6) END"
         "  AS kmv_estimate"
         " FROM g JOIN kth USING (event_type)"
+    )
+    # single-level whole-table bottom-k sketch — equality with the
+    # Spark side's merged 8-shard sketches is the mergeability proof
+    out["rel_quantile_sketch"] = (
+        "WITH h AS (SELECT event_type, value AS v,"
+        " CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) AS h FROM events WHERE value IS NOT NULL),"
+        " r AS (SELECT event_type, v, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY h, v) AS rn FROM h),"
+        " a AS (SELECT event_type, count(*) AS n,"
+        "  list(v ORDER BY v) AS vs FROM r WHERE rn <= 128 GROUP BY 1)"
+        " SELECT event_type, CAST(n AS BIGINT) AS n_sample,"
+        " vs[CAST(floor((n - 1) * 0.5) AS INT) + 1] AS p50,"
+        " vs[CAST(floor((n - 1) * 0.9) AS INT) + 1] AS p90,"
+        " vs[CAST(floor((n - 1) * 0.99) AS INT) + 1] AS p99"
+        " FROM a"
     )
     # mergeability oracle: the WHOLE-table estimate — equality with the
     # Spark side's merged per-half sketches is the mergeability proof

@@ -441,3 +441,87 @@ def heavy_hitters(
         )
         .orderBy(F.desc("cnt"), F.asc("item"))
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Bottom-k quantile sketch STATE: per group, the ``value_col`` of
+    the ``k`` rows whose md5 hash of ``key_col`` is smallest — a
+    deterministic uniform sample (the hash of a unique row key is a
+    uniform draw, but replayable under task retry, unlike ``rand()``),
+    ≤ k rows per group no matter the group's size.
+
+    This completes the repo's sketch family — KMV (distinct count),
+    Misra–Gries (heavy hitters), Bloom (membership) — with the
+    quantile member.  Same mergeability contract as KMV: the bottom-k
+    of a union is found among each side's bottom-k, so per-shard
+    sketches combine losslessly at any tree depth
+    (:func:`quantile_sketch_merge`), which is what lets a 10^12-row
+    quantile run as a two-level aggregation instead of a global sort.
+
+    NULL values are excluded (a NULL is not a sample point).  Ties in
+    ``h`` break by value so both engines rank identically.
+    """
+    from pyspark.sql import Window
+
+    from gclog_parser_spark.operators.dedup import md5_long
+
+    d = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        F.col(value_col).alias("v"),
+        md5_long(F.col(key_col).cast("string")).alias("h"),
+    )
+    w = Window.partitionBy(group_col).orderBy("h", "v")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(group_col, "v", "h")
+    )
+
+
+def quantile_sketch_merge(
+    sketches: list[DataFrame], group_col: str, k: int = 128
+) -> DataFrame:
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly — union
+    the states, keep the bottom-k per group again.  The contract query
+    proves it: the two-level (per-shard sketch → merge) estimate is
+    value-identical to the oracle's single-level sketch."""
+    from pyspark.sql import Window
+
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    w = Window.partitionBy(group_col).orderBy("h", "v")
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(group_col, "v", "h")
+    )
+
+
+def sketch_quantiles(
+    sketch: DataFrame,
+    group_col: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from the sketch: per group, sort the sampled
+    values and PICK the element at ``floor((n-1)·p)`` — a selected
+    value, never an interpolation, so the output is exact and both
+    engines agree bit-for-bit.  Returns (group, n_sample, p50, p90,
+    ...) with one aggregation over ≤ k rows per group."""
+    agg = sketch.groupBy(group_col).agg(
+        F.count("*").alias("n_sample"),
+        F.array_sort(F.collect_list("v")).alias("vs"),
+    )
+    cols = [F.col(group_col), F.col("n_sample")]
+    for p in probs:
+        idx = F.floor((F.col("n_sample") - 1) * F.lit(p)).cast("int") + 1
+        cols.append(
+            F.element_at("vs", idx).alias(f"p{int(p * 100)}")
+        )
+    return agg.select(*cols)

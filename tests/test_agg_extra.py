@@ -244,3 +244,90 @@ def test_heavy_hitters_threshold_is_strict_integer(spark):
     df = spark.createDataFrame(rows, "w string").repartition(3)
     out = heavy_hitters(df, "w", k=4).collect()
     assert [(r["item"], r["cnt"]) for r in out] == [("a", 26)]
+
+
+# ---- bottom-k quantile sketch ------------------------------------------
+
+
+def _qs_imports():
+    from gclog_parser_spark.operators.aggregate import (
+        quantile_sketch,
+        quantile_sketch_merge,
+        sketch_quantiles,
+    )
+
+    return quantile_sketch, quantile_sketch_merge, sketch_quantiles
+
+
+def test_quantile_sketch_merge_equals_single_level(spark, sf_dir):
+    """The mergeability contract inside one engine: 8 per-shard
+    sketches merged == the whole-table sketch, row-for-row."""
+    qs, qmerge, qq = _qs_imports()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    whole = qq(qs(ev, "event_type", "value", "event_id"), "event_type")
+    shards = [
+        qs(
+            ev.where(F.pmod(F.col("event_id"), F.lit(8)) == i),
+            "event_type", "value", "event_id",
+        )
+        for i in range(8)
+    ]
+    merged = qq(qmerge(shards, "event_type"), "event_type")
+    key = lambda r: (r["event_type"],)
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_quantile_sketch_state_is_bounded(spark, sf_dir):
+    qs, _, _ = _qs_imports()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sizes = (
+        qs(ev, "event_type", "value", "event_id", k=32)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    assert sizes and all(r["count"] <= 32 for r in sizes)
+
+
+def test_quantile_sketch_estimates_track_exact(spark, sf_dir):
+    """Accuracy: on the event-value distribution the k=128 sample's
+    p50 must land within the exact p40..p60 band per type (uniform
+    sampling error at n=128 is ~±4.4 % of rank at the median)."""
+    qs, _, qq = _qs_imports()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = {
+        r["event_type"]: r["p50"]
+        for r in qq(
+            qs(ev, "event_type", "value", "event_id"), "event_type"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in ev.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.40)").alias("lo"),
+            F.expr("percentile(value, 0.60)").alias("hi"),
+        )
+        .collect()
+    }
+    for t, p50 in est.items():
+        lo, hi = exact[t]
+        assert lo <= p50 <= hi, (t, lo, p50, hi)
+
+
+def test_quantile_sketch_deterministic_and_null_safe(spark):
+    """Hash draws (not rand()): same input → same sketch; NULL values
+    are not sample points."""
+    qs, _, _ = _qs_imports()
+    df = spark.createDataFrame(
+        [(i, "a", float(i) if i % 5 else None) for i in range(100)],
+        "event_id long, event_type string, value double",
+    )
+    s1 = sorted(map(tuple, qs(df, "event_type", "value", "event_id", k=16).collect()))
+    s2 = sorted(map(tuple, qs(df, "event_type", "value", "event_id", k=16).collect()))
+    assert s1 == s2
+    assert all(v is not None for (_, v, _) in s1)
+    assert len(s1) == 16
