@@ -2534,6 +2534,21 @@ def _lined_docs(spark, sf_dir):
     )
 
 
+def q_text_ccnet_buckets(spark, sf_dir):
+    """CC-Net corpus bucketing (Wenzek et al. 2020): self-trained
+    unigram surprisal → per-language head/middle/tail terciles, the
+    crawl-filtering step that needs no external model.  Rational
+    surprisal ticks keep it transcendental-free (1-ulp libm drift
+    would flip near-tie tile edges), integer cross-row sums keep both
+    engines bit-identical (operators/textstats.py::
+    unigram_surprisal_buckets)."""
+    from gclog_parser_spark.operators.textstats import (
+        unigram_surprisal_buckets,
+    )
+
+    return unigram_surprisal_buckets(_docs(spark, sf_dir))
+
+
 def q_text_span_dedup(spark, sf_dir):
     """ExactSubstr-style dedup (Lee et al., ACL 2022): corpus-wide
     duplicated word 5-grams mark the tokens they cover; covered tokens
@@ -2737,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_clusters": q_emb_clusters,
         "text_line_dedup": q_text_line_dedup,
         "text_span_dedup": q_text_span_dedup,
+        "text_ccnet_buckets": q_text_ccnet_buckets,
         "text_normalize": q_text_normalize,
         "rel_lateral_topk": q_rel_lateral_topk,
         "web_blocklist": q_web_blocklist,
@@ -2946,6 +2962,7 @@ sessions AS (
     out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)
     # lined view re-derived independently: RE2 \1 backref vs Spark $1
     out["text_span_dedup"] = ot.span_dedup_sql(k=5)
+    out["text_ccnet_buckets"] = ot.surprisal_buckets_sql()
 
     out["text_line_dedup"] = ot.line_dedup_sql(
         lined=(

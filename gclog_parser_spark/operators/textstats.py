@@ -795,3 +795,76 @@ def split_contamination(
             ).alias("contamination"),
         )
     )
+
+
+def unigram_surprisal_buckets(docs: DataFrame) -> DataFrame:
+    """CC-Net-style corpus bucketing (Wenzek et al. 2020): score every
+    document with a unigram model TRAINED ON THE CORPUS ITSELF, then
+    split each language into head/middle/tail terciles by score — the
+    filtering step that keeps a web crawl's fluent third and quarantines
+    the gibberish tail without any external model.
+
+    The LM surprisal is the rational variant (the same
+    transcendental-free trick as `tfidf_topk`): per word,
+    ``surp_w = (C + V) / (c_w + 1)`` — the inverse add-one-smoothed
+    unigram probability — quantized to integer ticks
+    (``round(1e6·surp_w)``, F.round = DuckDB round).  A document's
+    score is the tf-weighted mean tick / 1e6 rounded to 6 dp: every
+    cross-row sum is exact BIGINT, the only float ops are one IEEE
+    division (exactly specified, bit-identical cross-engine) and the
+    final rounding, so no accumulation order can disagree.  Real
+    perplexity would need ``log`` — 1-ulp implementation drift per
+    libm — and orders documents identically to the mean-surprisal
+    proxy wherever the model is peaked, which is what the buckets care
+    about.
+
+    Returns ``(doc_id, lang, n_tokens, surprisal, bucket)`` with
+    bucket 1 = head (most predictable) … 3 = tail.  Bucketing is
+    ``ntile(3)`` per language ordered by (surprisal, doc_id) — the
+    rounded score is identical in both engines, so the doc_id
+    tie-break makes tile edges deterministic.
+
+    Scale shape: tf is one (doc_id, word) exchange of exploded words;
+    the corpus counts aggregate that pre-collapsed relation (one word
+    exchange, stop-word skew pre-summed map-side); C and V ride along
+    as a broadcast one-row relation (no driver state); scoring joins
+    tf⋈counts on word (output ∝ postings, AQE splits hot words); one
+    doc exchange for the mean; one lang exchange for the tiles.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            "doc_id", "lang", F.explode(_words(F.col("text"))).alias("word")
+        )
+        .groupBy("doc_id", "lang", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    cw = tf.groupBy("word").agg(F.sum("tf").alias("cw"))
+    totals = cw.agg(
+        F.sum("cw").alias("C"), F.count("*").alias("V")
+    )
+    tick = F.round(
+        (F.col("C") + F.col("V")).cast("double")
+        / (F.col("cw") + F.lit(1)).cast("double")
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        tf.join(cw, "word")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * tick).alias("ticks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(
+                F.col("ticks") / F.col("n_tokens") / F.lit(1e6), 6
+            ).alias("surprisal"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("surprisal", "doc_id")
+    return scored.withColumn("bucket", F.ntile(3).over(w))

@@ -1402,3 +1402,37 @@ tk AS (
 )
 SELECT vec_id, j, CAST(sum(s * tick) AS BIGINT) AS pt
 FROM tk JOIN sgn USING (i) GROUP BY vec_id, j"""
+
+
+def surprisal_buckets_sql() -> str:
+    """CC-Net bucket oracle (twin of
+    ``textstats.unigram_surprisal_buckets``) — same rational surprisal
+    ticks, same ntile; only the relational construction differs
+    (scalar-CTE totals vs Spark's broadcast one-row cross join)."""
+    return """WITH w AS (
+  SELECT doc_id, lang,
+    unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, lang, word, count(*) AS tf FROM w GROUP BY 1, 2, 3
+),
+cw AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cw FROM tf GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(cw) AS BIGINT) AS c, count(*) AS v FROM cw
+),
+sc AS (
+  SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_tokens,
+    CAST(sum(tf * CAST(round(
+      CAST(c + v AS DOUBLE) / CAST(cw + 1 AS DOUBLE) * 1000000
+    ) AS BIGINT)) AS BIGINT) AS ticks
+  FROM tf JOIN cw USING (word), tot
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_tokens,
+  round(ticks / n_tokens / 1000000.0, 6) AS surprisal,
+  ntile(3) OVER (
+    PARTITION BY lang
+    ORDER BY round(ticks / n_tokens / 1000000.0, 6), doc_id
+  ) AS bucket
+FROM sc"""

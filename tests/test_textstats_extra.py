@@ -297,3 +297,48 @@ def test_normalize_text_nfc_controls_and_whitespace(spark):
     assert got[3]["norm_hash"] == hashlib.md5(b"x y").hexdigest()
     assert got[4]["norm_hash"] == hashlib.md5(b"padded").hexdigest()
     assert got[5]["changed"] is False
+
+
+# ---- CC-Net surprisal buckets -------------------------------------------
+
+
+def test_ccnet_buckets_order_and_tiles(spark):
+    """Docs made of corpus-common words score low (head, bucket 1);
+    docs of corpus-unique gibberish score high (tail, bucket 3); each
+    language tiles independently and near-evenly."""
+    from gclog_parser_spark.operators.textstats import (
+        unigram_surprisal_buckets,
+    )
+
+    common = "the cat sat on the mat"
+    rows = [(i, f"{common} extra{i % 3}", "en") for i in range(9)]
+    rows.append((100, "zqx wvu jkl pqr mno abc", "en"))  # gibberish
+    rows += [(200 + i, common, "de") for i in range(3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    out = {r["doc_id"]: r for r in unigram_surprisal_buckets(docs).collect()}
+    assert out[100]["bucket"] == 3  # gibberish lands in the tail
+    en = [r for r in out.values() if r["lang"] == "en"]
+    de = [r for r in out.values() if r["lang"] == "de"]
+    for grp, n in ((en, 10), (de, 3)):
+        sizes = [sum(1 for r in grp if r["bucket"] == b) for b in (1, 2, 3)]
+        assert sum(sizes) == n
+        assert max(sizes) - min(sizes) <= 1  # ntile evenness
+    # gibberish surprisal strictly above every common-word doc
+    assert out[100]["surprisal"] > max(
+        r["surprisal"] for r in en if r["doc_id"] != 100
+    )
+
+
+def test_ccnet_buckets_empty_input(spark):
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.textstats import (
+        unigram_surprisal_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string"
+    ).where(F.lit(False))
+    assert unigram_surprisal_buckets(docs).count() == 0
