@@ -1779,6 +1779,23 @@ def q_rel_kmv_merge(spark, sf_dir):
     return kmv_estimate(merged, "event_type", k=64)
 
 
+def q_rel_kmv_intersect(spark, sf_dir):
+    """Theta-sketch set algebra on KMV sketches: per event-type PAIR,
+    the intersection estimate |common<θ|·2³²/θ with θ = least of the
+    two k-th minima (2³² when a sketch is exact) — the DataSketches
+    union/intersect workflow where set operations run on fixed k-row
+    states, never the raw data.  Deterministic md5 hashing makes the
+    estimate bit-reproducible, so the oracle computes the identical
+    number; the true overlap rides along as n_exact
+    (operators/aggregate.py::kmv_pair_intersections)."""
+    from gclog_parser_spark.operators.aggregate import (
+        kmv_pair_intersections,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_pair_intersections(ev, "event_type", "user_id", k=64)
+
+
 def q_rel_quantile_sketch(spark, sf_dir):
     """Bottom-k quantile sketch, mergeability value-proven (the fourth
     member of the sketch family: KMV distinct-count, Misra–Gries heavy
@@ -2748,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_kmv_distinct": q_rel_kmv_distinct,
         "rel_quantile_sketch": q_rel_quantile_sketch,
+        "rel_kmv_intersect": q_rel_kmv_intersect,
         "rel_range_frame": q_rel_range_frame,
         "emb_clusters": q_emb_clusters,
         "text_line_dedup": q_text_line_dedup,
@@ -3587,6 +3605,36 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
         "  AS kmv_estimate"
         " FROM g JOIN kth USING (event_type)"
     )
+    out["rel_kmv_intersect"] = (
+        "WITH d AS (SELECT DISTINCT event_type AS g,"
+        " CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) AS h FROM events),"
+        " r AS (SELECT g, h, row_number() OVER ("
+        "  PARTITION BY g ORDER BY h) AS rn,"
+        "  count(*) OVER (PARTITION BY g) AS n FROM d),"
+        " sk AS (SELECT g, h, n FROM r WHERE rn <= 64),"
+        " th AS (SELECT g, CASE WHEN max(n) >= 64 THEN max(h)"
+        "  ELSE 4294967296 END AS theta FROM sk GROUP BY 1),"
+        " pairs AS (SELECT a.g AS ga, b.g AS gb,"
+        "  least(a.theta, b.theta) AS theta"
+        "  FROM th a, th b WHERE a.g < b.g),"
+        " com AS (SELECT a.g AS ga, b.g AS gb, a.h"
+        "  FROM sk a JOIN sk b ON a.h = b.h AND a.g < b.g),"
+        " samp AS (SELECT c.ga, c.gb, count(*) AS n_common"
+        "  FROM com c JOIN pairs p ON c.ga = p.ga AND c.gb = p.gb"
+        "  WHERE c.h < p.theta GROUP BY 1, 2),"
+        " ex AS (SELECT a.g AS ga, b.g AS gb, count(*) AS n_exact"
+        "  FROM d a JOIN d b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2)"
+        " SELECT p.ga AS ga, p.gb AS gb,"
+        " CAST(coalesce(s.n_common, 0) AS BIGINT) AS n_common,"
+        " round(CAST(coalesce(s.n_common, 0) AS DOUBLE)"
+        "  * 4294967296.0 / p.theta, 6) AS est_intersection,"
+        " CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact"
+        " FROM pairs p"
+        " LEFT JOIN samp s ON p.ga = s.ga AND p.gb = s.gb"
+        " LEFT JOIN ex e ON p.ga = e.ga AND p.gb = e.gb"
+    )
+
     # single-level whole-table bottom-k sketch — equality with the
     # Spark side's merged 8-shard sketches is the mergeability proof
     out["rel_quantile_sketch"] = (

@@ -525,3 +525,94 @@ def sketch_quantiles(
             F.element_at("vs", idx).alias(f"p{int(p * 100)}")
         )
     return agg.select(*cols)
+
+
+def kmv_pair_intersections(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Theta-sketch-style SET INTERSECTION on KMV sketches (the
+    DataSketches algebra: once per-group sketches exist, union /
+    intersect / difference estimates come from the sketches alone —
+    no rescan of the raw data).  For every unordered pair of groups:
+    keep the common hashes below θ = least(θ_a, θ_b) (θ_x = the k-th
+    minimum when the group has ≥ k distinct hashes, else the full
+    2³² hash space — an exact sketch), estimate
+    ``|A∩B| ≈ |common<θ| · 2³² / θ``.  When both sketches are exact
+    the estimate IS the exact intersection (θ = 2³² collapses the
+    formula to the common count).
+
+    Deterministic md5 hashing end-to-end, so the DuckDB oracle
+    computes the identical estimate; ``n_exact`` (the true distinct
+    overlap) rides along to bound the error.  Pairs come from the
+    cross of observed groups (tiny dim × dim), so zero-overlap pairs
+    appear with zeros rather than vanishing.
+
+    Scale: one (group, hash) distinct exchange shared by sketch and
+    exact sides; sketches are ≤ k rows per group, so the pair join is
+    dim-sized; the exact side is one self-equi-join on the hash of the
+    SAME distinct relation (output ∝ true overlaps).
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    d = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    n_w = Window.partitionBy("g")
+    r = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(n_w)
+    )
+    sk = r.where(F.col("rn") <= k)
+    FULL = 4294967296  # 2^32: the md5-prefix hash space
+    th = sk.groupBy("g").agg(
+        F.when(F.max("n") >= k, F.max("h"))
+        .otherwise(F.lit(FULL))
+        .alias("theta")
+    )
+    pairs = (
+        th.select(F.col("g").alias("ga"), F.col("theta").alias("ta"))
+        .crossJoin(
+            th.select(F.col("g").alias("gb"), F.col("theta").alias("tb"))
+        )
+        .where(F.col("ga") < F.col("gb"))
+        .withColumn("theta", F.least("ta", "tb"))
+    )
+    common = (
+        sk.alias("a")
+        .join(sk.alias("b"), "h")
+        .where(F.col("a.g") < F.col("b.g"))
+        .select(
+            F.col("a.g").alias("ga"), F.col("b.g").alias("gb"), "h"
+        )
+    )
+    samp = (
+        common.join(F.broadcast(pairs.select("ga", "gb", "theta")),
+                    ["ga", "gb"])
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    exact = (
+        d.alias("a")
+        .join(d.alias("b"), "h")
+        .where(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        pairs.join(samp, ["ga", "gb"], "left")
+        .join(exact, ["ga", "gb"], "left")
+        .select(
+            "ga",
+            "gb",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                * float(FULL)
+                / F.col("theta"),
+                6,
+            ).alias("est_intersection"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+        )
+    )

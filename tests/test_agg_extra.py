@@ -331,3 +331,54 @@ def test_quantile_sketch_deterministic_and_null_safe(spark):
     assert s1 == s2
     assert all(v is not None for (_, v, _) in s1)
     assert len(s1) == 16
+
+
+# ---- theta-style KMV pair intersections ---------------------------------
+
+
+def test_kmv_intersect_exact_when_sketches_exact(spark):
+    """Groups with < k distinct values → θ = 2³² → the estimate IS the
+    exact overlap."""
+    from gclog_parser_spark.operators.aggregate import (
+        kmv_pair_intersections,
+    )
+
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(20, 50)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = kmv_pair_intersections(df, "event_type", "user_id", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["ga"], r["gb"]) == ("a", "b")
+    assert r["n_exact"] == 10
+    assert r["n_common"] == 10
+    assert r["est_intersection"] == 10.0
+
+
+def test_kmv_intersect_estimates_track_exact(spark, sf_dir):
+    """On the real event data (hundreds of distinct users per type,
+    k=64 sketches) every pair's estimate lands within 60 % of truth —
+    the theta-intersection error bound at this k and overlap."""
+    from gclog_parser_spark.operators.aggregate import (
+        kmv_pair_intersections,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = kmv_pair_intersections(ev, "event_type", "user_id").collect()
+    assert len(rows) == 10  # C(5,2) pairs
+    for r in rows:
+        assert r["n_exact"] > 0
+        lo, hi = 0.4 * r["n_exact"], 1.6 * r["n_exact"]
+        assert lo <= r["est_intersection"] <= hi, tuple(r)
+
+
+def test_kmv_intersect_zero_overlap_pair_present(spark):
+    from gclog_parser_spark.operators.aggregate import (
+        kmv_pair_intersections,
+    )
+
+    rows = [("a", i) for i in range(10)] + [("b", 1000 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = kmv_pair_intersections(df, "event_type", "user_id").collect()
+    assert len(out) == 1
+    assert out[0]["n_common"] == 0 and out[0]["n_exact"] == 0
+    assert out[0]["est_intersection"] == 0.0
