@@ -600,9 +600,12 @@ def kmv_pair_intersections(
         .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
         .agg(F.count("*").alias("n_exact"))
     )
+    # samp and exact are ≤ C(groups, 2) rows — broadcast them so the
+    # final assembly adds zero exchanges (the only real shuffles left
+    # are the (group, hash) distinct and the two hash equi-joins)
     return (
-        pairs.join(samp, ["ga", "gb"], "left")
-        .join(exact, ["ga", "gb"], "left")
+        pairs.join(F.broadcast(samp), ["ga", "gb"], "left")
+        .join(F.broadcast(exact), ["ga", "gb"], "left")
         .select(
             "ga",
             "gb",
