@@ -2551,6 +2551,23 @@ def _lined_docs(spark, sf_dir):
     )
 
 
+def q_corpus_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): raw corpus scored
+    against a target slice (the en docs with doc_id % 7 == 0 — a
+    stand-in for 'wiki-like quality data') via hashed unigram feature
+    ratios.  Rational tf-weighted mean ratio instead of the paper's
+    log-likelihood sum keeps both engines bit-identical
+    (operators/sampling.py::importance_weights); downstream,
+    corpus_weighted_sample consumes exactly this shape of weight."""
+    from gclog_parser_spark.operators.sampling import importance_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(
+        (F.col("lang") == "en") & (F.col("doc_id") % 7 == 0)
+    )
+    return importance_weights(docs, target, n_buckets=1024)
+
+
 def q_text_ccnet_buckets(spark, sf_dir):
     """CC-Net corpus bucketing (Wenzek et al. 2020): self-trained
     unigram surprisal → per-language head/middle/tail terciles, the
@@ -2771,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": q_text_line_dedup,
         "text_span_dedup": q_text_span_dedup,
         "text_ccnet_buckets": q_text_ccnet_buckets,
+        "corpus_dsir": q_corpus_dsir,
         "text_normalize": q_text_normalize,
         "rel_lateral_topk": q_rel_lateral_topk,
         "web_blocklist": q_web_blocklist,
@@ -2981,6 +2999,7 @@ sessions AS (
     # lined view re-derived independently: RE2 \1 backref vs Spark $1
     out["text_span_dedup"] = ot.span_dedup_sql(k=5)
     out["text_ccnet_buckets"] = ot.surprisal_buckets_sql()
+    out["corpus_dsir"] = ot.dsir_weights_sql()
 
     out["text_line_dedup"] = ot.line_dedup_sql(
         lined=(

@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from gclog_parser_spark.operators.dedup import md5_long
+from gclog_parser_spark.operators.dedup import _words, md5_long
 
 #: hash-bucket resolution: rates are exact to 1e-6
 BUCKETS = 1_000_000
@@ -241,3 +241,75 @@ def weighted_sample(
         F.lit(1.0),
     )
     return docs.where(b < F.round(w * BUCKETS).cast("long"))
+
+
+def importance_weights(
+    raw: DataFrame, target: DataFrame, n_buckets: int = 1024
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how target-like its hashed unigram features
+    are — the weight that turns a uniform crawl sample into a sample
+    from the target domain.  Per md5-hashed feature bucket ``b``,
+    ratio = p_target(b) / p_raw(b) with add-one smoothing over
+    ``n_buckets``; a document's score is its tf-weighted mean bucket
+    ratio (> 1 ⇒ more target-like than the crawl average).
+
+    The paper uses the log-likelihood ratio; the RATIONAL mean keeps
+    the pipeline transcendental-free (the tfidf/ccnet trick — 1-ulp
+    libm drift would break cross-engine bit-parity) and orders
+    documents the same way wherever the ratio distribution is peaked.
+    Ratios quantize to integer ticks (one IEEE multiply/divide chain,
+    exactly specified, then F.round = DuckDB round), so every
+    cross-row sum is an exact BIGINT.
+
+    Scale shape: one (doc, bucket) postings exchange over the raw
+    corpus; the bucket dimension is ≤ ``n_buckets`` rows and
+    BROADCASTS back onto the postings (no second corpus shuffle); the
+    target side only ever aggregates to that same tiny dimension, so
+    the target corpus can be any size; one doc-keyed exchange for the
+    mean.  Returns ``(doc_id, lang, n_tokens, dsir_score)``.
+    """
+    def buckets(df: DataFrame, *keep: str) -> DataFrame:
+        return df.select(
+            *keep, F.explode(_words(F.col("text"))).alias("word")
+        ).select(
+            *keep, (md5_long(F.col("word")) % n_buckets).alias("b")
+        )
+
+    tf = (
+        buckets(raw, "doc_id", "lang")
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("tf"))
+    )
+    q = tf.groupBy("b").agg(F.sum("tf").alias("cq"))
+    t = buckets(target).groupBy("b").agg(F.count("*").alias("ct"))
+    dim = q.join(t, "b", "left").na.fill(0, ["ct"])
+    tot = dim.agg(
+        F.sum("cq").alias("cq_tot"), F.sum("ct").alias("ct_tot")
+    )
+    B = F.lit(n_buckets)
+    tick = F.round(
+        (F.col("ct") + 1).cast("double")
+        * (F.col("cq_tot") + B).cast("double")
+        / ((F.col("ct_tot") + B).cast("double")
+           * (F.col("cq") + 1).cast("double"))
+        * 1_000_000
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(dim), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * tick).alias("ticks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(
+                F.col("ticks") / F.col("n_tokens") / F.lit(1e6), 6
+            ).alias("dsir_score"),
+        )
+    )

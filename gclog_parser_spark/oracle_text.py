@@ -1436,3 +1436,49 @@ SELECT doc_id, lang, n_tokens,
     ORDER BY round(ticks / n_tokens / 1000000.0, 6), doc_id
   ) AS bucket
 FROM sc"""
+
+
+def dsir_weights_sql(
+    target_where: str = "lang = 'en' AND doc_id % 7 = 0",
+    n_buckets: int = 1024,
+) -> str:
+    """DSIR importance-weight oracle (twin of
+    ``sampling.importance_weights``) — same hashed-bucket ratio ticks,
+    independent relational construction."""
+    h = "CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT)"
+    return f"""WITH w AS (
+  SELECT doc_id, lang,
+    unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+),
+wb AS (SELECT doc_id, lang, {h} % {n_buckets} AS b FROM w),
+tf AS (SELECT doc_id, lang, b, count(*) AS tf FROM wb GROUP BY 1, 2, 3),
+q AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cq FROM tf GROUP BY 1),
+tw AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE {target_where}
+),
+tb AS (SELECT {h} % {n_buckets} AS b, count(*) AS ct FROM tw GROUP BY 1),
+dim AS (
+  SELECT q.b, q.cq, coalesce(tb.ct, 0) AS ct
+  FROM q LEFT JOIN tb USING (b)
+),
+tot AS (
+  SELECT CAST(sum(cq) AS BIGINT) AS cq_tot,
+    CAST(sum(ct) AS BIGINT) AS ct_tot FROM dim
+),
+tk AS (
+  SELECT b, CAST(round(
+    CAST(ct + 1 AS DOUBLE) * CAST(cq_tot + {n_buckets} AS DOUBLE)
+    / (CAST(ct_tot + {n_buckets} AS DOUBLE)
+       * CAST(cq + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS tick
+  FROM dim, tot
+),
+sc AS (
+  SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_tokens,
+    CAST(sum(tf * tick) AS BIGINT) AS ticks
+  FROM tf JOIN tk USING (b) GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_tokens,
+  round(ticks / n_tokens / 1000000.0, 6) AS dsir_score
+FROM sc"""

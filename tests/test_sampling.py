@@ -326,3 +326,72 @@ def test_weighted_sample_rates_and_determinism(spark):
     assert abs(by_w[1] / 1000 - 0.5) < 0.06
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # scan-side filter
+
+
+# ---- DSIR importance weights --------------------------------------------
+
+
+def test_dsir_target_docs_score_highest(spark):
+    """Docs that look like the target score above docs that don't —
+    the resampling property the weights exist for."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.sampling import importance_weights
+
+    targetish = "science physics theorem proof lemma"
+    crawlish = "buy cheap pills casino winner click"
+    rows = (
+        [(i, targetish, "en") for i in range(5)]
+        + [(100 + i, crawlish, "en") for i in range(5)]
+        + [(200, f"{targetish} {crawlish}", "en")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = docs.where(F.col("doc_id") < 5)
+    out = {r["doc_id"]: r["dsir_score"]
+           for r in importance_weights(docs, target).collect()}
+    assert out[0] > out[200] > out[100]  # target > mixed > spam
+    # wide separation, not a near-tie (smoothing at toy counts pulls
+    # all ratios toward (Cq+B)/(Ct+B), so 1.0 is not the pivot here)
+    assert out[0] > 4 * out[100]
+
+
+def test_dsir_weights_feed_weighted_sampler(spark, sf_dir):
+    """The produced shape composes with corpus_weighted_sample: join
+    weights back and draw — end-to-end selection pipeline."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.sampling import (
+        importance_weights,
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0))
+    w = importance_weights(docs, target).select(
+        "doc_id", (F.col("dsir_score") * 0.4).alias("weight")
+    )
+    joined = docs.join(w, "doc_id")
+    n_all = joined.count()
+    kept = weighted_sample(joined, "weight")
+    n_kept = kept.count()
+    assert 0 < n_kept < n_all
+    # determinism: same draw twice
+    assert n_kept == weighted_sample(joined, "weight").count()
+
+
+def test_dsir_empty_target_is_uniform_prior(spark):
+    """With an empty target every bucket ratio collapses to the same
+    smoothed constant — all docs score equal (no silent NaN/div0)."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.sampling import importance_weights
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc", "en"), (2, "dd ee ff", "en")],
+        "doc_id long, text string, lang string",
+    )
+    target = docs.where(F.lit(False))
+    scores = [r["dsir_score"]
+              for r in importance_weights(docs, target).collect()]
+    assert len(scores) == 2
+    assert all(s is not None and s > 0 for s in scores)
