@@ -2483,6 +2483,53 @@ def _snap_table(spark, sf_dir, tag: str, n_appends: int = 3) -> str:
     return base
 
 
+def _dpp_table(spark, sf_dir) -> str:
+    """Build (once per sf_dir per process) a DATE-PARTITIONED parquet
+    table of the events — the fixture for the dynamic-partition-pruning
+    query.  Hive-style day=... directories, so partition pruning is a
+    directory listing, not a data scan."""
+    import tempfile
+
+    key = f"gps_dpp_{abs(hash(sf_dir)) % 10**8}"
+    base = os.path.join(tempfile.gettempdir(), key)
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        (
+            ev.withColumn("day", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(base)
+        )
+    return base
+
+
+def q_rel_dpp_scan(spark, sf_dir):
+    """Dynamic partition pruning: the fact table is Hive-partitioned by
+    day; the dim side (distinct days flagged by day-of-month % 3 == 0)
+    is filtered and broadcast; Catalyst injects the dim's surviving
+    keys as a runtime partition filter on the fact SCAN — the fact
+    partitions for non-matching days are never read, which at 100 TB is
+    the difference between scanning a year and scanning the ten days a
+    dashboard asked for.  The ``dynamicpruning`` subquery in the fact
+    scan's PartitionFilters is pinned in tests/test_plan_lint.py."""
+    fact = spark.read.parquet(_dpp_table(spark, sf_dir))
+    dim = (
+        fact.select("day").distinct()
+        .where(F.dayofmonth("day") % 3 == 0)
+        .select(F.col("day").alias("d"))
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.day == dim.d)
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(_pause_ticks("value")).alias("value_ticks_sum"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
 def q_snap_time_travel(spark, sf_dir):
     """Iceberg-style time travel: read the snapshot-catalog table AS OF
     snapshot 2 (of 3 appends) and aggregate — proves the manifest tree
@@ -2766,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_zorder_scan": q_rel_zorder_scan,
         "web_pagerank": q_web_pagerank,
         "snap_time_travel": q_snap_time_travel,
+        "rel_dpp_scan": q_rel_dpp_scan,
         "snap_incremental": q_snap_incremental,
         "snap_prune_scan": q_snap_prune_scan,
         "snap_wap_publish": q_snap_wap_publish,
@@ -3566,6 +3614,13 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
 
     # snapshot-catalog queries: snapshot k of the 3-append fixture is
     # exactly `event_id % 3 < k`, so history states are plain WHEREs
+    out["rel_dpp_scan"] = (
+        "SELECT CAST(ts AS DATE) AS day, count(*) AS events,"
+        " CAST(sum(" + ticks.format("value") + ") AS BIGINT)"
+        " AS value_ticks_sum,"
+        " count(DISTINCT user_id) AS users"
+        " FROM events WHERE EXTRACT(day FROM ts) % 3 = 0 GROUP BY 1"
+    )
     out["snap_time_travel"] = (
         "SELECT event_type, count(*) AS events,"
         " CAST(sum(" + ticks.format("value") + ") AS BIGINT)"

@@ -317,3 +317,20 @@ def test_contamination_train_side_not_hinted_broadcast(spark, sf_dir):
     ]
     assert semi, plan
     assert not any("Broadcast" in s for s in semi), semi
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """Dynamic partition pruning: the dim's surviving day keys arrive
+    at the fact scan as a runtime PartitionFilters subquery — the fact
+    partitions for non-matching days are never read."""
+    import __spark_entry__ as entry
+
+    df = entry.q_rel_dpp_scan(spark, sf_dir)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan" in l and "gps_dpp" in l
+    )
+    assert "dynamicpruning" in scan  # on the fact scan itself
+    assert "BroadcastHashJoin" in plan
