@@ -515,6 +515,62 @@ def q_rel_shuffle_join(spark, sf_dir):
     )
 
 
+def _bucketed_pair(spark, sf_dir):
+    """Bucketed twins of lineitem/orders (8 buckets on the orderkey,
+    sorted within buckets), created once per session per sf_dir via
+    saveAsTable — the layout investment a 100 TB warehouse makes so
+    every subsequent orderkey join is exchange-free."""
+    h = abs(hash(sf_dir)) % 10**8
+    lt, ot = f"gps_bkt_lineitem_{h}", f"gps_bkt_orders_{h}"
+    if not spark.catalog.tableExists(lt):
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(lt)
+        )
+    if not spark.catalog.tableExists(ot):
+        (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(ot)
+        )
+    return spark.table(lt), spark.table(ot)
+
+
+def q_rel_bucketed_join(spark, sf_dir):
+    """Shuffle-FREE fact⋈fact join via bucketing: both tables are
+    written bucketed (8 buckets) and sorted on the orderkey, so the
+    SortMergeJoin consumes co-located buckets directly — ZERO Exchange
+    in the join plan (pinned in tests/test_plan_quality.py).  At 100 TB
+    this converts every repeated orderkey join from a full two-sided
+    shuffle into a scan; the write-side bucketing cost is paid once.
+    The merge hints keep Catalyst from broadcasting the sandbox-small
+    side so the driver-scale run exercises the bucketed-SMJ path."""
+    li, orders = _bucketed_pair(spark, sf_dir)
+    return (
+        li.hint("merge")
+        .join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("items"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+            F.countDistinct("o_custkey").alias("customers"),
+        )
+    )
+
+
 def q_rel_bloom_join(spark, sf_dir):
     """Runtime Bloom-filter join reduction (operators/bloomjoin.py):
     the urgent-orders keys are sketched into a fixed 8 KiB bitmap
@@ -2772,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_join_agg": q_rel_join_agg,
         "rel_shuffle_join": q_rel_shuffle_join,
         "rel_bloom_join": q_rel_bloom_join,
+        "rel_bucketed_join": q_rel_bucketed_join,
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
         "rel_sliding_window": q_rel_sliding_window,
@@ -3166,6 +3223,15 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
         "   * 100) AS BIGINT)) AS BIGINT) AS revenue_cents"
         " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         " WHERE l.l_shipdate > o.o_orderdate"
+        " GROUP BY 1"
+    )
+
+    out["rel_bucketed_join"] = (
+        "SELECT l.l_linestatus, count(*) AS items,"
+        " CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)"
+        "   * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,"
+        " count(DISTINCT o.o_custkey) AS customers"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         " GROUP BY 1"
     )
 

@@ -334,3 +334,20 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     )
     assert "dynamicpruning" in scan  # on the fact scan itself
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Bucketed twins (8 buckets, sorted on orderkey) feed the
+    SortMergeJoin directly: ZERO exchanges anywhere in the bare join
+    plan — the layout investment that turns every repeated orderkey
+    join into a scan at 100 TB."""
+    import __spark_entry__ as entry
+
+    li, orders = entry._bucketed_pair(spark, sf_dir)
+    j = li.hint("merge").join(
+        orders.hint("merge"), li.l_orderkey == orders.o_orderkey
+    )
+    plan = plan_of(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
