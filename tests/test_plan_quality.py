@@ -351,3 +351,55 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert "Bucketed: true" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join: a 90 %-hot key would pin one SMJ task at 100 TB;
+    with adaptive skew handling the runtime splits the hot partition
+    and the final plan carries SortMergeJoin(skew=true) + an
+    'AQEShuffleRead skewed' on the fact side.  (Thresholds are scaled
+    to sandbox bytes; partition coalescing is disabled for the probe
+    because merging tiny partitions below the threshold masks the
+    skew detector at this data size.)"""
+    import pyspark.sql.functions as F
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    )
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        spark.conf.set(keys[0], "8KB")
+        spark.conf.set(keys[1], "4KB")
+        spark.conf.set(keys[2], "1")
+        spark.conf.set(keys[3], "-1")
+        spark.conf.set(keys[4], "false")
+        fact = spark.range(400000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        j = fact.join(dim.hint("merge"), "k").select("k")
+        assert len(j.collect()) == 400000  # every row joins
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
