@@ -173,6 +173,17 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     from gclog_parser_spark.operators.dedup import span_dedup
 
     t("span_dedup_sf", lambda: span_dedup(docs).count())
+    from gclog_parser_spark.operators.sampling import importance_weights
+    from gclog_parser_spark.operators.textstats import (
+        unigram_surprisal_buckets,
+    )
+
+    t("ccnet_buckets_sf",
+      lambda: unigram_surprisal_buckets(docs).count())
+    t("dsir_weights_sf", lambda: importance_weights(
+        docs,
+        docs.where((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0)),
+    ).count())
     t("token_counts_sf", lambda: token_counts(docs)
         .agg(F.sum("tokens")).collect()[0][0])
     from gclog_parser_spark.operators.temporal import asof_join, range_join
