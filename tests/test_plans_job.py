@@ -336,3 +336,43 @@ def test_corpus_pipeline_normalize_and_line_dedup(spark, sf_dir, tmp_path):
         spark, lined, out2, normalize=True, line_dedup_stage=True
     )
     assert s2 == s1
+
+
+def test_select_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The data-selection job: CC-Net buckets → drop tail → DSIR
+    weights → deterministic importance resample; stats reconcile and
+    a re-run reproduces identical selections."""
+    out = str(tmp_path / "select_out")
+
+    def run():
+        res = subprocess.run(
+            [
+                sys.executable,
+                "jobs/select_pipeline.py",
+                "--master", "local[8]",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", out,
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    s1 = run()
+    assert s1["n_input"] == 500
+    assert (
+        s1["n_input"]
+        == s1["n_tail_dropped"] + s1["n_resampled_out"] + s1["n_selected"]
+    )
+    # the tail tercile is ~1/3 of each language
+    assert 100 <= s1["n_tail_dropped"] <= 230
+    assert 0 < s1["n_selected"] < s1["n_input"] - s1["n_tail_dropped"]
+    sel = spark.read.parquet(f"{out}/selected")
+    assert sel.count() == s1["n_selected"]
+    assert {"surprisal", "bucket", "dsir_score"} <= set(sel.columns)
+    assert sel.where(F.col("bucket") >= 3).count() == 0
+    s2 = run()
+    assert s2 == s1
