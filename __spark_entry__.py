@@ -1588,6 +1588,18 @@ def q_dedup_jaccard(spark, sf_dir):
     return jaccard_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric near-dup: containment C = |A∩B| / min(|A|,|B|) over
+    distinct shingle sets — catches a doc EMBEDDED in another
+    (quotes, boilerplate-wrapped mirrors, truncated re-crawls) where
+    symmetric Jaccard reads low; jaccard rides along so subset-dups
+    (C high, J low) separate from true near-dups
+    (operators/dedup.py::containment_pairs)."""
+    from gclog_parser_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir))
+
+
 def q_text_quality(spark, sf_dir):
     from gclog_parser_spark.operators.textstats import quality_stats
 
@@ -2783,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_containment": q_dedup_containment,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
@@ -3087,6 +3100,7 @@ sessions AS (
     out["text_boilerplate"] = ot.strip_boilerplate_sql()
     out["dedup_simhash"] = ot.dedup_simhash_sql()
     out["dedup_jaccard"] = ot.dedup_jaccard_sql()
+    out["dedup_containment"] = ot.dedup_containment_sql()
     out["text_quality"] = ot.text_quality_sql()
     out["lang_id"] = ot.lang_id_sql()
     out["token_counts"] = ot.token_counts_sql()

@@ -429,25 +429,13 @@ def dedup_clusters(
     )
 
 
-def jaccard_pairs(
-    docs: DataFrame,
-    bucket_col: str = "source",
-    threshold: float = 0.5,
-    max_df: int = 256,
+def _pair_overlaps(
+    docs: DataFrame, bucket_col: str, max_df: int
 ) -> DataFrame:
-    """n-gram Jaccard similarity for candidate pairs within a bucket
-    (default: same `source`).  Computed relationally: explode distinct
-    shingles → self-join on shingle → |A∩B| by group; |A∪B| from per-doc
-    counts.  Shuffle ∝ postings, never materializes the pair matrix.
-
-    ``max_df`` is the postings cap that keeps the self-join tractable
-    on web text: a stop-shingle ("the quick brown" class) with document
-    frequency d contributes O(d²) join rows, so shingles with
-    ``df > max_df`` are dropped from the similarity space entirely
-    (postings AND union sizes — the standard stop-postings rule, like
-    an IDF floor).  Per kept shingle the join fan-out is bounded by
-    max_df², independent of corpus size; hot shingles carry no
-    similarity signal anyway."""
+    """Shared postings machinery for the exact pair-similarity ops:
+    distinct shingle postings (df-capped — see ``jaccard_pairs`` for
+    why the cap is what keeps the self-join tractable on web text) →
+    in-bucket self-join → ``(doc_a, doc_b, inter, na, nb)``."""
     sh = _doc_shingles(
         docs.select(
             "doc_id", F.col(bucket_col).alias("bucket"), "text"
@@ -484,10 +472,31 @@ def jaccard_pairs(
     sb = sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
     )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    bucket_col: str = "source",
+    threshold: float = 0.5,
+    max_df: int = 256,
+) -> DataFrame:
+    """n-gram Jaccard similarity for candidate pairs within a bucket
+    (default: same `source`).  Computed relationally: explode distinct
+    shingles → self-join on shingle → |A∩B| by group; |A∪B| from per-doc
+    counts.  Shuffle ∝ postings, never materializes the pair matrix.
+
+    ``max_df`` is the postings cap that keeps the self-join tractable
+    on web text: a stop-shingle ("the quick brown" class) with document
+    frequency d contributes O(d²) join rows, so shingles with
+    ``df > max_df`` are dropped from the similarity space entirely
+    (postings AND union sizes — the standard stop-postings rule, like
+    an IDF floor).  Per kept shingle the join fan-out is bounded by
+    max_df², independent of corpus size; hot shingles carry no
+    similarity signal anyway."""
+    inter = _pair_overlaps(docs, bucket_col, max_df)
     out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter")
@@ -629,4 +638,47 @@ def span_dedup(docs: DataFrame, k: int = 5) -> DataFrame:
         ).alias("clean_text"),
         F.count("*").alias("n_tokens"),
         F.sum("covered").alias("n_removed"),
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    bucket_col: str = "source",
+    min_containment: float = 0.8,
+    max_df: int = 256,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment
+    ``C(A,B) = |A∩B| / min(|A|,|B|)`` over distinct shingle sets —
+    the rule that catches a document EMBEDDED in another (quoted
+    articles, boilerplate-wrapped mirrors, truncated re-crawls), which
+    symmetric Jaccard misses: a page wrapped in a 5× larger template
+    has J ≈ 0.17 but C = 1.0.  Returns
+    ``(doc_a, doc_b, inter, na, nb, containment, jaccard)`` for pairs
+    at or above ``min_containment`` — jaccard rides along so callers
+    can separate true near-dups (both high) from subset-dups (C high,
+    J low).
+
+    Same relational postings plan (and the same df-cap tractability
+    argument) as :func:`jaccard_pairs` — one shingle self-join bounded
+    by max_df² fan-out per shingle, never a pair matrix.
+    """
+    inter = _pair_overlaps(docs, bucket_col, max_df)
+    return (
+        inter.withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least("na", "nb"), 6),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("containment") >= min_containment)
+        .select(
+            "doc_a", "doc_b", "inter", "na", "nb",
+            "containment", "jaccard",
+        )
     )

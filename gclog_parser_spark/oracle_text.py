@@ -1482,3 +1482,39 @@ sc AS (
 SELECT doc_id, lang, n_tokens,
   round(ticks / n_tokens / 1000000.0, 6) AS dsir_score
 FROM sc"""
+
+
+def dedup_containment_sql(
+    min_containment: float = 0.8, max_df: int = 256
+) -> str:
+    """Containment-pair oracle (twin of
+    ``dedup.containment_pairs``): same postings construction as the
+    Jaccard oracle, asymmetric C = i / least(|A|,|B|)."""
+    return f"""WITH {SHINGLES_CTE},
+postings_all AS (
+  SELECT DISTINCT doc_id, source AS bucket, unnest(shingles) AS shingle
+  FROM sh
+),
+rare AS (
+  SELECT shingle FROM postings_all GROUP BY shingle
+  HAVING count(*) <= {max_df}
+),
+postings AS (
+  SELECT p.* FROM postings_all p JOIN rare USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM postings a JOIN postings b
+    ON a.shingle = b.shingle AND a.bucket = b.bucket
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
+  sa.n AS na, sb.n AS nb,
+  round(i / least(sa.n, sb.n), 6) AS containment,
+  round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / least(sa.n, sb.n), 6) >= {min_containment}"""
