@@ -1798,6 +1798,25 @@ def q_ann_recall(spark, sf_dir):
     return out
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product quantization (Jégou et al., TPAMI 2011), trained +
+    searched: per-subspace integer-tick k-means (2 Lloyd's iterations,
+    all 4 subspaces trained in one relational pass per iteration),
+    12-bit codes, ADC top-k where the corpus scan does M table
+    lookups per vector and zero arithmetic.  Stricter determinism than
+    the IVF trainer — every cross-row quantity is an exact BIGINT, so
+    the SQL oracle's unrolled-iteration re-derivation matches
+    bit-for-bit (operators/similarity.py::pq_train/pq_topk)."""
+    from gclog_parser_spark.operators.similarity import (
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _embs(spark, sf_dir)
+    cents = pq_train(emb, iters=2)
+    return pq_topk(emb, cents, k=10)
+
+
 def q_emb_rproj(spark, sf_dir):
     """Signed random projection (JL transform, SRP-LSH front end):
     proj[j] = Σ_i sign(i,j)·emb[i] with the ±1 matrix a pure md5
@@ -2920,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "emb_label_stats": q_emb_label_stats,
         "emb_rproj": q_emb_rproj,
+        "ann_pq_topk": q_ann_pq_topk,
     }
 
 
@@ -3140,6 +3160,7 @@ sessions AS (
     out["ann_recall"] = ot.ann_recall_sql(RECALL_QUERY_IDS, k=RECALL_K)
     out["emb_label_stats"] = ot.label_centroids_sql()
     out["emb_rproj"] = ot.srp_project_sql(in_dim=64, out_dim=16)
+    out["ann_pq_topk"] = ot.ann_pq_sql(k=10, iters=2)
     # the SAME SQL GC parser, pointed at the raw files via read_text —
     # verifies the streaming source's transport AND the parse together
     out["gc_stream_source_counts"] = oracle.gcline_prefix(

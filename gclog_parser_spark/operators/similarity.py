@@ -907,3 +907,214 @@ def srp_project(
     return emb.select("vec_id", "embedding").mapInPandas(
         _proj, "vec_id long, j int, pt long"
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+#: PQ layout: M subspaces × ks centroids; 64-dim → 4 × 16-dim subvectors
+PQ_M = 4
+PQ_KS = 8
+PQ_TICKS = 1_000_000
+
+
+def _pq_tick(x: float) -> int:
+    """Half-away-from-zero at tick precision — F.round / DuckDB round
+    twin (exact for |v| < 2^51; ticks here are ≤ a few 1e6)."""
+    import math
+
+    v = x
+    return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+
+def _pq_sub_ticks(m: int, sub: int) -> list:
+    """Integer-tick Columns for subspace ``m``'s components."""
+    return [
+        F.round(
+            F.element_at("embedding", m * sub + i + 1).cast("double")
+            * PQ_TICKS
+        ).cast("long")
+        for i in range(sub)
+    ]
+
+
+def _pq_assign_col(cents_m: list[list[int]], m: int, sub: int):
+    """argmin-L2 cell for subspace ``m`` as a literal codegen
+    expression: array_min over (distance, cell) structs — struct
+    ordering IS the (d, cell) tie-break, matching the oracle's
+    row_number ORDER BY d, cell.  All arithmetic is integer ticks, so
+    the distances are exact BIGINTs in both engines."""
+    ts = _pq_sub_ticks(m, sub)
+    structs = []
+    for cell, cvec in enumerate(cents_m):
+        d = None
+        for i, t in enumerate(ts):
+            diff = t - F.lit(int(cvec[i]))
+            term = diff * diff
+            d = term if d is None else d + term
+        structs.append(
+            F.named_struct(
+                F.lit("d"), d, F.lit("c"), F.lit(cell)
+            )
+        )
+    return F.array_min(F.array(*structs))["c"]
+
+
+def pq_init(
+    emb: DataFrame, m_sub: int = PQ_M, ks: int = PQ_KS,
+    dim: int = EMB_DIM,
+) -> list[list[list[int]]]:
+    """Deterministic init: centroid j of every subspace = the
+    tick-quantized subvector of vec_id j (the first ks vectors) —
+    closed-form in SQL, no RNG.  Returns cents[m][cell][i] ticks."""
+    sub = dim // m_sub
+    rows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(F.col("vec_id") < ks)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    return [
+        [
+            [
+                _pq_tick(float(rows[j][m * sub + i]) * PQ_TICKS)
+                for i in range(sub)
+            ]
+            for j in range(ks)
+        ]
+        for m in range(m_sub)
+    ]
+
+
+def pq_train(
+    emb: DataFrame,
+    iters: int = 2,
+    m_sub: int = PQ_M,
+    ks: int = PQ_KS,
+    dim: int = EMB_DIM,
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): an
+    independent L2 k-means per subspace, all M subspaces trained in
+    the SAME relational pass per iteration (subspace id is just
+    another grouping key).
+
+    Determinism discipline — stricter than ``ivf_train``: components
+    quantize to integer ticks FIRST, so assignments (integer L2),
+    member sums (exact BIGINT, order-free), and the rounded tick means
+    are bit-identical across engines and partitionings; the only float
+    op per centroid update is one IEEE division.  Spark shape per
+    iteration: scan-side literal argmin (no join) → ONE
+    (m, cell, i) partial-sum shuffle (M·ks·sub = 512 rows out) →
+    O(M·ks·sub) driver state broadcast back as literals.  Empty cells
+    keep their previous centroid.
+    """
+    sub = dim // m_sub
+    cents = pq_init(emb, m_sub, ks, dim)
+    for _ in range(iters):
+        assigns = F.array(
+            *[_pq_assign_col(cents[m], m, sub) for m in range(m_sub)]
+        )
+        t = emb.select(
+            assigns.alias("a"),
+            F.posexplode("embedding").alias("pos", "val"),
+        ).select(
+            (F.col("pos") / sub).cast("int").alias("m"),
+            F.element_at(
+                "a", (F.col("pos") / sub).cast("int") + 1
+            ).alias("cell"),
+            F.pmod("pos", F.lit(sub)).cast("int").alias("i"),
+            F.round(F.col("val").cast("double") * PQ_TICKS)
+            .cast("long")
+            .alias("t"),
+        )
+        stats = (
+            t.groupBy("m", "cell", "i")
+            .agg(F.sum("t").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in stats:
+            acc.setdefault((r["m"], r["cell"]), {})[r["i"]] = (
+                r["s"], r["n"]
+            )
+        new = []
+        for m in range(m_sub):
+            row = []
+            for c in range(ks):
+                got = acc.get((m, c))
+                if not got:
+                    row.append(cents[m][c])  # empty cell
+                else:
+                    row.append(
+                        [
+                            _pq_tick(got[i][0] / got[i][1])
+                            for i in range(sub)
+                        ]
+                    )
+            new.append(row)
+        cents = new
+    return cents
+
+
+def pq_encode(
+    emb: DataFrame,
+    cents: list[list[list[int]]],
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(vec_id, code_0..code_{M-1}): each vector's nearest codebook
+    cell per subspace — M·log2(ks) bits per vector (here 4×3 = 12 bits
+    vs 2048 for fp32: the 170× compression that lets a 10^12-vector
+    index live in RAM).  Pure scan-side codegen, zero shuffle."""
+    m_sub = len(cents)
+    sub = dim // m_sub
+    return emb.select(
+        "vec_id",
+        *[
+            _pq_assign_col(cents[m], m, sub).alias(f"code_{m}")
+            for m in range(m_sub)
+        ],
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    cents: list[list[list[int]]],
+    query_vec_id: int = 0,
+    k: int = 10,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC): the query stays exact;
+    per subspace a ks-entry lookup table of exact integer tick
+    distances query→centroid is built once (O(M·ks·sub) driver work)
+    and the corpus scan sums M table lookups per vector — no
+    per-vector arithmetic in the hot loop at all.  Returns the top-k
+    ``(vec_id, pq_dist_ticks)`` by (distance, vec_id)."""
+    m_sub = len(cents)
+    sub = dim // m_sub
+    q = emb.where(F.col("vec_id") == query_vec_id).collect()[0][
+        "embedding"
+    ]
+    qt = [_pq_tick(float(x) * PQ_TICKS) for x in q]
+    lut = [
+        [
+            sum(
+                (qt[m * sub + i] - cents[m][c][i]) ** 2
+                for i in range(sub)
+            )
+            for c in range(len(cents[m]))
+        ]
+        for m in range(m_sub)
+    ]
+    codes = pq_encode(emb, cents, dim)
+    dist = None
+    for m in range(m_sub):
+        term = F.element_at(F.lit(lut[m]), F.col(f"code_{m}") + 1)
+        dist = term if dist is None else dist + term
+    return (
+        codes.where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", dist.alias("pq_dist_ticks"))
+        .orderBy("pq_dist_ticks", "vec_id")
+        .limit(k)
+    )

@@ -1518,3 +1518,79 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(i / least(sa.n, sb.n), 6) >= {min_containment}"""
+
+
+def ann_pq_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    iters: int = 2,
+    m_sub: int = 4,
+    ks: int = 8,
+    dim: int = 64,
+) -> str:
+    """Independent re-derivation of the PRODUCT-QUANTIZATION index
+    (similarity.pq_train/pq_encode/pq_topk): the same per-subspace
+    Lloyd's iterations unrolled in pure SQL — init codebook = the
+    tick-quantized subvectors of the first ks vectors, per iteration
+    (argmin integer-L2 assignment via row_number with the (d, cell)
+    tie-break, tick-rounded member means, empty-cell fallback) — then
+    ADC: a (m, cell) lookup table of exact query→centroid tick
+    distances summed per vector.  Every cross-row quantity is an exact
+    integer, so the two engines cannot drift."""
+    sub = dim // m_sub
+    parts = [
+        "e0 AS (SELECT vec_id,"
+        " generate_subscripts(embedding, 1) - 1 AS pos,"
+        " CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)"
+        " AS BIGINT) AS t FROM embeddings)",
+        f"et AS (SELECT vec_id, CAST(pos // {sub} AS INT) AS m,"
+        f" CAST(pos % {sub} AS INT) AS i, t FROM e0)",
+        f"c0 AS (SELECT m, CAST(vec_id AS INT) AS cell, i, t"
+        f" FROM et WHERE vec_id < {ks})",
+    ]
+    prev = "c0"
+    for r in range(1, iters + 1):
+        parts += [
+            f"d{r} AS (SELECT e.vec_id, e.m, c.cell,"
+            f" sum((e.t - c.t) * (e.t - c.t)) AS d"
+            f" FROM et e JOIN {prev} c ON c.m = e.m AND c.i = e.i"
+            f" GROUP BY 1, 2, 3)",
+            f"a{r} AS (SELECT vec_id, m, cell FROM ("
+            f"SELECT vec_id, m, cell, row_number() OVER ("
+            f"PARTITION BY vec_id, m ORDER BY d, cell) AS rn"
+            f" FROM d{r}) WHERE rn = 1)",
+            f"m{r} AS (SELECT a.m, a.cell, e.i,"
+            f" CAST(round(CAST(sum(e.t) AS DOUBLE) / count(*))"
+            f" AS BIGINT) AS t"
+            f" FROM a{r} a JOIN et e"
+            f" ON e.vec_id = a.vec_id AND e.m = a.m"
+            f" GROUP BY 1, 2, 3)",
+            f"c{r} AS (SELECT c.m, c.cell, c.i, coalesce(m.t, c.t) AS t"
+            f" FROM {prev} c LEFT JOIN m{r} m"
+            f" ON m.m = c.m AND m.cell = c.cell AND m.i = c.i)",
+        ]
+        prev = f"c{r}"
+    parts += [
+        f"df AS (SELECT e.vec_id, e.m, c.cell,"
+        f" sum((e.t - c.t) * (e.t - c.t)) AS d"
+        f" FROM et e JOIN {prev} c ON c.m = e.m AND c.i = e.i"
+        f" GROUP BY 1, 2, 3)",
+        "af AS (SELECT vec_id, m, cell FROM ("
+        "SELECT vec_id, m, cell, row_number() OVER ("
+        "PARTITION BY vec_id, m ORDER BY d, cell) AS rn"
+        " FROM df) WHERE rn = 1)",
+        f"q AS (SELECT m, i, t FROM et WHERE vec_id = {query_vec_id})",
+        f"lut AS (SELECT c.m, c.cell,"
+        f" sum((q.t - c.t) * (q.t - c.t)) AS d"
+        f" FROM {prev} c JOIN q ON q.m = c.m AND q.i = c.i"
+        f" GROUP BY 1, 2)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT a.vec_id, CAST(sum(l.d) AS BIGINT) AS pq_dist_ticks
+FROM af a JOIN lut l ON l.m = a.m AND l.cell = a.cell
+WHERE a.vec_id <> {query_vec_id}
+GROUP BY 1
+ORDER BY pq_dist_ticks, vec_id
+LIMIT {k}"""
+    )
