@@ -2647,6 +2647,32 @@ def q_snap_incremental(spark, sf_dir):
     )
 
 
+def q_rel_mv_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance: the per-type
+    aggregate MV state is built from the BASE snapshot (commits 1-2 of
+    the snapshot-catalog table), the DELTA state from the CDC
+    incremental read of commit 3 only, and the two merge — count/sum/
+    min/max are algebraic, so merge(state(base), state(delta)) ==
+    state(whole) exactly, which is what the oracle's whole-table
+    aggregate checks.  At 10^12 accumulated rows this is the
+    difference between a per-commit full recompute and a per-commit
+    delta scan (operators/aggregate.py::agg_state/merge_agg_states;
+    delta via sources/catalog.py::incremental_read — a manifest-set
+    difference, no base scan)."""
+    from gclog_parser_spark.operators.aggregate import (
+        agg_state,
+        merge_agg_states,
+    )
+    from gclog_parser_spark.sources import catalog as cat
+
+    table = _snap_table(spark, sf_dir, "tt")
+    base = cat.read_snapshot(spark, table, snapshot_id=2)
+    delta = cat.incremental_read(
+        spark, table, from_snapshot=2, to_snapshot=3
+    )
+    return merge_agg_states([agg_state(base), agg_state(delta)])
+
+
 def q_snap_prune_scan(spark, sf_dir):
     """Stats-based file skipping: range-clustered commits, then a range
     scan planned from manifest min/max — files outside [260, 490] are
@@ -2903,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pagerank": q_web_pagerank,
         "snap_time_travel": q_snap_time_travel,
         "rel_dpp_scan": q_rel_dpp_scan,
+        "rel_mv_refresh": q_rel_mv_refresh,
         "snap_incremental": q_snap_incremental,
         "snap_prune_scan": q_snap_prune_scan,
         "snap_wap_publish": q_snap_wap_publish,
@@ -3715,6 +3742,17 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
 
     # snapshot-catalog queries: snapshot k of the 3-append fixture is
     # exactly `event_id % 3 < k`, so history states are plain WHEREs
+    # whole-table aggregate — equality with base-state + CDC-delta-state
+    # merge is the incremental-MV-maintenance proof
+    out["rel_mv_refresh"] = (
+        "SELECT event_type, count(*) AS n,"
+        " CAST(sum(" + ticks.format("value") + ") AS BIGINT)"
+        " AS value_ticks_sum,"
+        " min(" + ticks.format("value") + ") AS min_value_ticks,"
+        " max(" + ticks.format("value") + ") AS max_value_ticks"
+        " FROM events GROUP BY 1"
+    )
+
     out["rel_dpp_scan"] = (
         "SELECT CAST(ts AS DATE) AS day, count(*) AS events,"
         " CAST(sum(" + ticks.format("value") + ") AS BIGINT)"

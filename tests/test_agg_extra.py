@@ -382,3 +382,37 @@ def test_kmv_intersect_zero_overlap_pair_present(spark):
     assert len(out) == 1
     assert out[0]["n_common"] == 0 and out[0]["n_exact"] == 0
     assert out[0]["est_intersection"] == 0.0
+
+
+# ---- incremental MV maintenance ------------------------------------------
+
+
+def test_mv_state_merge_equals_full_recompute(spark, sf_dir):
+    """merge(state(A), state(B), state(C)) == state(A∪B∪C) for any
+    partitioning of the table — three disjoint thirds here."""
+    from gclog_parser_spark.operators.aggregate import (
+        agg_state,
+        merge_agg_states,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    thirds = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+    merged = merge_agg_states([agg_state(t) for t in thirds])
+    whole = agg_state(ev)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_mv_refresh_with_empty_delta_is_identity(spark, sf_dir):
+    from gclog_parser_spark.operators.aggregate import (
+        agg_state,
+        merge_agg_states,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    empty = ev.where(F.lit(False))
+    merged = merge_agg_states([agg_state(ev), agg_state(empty)])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, agg_state(ev).collect())
+    )
