@@ -184,6 +184,16 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
         docs,
         docs.where((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0)),
     ).count())
+    from gclog_parser_spark.operators.dedup import containment_pairs
+
+    t("containment_sf", lambda: containment_pairs(docs).count())
+    # PQ: train once (2 Lloyd's iterations over the sf corpus), then
+    # time the steady-state ADC search separately — the one-time vs
+    # per-query split a serving deployment cares about
+    from gclog_parser_spark.operators.similarity import pq_topk, pq_train
+    t("pq_train_sf", lambda: len(pq_train(embs, iters=2)), reps=1)
+    _pq_cents = pq_train(embs, iters=2)
+    t("pq_adc_topk_sf", lambda: pq_topk(embs, _pq_cents).count())
     t("token_counts_sf", lambda: token_counts(docs)
         .agg(F.sum("tokens")).collect()[0][0])
     from gclog_parser_spark.operators.temporal import asof_join, range_join
