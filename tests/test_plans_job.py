@@ -376,3 +376,23 @@ def test_select_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert sel.where(F.col("bucket") >= 3).count() == 0
     s2 = run()
     assert s2 == s1
+
+
+def test_observed_metrics_ride_the_action(spark, sf_dir):
+    """df.observe: the metrics row materializes as a side effect of
+    the consumer's own action — no second scan — and matches an
+    explicit recount."""
+    from gclog_parser_spark.datagen import pages_from_documents
+    from gclog_parser_spark.operators.parse import parse_events
+    from gclog_parser_spark.plans.pipeline import observed_events
+
+    events = parse_events(pages_from_documents(spark, sf_dir))
+    observed, obs = observed_events(events)
+    n = observed.count()  # the ONLY action
+    got = obs.get
+    assert got["events"] == n
+    assert got["null_pause_events"] >= 0
+    recount = events.agg(
+        F.round(F.sum("pause_seconds"), 6).alias("s")
+    ).collect()[0]["s"]
+    assert got["pause_seconds_sum"] == recount
