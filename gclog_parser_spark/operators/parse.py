@@ -423,3 +423,34 @@ def parse_events(
     if stitch == "window":
         return parse_events_window(pages, mode, require_marker)
     raise ValueError(f"unknown stitch {stitch!r}")
+
+
+# ---------------------------------------------------------------------------
+# UDTF lane
+# ---------------------------------------------------------------------------
+
+def register_block_udtf(spark, name: str = "split_gc_blocks"):
+    """The block splitter as a Python UDTF (Spark 4's table-function
+    extension point — the fourth Python lane in this repo after the
+    DataSource, ``mapInPandas``, and ``applyInPandasWithState``):
+    ``SELECT s.* FROM pages p, LATERAL split_gc_blocks(p.url, p.text) s``
+    gives ad-hoc SQL users the line-grouped GC blocks without the
+    DataFrame API.  Emits exactly the (line_no, block) stream the
+    narrow parse consumes (pinned in tests/test_udtf.py), so
+    ``parse_gc_line`` over the UDTF output is a third physical parse
+    strategy.  Scale shape: per-row generator, no shuffle — identical
+    distribution behavior to the mapInPandas path, minus Arrow
+    batching (the UDTF protocol is row-oriented, so the DataFrame
+    paths stay the production default)."""
+    from pyspark.sql.functions import udtf
+
+    from gclog_parser_spark import core
+
+    @udtf(returnType="line_no int, block string")
+    class SplitBlocks:
+        def eval(self, url, text):
+            for line_no, block in core.split_blocks_pos(text, False):
+                yield line_no, block
+
+    spark.udtf.register(name, SplitBlocks)
+    return SplitBlocks
