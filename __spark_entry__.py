@@ -2647,6 +2647,39 @@ def q_snap_incremental(spark, sf_dir):
     )
 
 
+def q_rel_nullsafe_join(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): a derived
+    key that is NULL for every tenth event joins two per-key aggregates
+    so the NULL group MATCHES ITSELF — the semantic a plain `=` join
+    silently drops (NULL = NULL is NULL, and at web scale the
+    unknown-key bucket is often the biggest one).  Spark compiles
+    EqualNullSafe into a hash-joinable composite key
+    ``[coalesce(k, 0), isnull(k)]`` — a real equi-join, never a
+    nested-loop filter; DuckDB runs the same ANSI
+    IS NOT DISTINCT FROM."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.when(
+        F.col("event_id") % 10 != 0, F.pmod("user_id", F.lit(50))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(key.alias("k"))
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy(key.alias("k"))
+        .agg(F.count("*").alias("n_views"))
+    )
+    return (
+        clicks.alias("c")
+        .join(views.alias("v"), F.col("c.k").eqNullSafe(F.col("v.k")))
+        .select(
+            F.col("c.k").alias("k"), "n_clicks", "n_views"
+        )
+    )
+
+
 def q_rel_mv_refresh(spark, sf_dir):
     """Incremental materialized-view maintenance: the per-type
     aggregate MV state is built from the BASE snapshot (commits 1-2 of
@@ -2930,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_time_travel": q_snap_time_travel,
         "rel_dpp_scan": q_rel_dpp_scan,
         "rel_mv_refresh": q_rel_mv_refresh,
+        "rel_nullsafe_join": q_rel_nullsafe_join,
         "snap_incremental": q_snap_incremental,
         "snap_prune_scan": q_snap_prune_scan,
         "snap_wap_publish": q_snap_wap_publish,
@@ -3742,6 +3776,18 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
 
     # snapshot-catalog queries: snapshot k of the 3-append fixture is
     # exactly `event_id % 3 < k`, so history states are plain WHEREs
+    out["rel_nullsafe_join"] = (
+        "WITH keyed AS (SELECT event_type,"
+        " CASE WHEN event_id % 10 <> 0 THEN user_id % 50 END AS k"
+        " FROM events),"
+        " c AS (SELECT k, count(*) AS n_clicks FROM keyed"
+        "  WHERE event_type = 'click' GROUP BY 1),"
+        " v AS (SELECT k, count(*) AS n_views FROM keyed"
+        "  WHERE event_type = 'view' GROUP BY 1)"
+        " SELECT c.k AS k, c.n_clicks, v.n_views"
+        " FROM c JOIN v ON c.k IS NOT DISTINCT FROM v.k"
+    )
+
     # whole-table aggregate — equality with base-state + CDC-delta-state
     # merge is the incremental-MV-maintenance proof
     out["rel_mv_refresh"] = (
