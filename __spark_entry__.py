@@ -1246,6 +1246,60 @@ def q_rel_cdc_upsert(spark, sf_dir):
     return apply_changes(base, changes, delete_col="is_del")
 
 
+def q_rel_stream_upsert(spark, sf_dir):
+    """Continuous MERGE apply (streaming CDC → catalog): the post-split
+    changelog replays as three chronological micro-batch files, each
+    folded into the snapshot table by foreachBatch (read state → merge
+    newest-wins with tombstones → commit overwrite snapshot; every
+    intermediate state stays time-travelable).  Value-checked against
+    the SAME one-shot MERGE oracle as the batch twin rel_cdc_upsert —
+    sequential chronological batches must compose to exactly the
+    one-shot result (streaming/stream.py::run_cdc_apply_stream)."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.operators.cdc import latest_snapshot
+    from gclog_parser_spark.sources import catalog as cat
+    from gclog_parser_spark.streaming.stream import run_cdc_apply_stream
+
+    base = tempfile.mkdtemp(prefix="gps_cdcstream_")
+    table = f"{base}/tbl"
+    inp = f"{base}/changes"
+    os.makedirs(inp)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = F.lit("2024-01-08").cast("timestamp")
+    cat.snapshot_write(
+        latest_snapshot(ev.filter(F.col("ts") < split)), table
+    )
+    changes = ev.filter(F.col("ts") >= split).withColumn(
+        "is_del", F.col("event_type") == "error"
+    )
+    bounds = [
+        ("2024-01-08", "2024-01-15"),
+        ("2024-01-15", "2024-01-22"),
+        ("2024-01-22", "2099-01-01"),
+    ]
+    for i, (lo, hi) in enumerate(bounds):
+        chunk = changes.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        # one file per chronological chunk → one micro-batch each
+        chunk.coalesce(1).write.parquet(f"{inp}/chunk-{i}")
+    q = run_cdc_apply_stream(
+        spark, f"{inp}/chunk-*", changes.schema, table, f"{base}/ckpt"
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("rel_stream_upsert: stream timed out (600 s)")
+    out = cat.read_snapshot(spark, table).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_rel_interval_join(spark, sf_dir):
     """Batch interval join (view -> purchase attribution within 30
     minutes per user) — the relational twin of the stream-stream join;
@@ -2964,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_dpp_scan": q_rel_dpp_scan,
         "rel_mv_refresh": q_rel_mv_refresh,
         "rel_nullsafe_join": q_rel_nullsafe_join,
+        "rel_stream_upsert": q_rel_stream_upsert,
         "snap_incremental": q_snap_incremental,
         "snap_prune_scan": q_snap_prune_scan,
         "snap_wap_publish": q_snap_wap_publish,
@@ -3572,6 +3627,9 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
         "   FROM merged)"
         " WHERE rn = 1 AND NOT del"
     )
+
+    # the streaming CDC apply must compose to the one-shot MERGE
+    out["rel_stream_upsert"] = out["rel_cdc_upsert"]
 
     out["rel_sliding_window"] = (
         "WITH t AS (SELECT epoch_us(ts) AS us, event_type, value"

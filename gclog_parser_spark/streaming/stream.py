@@ -371,3 +371,53 @@ def run_session_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_cdc_apply_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    table: str,
+    checkpoint: str,
+    delete_col: str = "is_del",
+):
+    """Continuous MERGE apply: a file-source changelog stream is
+    folded into the snapshot-catalog table one micro-batch at a time
+    via ``foreachBatch`` — each batch reads the current snapshot,
+    merges (:func:`operators.cdc.apply_changes` — newest change per
+    key wins, tombstones delete), and commits the merged state as a
+    new snapshot (copy-on-write MERGE; every intermediate state stays
+    time-travelable).
+
+    Sequential chronological batches compose to exactly the one-shot
+    MERGE over the whole changelog (the contract query's oracle runs
+    that one-shot form): within a batch the window picks the newest,
+    across batches a later batch's change always beats the standing
+    state, and chronological file order makes "later batch" mean
+    "newer change".  ``maxFilesPerTrigger=1`` pins one file per batch
+    so the replay is deterministic.
+
+    Scale shape: per batch, one window over (state ∪ batch) keyed on
+    the merge key and one table rewrite — the copy-on-write cost model
+    (state is the per-key snapshot, ≪ the changelog); a MoR variant
+    would commit equality-deletes instead (sources/catalog.py
+    supports both)."""
+    from gclog_parser_spark.operators.cdc import apply_changes
+    from gclog_parser_spark.sources import catalog as cat
+
+    def _apply(batch, batch_id):
+        if not batch.take(1):
+            return
+        state = cat.read_snapshot(batch.sparkSession, table)
+        merged = apply_changes(state, batch, delete_col=delete_col)
+        cat.snapshot_write(merged, table, mode="overwrite")
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

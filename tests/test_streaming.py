@@ -320,3 +320,55 @@ def test_streaming_fanout_per_sink_catalog_exactly_once(
         os.remove(crc)
     run()  # replay of the final batch → fenced, no duplicates
     assert totals() == want
+
+
+def test_cdc_apply_stream_snapshots_and_idempotence(spark, sf_dir, tmp_path):
+    """The continuous-MERGE stream commits one snapshot per micro-batch
+    (base + 3 = 4, every intermediate state time-travelable), and
+    re-applying a batch against the merged state is a no-op — the
+    idempotence that makes foreachBatch replay-safe after a mid-commit
+    failure."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.cdc import (
+        apply_changes,
+        latest_snapshot,
+    )
+    from gclog_parser_spark.sources import catalog as cat
+    from gclog_parser_spark.streaming.stream import run_cdc_apply_stream
+
+    base = str(tmp_path / "cdcstream")
+    table, inp = f"{base}/tbl", f"{base}/changes"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = F.lit("2024-01-08").cast("timestamp")
+    cat.snapshot_write(
+        latest_snapshot(ev.filter(F.col("ts") < split)), table
+    )
+    changes = ev.filter(F.col("ts") >= split).withColumn(
+        "is_del", F.col("event_type") == "error"
+    )
+    bounds = [("2024-01-08", "2024-01-15"), ("2024-01-15", "2024-01-22"),
+              ("2024-01-22", "2099-01-01")]
+    for i, (lo, hi) in enumerate(bounds):
+        changes.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        ).coalesce(1).write.parquet(f"{inp}/chunk-{i}")
+    q = run_cdc_apply_stream(
+        spark, f"{inp}/chunk-*", changes.schema, table, f"{base}/ckpt"
+    )
+    assert q.awaitTermination(600)
+    assert cat.current_snapshot_id(table) == 4  # base + one per batch
+    final = cat.read_snapshot(spark, table)
+    # a key's full history is visible via time travel
+    n_by_snap = [
+        cat.read_snapshot(spark, table, snapshot_id=s).count()
+        for s in (1, 2, 3, 4)
+    ]
+    assert n_by_snap[-1] == final.count()
+    # idempotence: re-merging the last batch changes nothing
+    last_batch = spark.read.parquet(f"{inp}/chunk-2")
+    again = apply_changes(final, last_batch, delete_col="is_del")
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, final.collect())
+    )
