@@ -1654,6 +1654,18 @@ def q_dedup_containment(spark, sf_dir):
     return containment_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_prefix_jaccard(spark, sf_dir):
+    """All-pairs Jaccard ≥ 1/2 via PPJoin prefix filtering — the
+    provably-complete candidate reducer (candidates keyed only on each
+    doc's globally-rarest shingles, so the self-join is self-limiting
+    with NO df cap and no bucket confinement), with an integer
+    den·inter ≥ num·union keep test for cross-engine parity
+    (operators/dedup.py::prefix_jaccard_pairs)."""
+    from gclog_parser_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_docs(spark, sf_dir))
+
+
 def q_text_quality(spark, sf_dir):
     from gclog_parser_spark.operators.textstats import quality_stats
 
@@ -2927,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
         "dedup_containment": q_dedup_containment,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -3236,6 +3249,7 @@ sessions AS (
     out["text_boilerplate"] = ot.strip_boilerplate_sql()
     out["dedup_simhash"] = ot.dedup_simhash_sql()
     out["dedup_jaccard"] = ot.dedup_jaccard_sql()
+    out["dedup_prefix_jaccard"] = ot.prefix_jaccard_sql()
     out["dedup_containment"] = ot.dedup_containment_sql()
     out["text_quality"] = ot.text_quality_sql()
     out["lang_id"] = ot.lang_id_sql()

@@ -510,6 +510,103 @@ def jaccard_pairs(
     return out
 
 
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """All-pairs Jaccard ≥ num/den via PPJoin-style **prefix
+    filtering** (Chaudhuri/Ganti/Kaushik 2006; Xiao et al. 2008) — the
+    provably-COMPLETE candidate reducer, unlike ``jaccard_pairs``'s
+    df-cap heuristic which silently drops pairs whose overlap lives in
+    hot shingles.
+
+    Order every document's distinct shingles by the one global
+    canonical order (ascending corpus df, shingle as tie-break) and
+    emit only the first ``n - ceil(θ·n) + 1`` as join keys: if
+    J(A,B) ≥ θ then |A∩B| ≥ ceil(θ·max(|A|,|B|)), so dropping either
+    prefix leaves a suffix too small to hold the required overlap —
+    the earliest common shingle in the global order is inside BOTH
+    prefixes, and the candidate equi-join cannot miss a true pair.
+    Candidates are further cut by the length filter (J ≥ θ ⟹
+    den·min(na,nb) ≥ num·max(na,nb)), then verified exactly.
+
+    The threshold is a rational num/den so the keep test is pure
+    integer arithmetic (``den·inter ≥ num·union``) — no float
+    comparison can disagree between engines; the reported ``jaccard``
+    is one IEEE division rounded to 6 dp.
+
+    Scale shape: df is one shingle exchange over distinct postings;
+    the prefix rank is a per-doc window (exchange on doc_id, state ∝
+    one doc's shingles); the candidate self-join keys only on PREFIX
+    shingles — by construction the globally RAREST shingles of each
+    doc — so per-key fan-out is self-limiting without any df cap
+    (a shingle common enough to explode the join is common enough to
+    rank past every prefix).  Verification joins full postings for
+    candidate docs only: shuffle ∝ candidate postings, never the pair
+    matrix.  Reference has no similarity ops; north-rule dedup
+    (BASELINE.json)."""
+    num, den = threshold_num, threshold_den
+    sh = _doc_shingles(
+        docs.select("doc_id", "text"), distinct=True
+    ).withColumnRenamed("s", "shingle")
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix_len = (
+        F.col("n")
+        - F.floor((num * F.col("n") + (den - 1)) / den).cast("long")
+        + 1
+    )
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("pos") <= prefix_len)
+        .select("doc_id", "shingle", "n")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("nb")
+    )
+    cands = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J ≥ num/den needs den·min ≥ num·max
+            & (
+                den * F.least("na", "nb")
+                >= num * F.greatest("na", "nb")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(den * F.col("inter") >= num * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / union, 6).alias("jaccard"),
+        )
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,

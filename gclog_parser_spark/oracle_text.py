@@ -178,6 +178,49 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(i / (sa.n + sb.n - i), 6) >= {threshold}"""
 
 
+def prefix_jaccard_sql(num: int = 1, den: int = 2) -> str:
+    """Oracle twin of ``prefix_jaccard_pairs``: same global (df,
+    shingle) canonical order, same integer prefix length
+    ``n - ceil(num·n/den) + 1`` (ceil as ``floor((num·n+den-1)/den)``),
+    same integer length filter and keep test."""
+    return f"""WITH {SHINGLES_CTE},
+toks AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM toks GROUP BY shingle),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+ranked AS (
+  SELECT t.doc_id, t.shingle, z.n,
+         row_number() OVER (
+           PARTITION BY t.doc_id ORDER BY d.df, t.shingle
+         ) AS pos
+  FROM toks t JOIN dfreq d USING (shingle) JOIN sizes z USING (doc_id)
+),
+pref AS (
+  SELECT doc_id, shingle, n FROM ranked
+  WHERE pos <= n - floor(({num} * n + {den - 1}) / {den}) + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.shingle = b.shingle
+   AND a.doc_id < b.doc_id
+  WHERE {den} * least(a.n, b.n) >= {num} * greatest(a.n, b.n)
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {den} * i >= {num} * (sa.n + sb.n - i)"""
+
+
 def _count_re(expr: str, pattern: str) -> str:
     # DuckDB single-quoted strings are escape-free: pass regex
     # backslashes through verbatim
