@@ -1666,6 +1666,27 @@ def q_dedup_prefix_jaccard(spark, sf_dir):
     return prefix_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def q_corpus_domain_mix(spark, sf_dir):
+    """Temperature-based training-mix design: per-domain sampling
+    weights ∝ √n (α=1/2 — the IEEE-exact temperature), normalized via
+    exact integer ticks so no float accumulation order exists
+    (operators/sampling.py::domain_mix_weights)."""
+    from gclog_parser_spark.operators.sampling import domain_mix_weights
+
+    return domain_mix_weights(_docs(spark, sf_dir))
+
+
+def q_text_classifier(spark, sf_dir):
+    """Linear classifier inference at corpus scale (fastText shape):
+    hashed word uni+bigram features → broadcast weight-relation join →
+    tf-weighted mean score; the keep decision is a sign test on the
+    exact integer tick sum so the boundary cannot float-drift
+    (operators/textstats.py::classifier_score)."""
+    from gclog_parser_spark.operators.textstats import classifier_score
+
+    return classifier_score(_docs(spark, sf_dir))
+
+
 def q_text_quality(spark, sf_dir):
     from gclog_parser_spark.operators.textstats import quality_stats
 
@@ -2942,6 +2963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
         "dedup_containment": q_dedup_containment,
         "text_quality": q_text_quality,
+        "text_classifier": q_text_classifier,
+        "corpus_domain_mix": q_corpus_domain_mix,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3252,6 +3275,8 @@ sessions AS (
     out["dedup_prefix_jaccard"] = ot.prefix_jaccard_sql()
     out["dedup_containment"] = ot.dedup_containment_sql()
     out["text_quality"] = ot.text_quality_sql()
+    out["text_classifier"] = ot.classifier_score_sql()
+    out["corpus_domain_mix"] = ot.domain_mix_sql()
     out["lang_id"] = ot.lang_id_sql()
     out["token_counts"] = ot.token_counts_sql()
     out["doc_fingerprint"] = ot.doc_fingerprint_sql()

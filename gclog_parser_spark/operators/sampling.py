@@ -313,3 +313,54 @@ def importance_weights(
             ).alias("dsir_score"),
         )
     )
+
+
+def domain_mix_weights(
+    docs: DataFrame, domain_col: str = "source"
+) -> DataFrame:
+    """Temperature-based training-mix design (the multilingual /
+    multi-domain resampling rule of mBERT/XLM-R and the Pile's domain
+    weights): flatten the corpus's domain distribution by sampling
+    domains ∝ p^α with α = 1/2, boosting rare domains and damping the
+    crawl-dominant head before training.
+
+    α is FIXED at 1/2 because ``sqrt`` is one of the IEEE-754
+    exactly-rounded operations — bit-identical in every engine —
+    where a general ``pow(p, α)`` routes through exp/log and drifts
+    by ulps per libm.  Cross-domain normalization sums integer ticks
+    (``round(1e6·sqrt(n))``, F.round = DuckDB round = HALF_UP), so no
+    float accumulation order exists; each output share is one IEEE
+    division of exact integers, rounded to 6 dp.
+
+    Returns one row per domain: ``n_docs``, ``share`` (natural
+    probability n/N), ``mix_weight`` (the α-tempered sampling
+    probability √n/Σ√n), and ``boost`` = mix_weight/share — the
+    per-domain oversampling factor a weighted sampler (e.g.
+    ``weighted_sample``) applies downstream.
+
+    Scale shape: one partial-aggregated exchange on the domain key
+    collapses the corpus to #domains rows; the grand totals ride back
+    as a broadcast one-row relation.  Driver holds nothing.
+    Reference has no sampling ops; north-rule mix design
+    (BASELINE.json)."""
+    per = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+    per = per.withColumn(
+        "tick", F.round(F.sqrt(F.col("n_docs")) * 1_000_000).cast("long")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("N"), F.sum("tick").alias("T")
+    )
+    share = F.round(F.col("n_docs") / F.col("N"), 6)
+    mix = F.round(F.col("tick") / F.col("T"), 6)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            share.alias("share"),
+            mix.alias("mix_weight"),
+            F.round(mix / share, 6).alias("boost"),
+        )
+    )

@@ -868,3 +868,97 @@ def unigram_surprisal_buckets(docs: DataFrame) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy("surprisal", "doc_id")
     return scored.withColumn("bucket", F.ntile(3).over(w))
+
+
+def hashed_feature_weights(spark, n_buckets: int = 4096):
+    """Deterministic exported-model weight table for
+    ``classifier_score``: one row per hashed-feature bucket with an
+    integer weight tick in [-1e6, 1e6] derived from md5 of the bucket
+    id — a stand-in for a trained fastText/logistic model's exported
+    coefficients that both engines can regenerate bit-identically
+    (no model file in the sandbox).  In production this relation is
+    the classifier artifact loaded from storage; everything downstream
+    (broadcast join shape, scoring arithmetic) is exactly what serving
+    a real exported model looks like."""
+    from gclog_parser_spark.operators.dedup import md5_long
+
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            md5_long(F.concat(F.lit("w:"), F.col("id").cast("string")))
+            % 2_000_001
+            - 1_000_000
+        ).alias("w_tick"),
+    )
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Linear text-classifier INFERENCE at corpus scale — the
+    quality/toxicity/domain-filter step of an LLM data pipeline
+    (fastText-style: hashed bag of word uni+bigrams → weight lookup →
+    mean).  The model is a weight RELATION (one row per feature
+    bucket, broadcast — dim-sized by construction: buckets, not
+    vocabulary), so scoring is a broadcast equi-join plus one
+    aggregate, never a Python loop over tokens.
+
+    Features: ``u:<word>`` unigrams and ``b:<w1> <w2>`` bigrams,
+    hashed to ``n_buckets`` with the portable 60-bit md5 hash
+    (feature hashing — collisions are part of the model, same trick
+    as Vowpal Wabbit / fastText's hashed n-grams).  The score is the
+    tf-weighted MEAN weight tick / 1e6 (one IEEE division, round 6);
+    ``keep`` is the sign test on the exact integer tick sum, so the
+    decision boundary cannot float-drift between engines.
+
+    Scale shape: explode → one (doc, bucket) exchange for tf → weight
+    join BROADCAST (n_buckets rows) → one doc exchange for the sum.
+    Two exchanges total, both ∝ doc features; the model never
+    shuffles.  Reference has no classifier; north-rule quality
+    filtering (BASELINE.json)."""
+    from gclog_parser_spark.operators.dedup import (
+        _shingle_expr,
+        _words,
+        md5_long,
+    )
+
+    if weights is None:
+        weights = hashed_feature_weights(docs.sparkSession, n_buckets)
+    w = _words(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(w, lambda x: F.concat(F.lit("u:"), x)),
+                F.transform(
+                    _shingle_expr(w, 2),
+                    lambda x: F.concat(F.lit("b:"), x),
+                ),
+            )
+        ).alias("feat"),
+    )
+    tf = (
+        feats.select(
+            "doc_id", (md5_long(F.col("feat")) % n_buckets).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("w_tick")).alias("ticks"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(
+                F.col("ticks") / F.col("n_feats") / F.lit(1e6), 6
+            ).alias("score"),
+            (F.col("ticks") >= 0).alias("keep"),
+        )
+    )

@@ -1637,3 +1637,61 @@ GROUP BY 1
 ORDER BY pq_dist_ticks, vec_id
 LIMIT {k}"""
     )
+
+
+def classifier_score_sql(n_buckets: int = 4096) -> str:
+    """Oracle twin of ``textstats.classifier_score``: same hashed
+    uni+bigram features, same md5-derived weight table, same integer
+    tick sum and sign test."""
+    return f"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(w, x -> 'u:' || x),
+    list_transform(
+      generate_series(1, greatest(len(w) - 1, 0)),
+      i -> 'b:' || array_to_string(list_slice(w, i, i + 1), ' ')
+    )
+  )) AS feat
+  FROM w
+),
+tf AS (
+  SELECT doc_id, {_hex60('feat')} % {n_buckets} AS bucket,
+         count(*) AS tf
+  FROM feats GROUP BY 1, 2
+),
+wt AS (
+  SELECT i AS bucket,
+    ({_hex60("'w:' || CAST(i AS VARCHAR)")} % 2000001) - 1000000
+      AS w_tick
+  FROM range({n_buckets}) t(i)
+)
+SELECT doc_id,
+  CAST(sum(tf) AS BIGINT) AS n_feats,
+  round(CAST(sum(tf * w_tick) AS BIGINT)
+        / CAST(sum(tf) AS BIGINT) / 1000000.0, 6) AS score,
+  CAST(sum(tf * w_tick) AS BIGINT) >= 0 AS keep
+FROM tf JOIN wt USING (bucket)
+GROUP BY 1"""
+
+
+def domain_mix_sql() -> str:
+    """Oracle twin of ``sampling.domain_mix_weights`` — same
+    integer-tick √n temperature weights, same rounding nesting."""
+    return """WITH per AS (
+  SELECT source AS domain, count(*) AS n_docs,
+    CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS tick
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS N,
+         CAST(sum(tick) AS BIGINT) AS T
+  FROM per
+)
+SELECT domain, n_docs,
+  round(n_docs / N, 6) AS share,
+  round(tick / T, 6) AS mix_weight,
+  round(round(tick / T, 6) / round(n_docs / N, 6), 6) AS boost
+FROM per, tot"""
