@@ -1666,6 +1666,27 @@ def q_dedup_prefix_jaccard(spark, sf_dir):
     return prefix_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def q_text_oov(spark, sf_dir):
+    """Tokenizer-coverage audit: per-doc OOV rate against the
+    corpus-trained top-100 bigram vocabulary (deterministic count/
+    bigram boundary; TakeOrderedAndProject top-k, broadcast membership
+    join) (operators/textstats.py::oov_rate)."""
+    from gclog_parser_spark.operators.textstats import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir))
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """Quality-argmax canonical selection per near-dup cluster: LSH →
+    connected components → keep the highest-quality member (doc_id
+    tie-break), one row per cluster with member count — the keeper
+    policy a production corpus wants over min-id
+    (operators/dedup.py::dedup_survivors)."""
+    from gclog_parser_spark.operators.dedup import dedup_survivors
+
+    return dedup_survivors(_docs(spark, sf_dir))
+
+
 def q_corpus_domain_mix(spark, sf_dir):
     """Temperature-based training-mix design: per-domain sampling
     weights ∝ √n (α=1/2 — the IEEE-exact temperature), normalized via
@@ -2965,6 +2986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_classifier": q_text_classifier,
         "corpus_domain_mix": q_corpus_domain_mix,
+        "dedup_survivors": q_dedup_survivors,
+        "text_oov": q_text_oov,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3277,6 +3300,8 @@ sessions AS (
     out["text_quality"] = ot.text_quality_sql()
     out["text_classifier"] = ot.classifier_score_sql()
     out["corpus_domain_mix"] = ot.domain_mix_sql()
+    out["dedup_survivors"] = ot.dedup_survivors_sql()
+    out["text_oov"] = ot.oov_rate_sql()
     out["lang_id"] = ot.lang_id_sql()
     out["token_counts"] = ot.token_counts_sql()
     out["doc_fingerprint"] = ot.doc_fingerprint_sql()

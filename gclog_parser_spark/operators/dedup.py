@@ -429,6 +429,51 @@ def dedup_clusters(
     )
 
 
+def dedup_survivors(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: instead of
+    ``dedup_clusters``' arbitrary min-id keeper, retain the HIGHEST
+    QUALITY member (``quality_stats`` score, doc_id tie-break) — the
+    policy a production corpus actually wants, since near-dup clusters
+    mix a clean original with boilerplate-wrapped and truncated
+    mirrors and min-id keeps a random one.
+
+    Returns one row per cluster: ``(cluster_id, survivor_id,
+    n_members, best_score)``; singletons survive as themselves.
+
+    Scale shape: clustering is ``dedup_clusters`` (LSH pairs →
+    alternating-star CC); the quality relation is a zero-shuffle
+    codegen projection; selection is one cluster_id exchange shared
+    by the rank and member-count windows (same partition key, one
+    sort).  Reference has no dedup; north-rule near-dedup
+    (BASELINE.json)."""
+    from gclog_parser_spark.operators.textstats import quality_stats
+
+    cl = dedup_clusters(docs, num_hashes, bands).select(
+        "doc_id", "cluster_id"
+    )
+    q = quality_stats(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        cl.join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            "n_members",
+            F.col("quality_score").alias("best_score"),
+        )
+    )
+
+
 def _pair_overlaps(
     docs: DataFrame, bucket_col: str, max_df: int
 ) -> DataFrame:

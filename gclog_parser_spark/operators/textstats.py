@@ -962,3 +962,52 @@ def classifier_score(
             (F.col("ticks") >= 0).alias("keep"),
         )
     )
+
+
+def oov_rate(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
+    """Tokenizer-coverage audit: per-document out-of-vocabulary rate
+    against a vocabulary TRAINED ON THE CORPUS ITSELF — the top
+    ``vocab_size`` word bigrams by frequency (count DESC, bigram ASC
+    tie-break, so the vocabulary boundary is deterministic).  The
+    pipeline question it answers: how much of each document would a
+    fixed-size tokenizer vocabulary fail to cover, i.e. which docs
+    blow up into fallback tokens and inflate training cost.
+
+    Scale shape: bigram counts are one partial-aggregated exchange;
+    vocabulary selection is ``ORDER BY ... LIMIT V`` — Spark plans
+    TakeOrderedAndProject (map-side partial top-k per partition, never
+    a global sort of the vocabulary relation); membership is a
+    BROADCAST left join of the V-row vocab against the exploded
+    bigrams; one doc exchange aggregates coverage.  Reference has no
+    text ops; north-rule tokenizer-coverage audit (BASELINE.json)."""
+    from gclog_parser_spark.operators.dedup import _shingle_expr, _words
+
+    bg = docs.select(
+        "doc_id",
+        F.explode(_shingle_expr(_words(F.col("text")), 2)).alias("bigram"),
+    )
+    vocab = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "bigram")
+        .limit(vocab_size)
+        .select("bigram", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        bg.join(F.broadcast(vocab), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_bigrams"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )

@@ -131,6 +131,43 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c USING (doc_id)"""
 
 
+def dedup_survivors_sql() -> str:
+    """Oracle twin of ``dedup_survivors``: the recursive-CTE closure
+    of ``dedup_clusters_sql`` plus the ``text_quality_sql`` score,
+    survivor = row_number 1 per cluster by (score DESC, doc_id)."""
+    return f"""WITH RECURSIVE {_minhash_ctes()},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+cl AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+q AS ({text_quality_sql()}),
+scored AS (
+  SELECT cl.cluster_id, cl.doc_id, q.quality_score,
+    row_number() OVER (
+      PARTITION BY cl.cluster_id
+      ORDER BY q.quality_score DESC, cl.doc_id
+    ) AS rk,
+    count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+  FROM cl JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS survivor_id,
+  CAST(n_members AS BIGINT) AS n_members,
+  quality_score AS best_score
+FROM scored WHERE rk = 1"""
+
+
 def dedup_simhash_sql(bits: int = 16) -> str:
     bit_sum = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -1695,3 +1732,31 @@ SELECT domain, n_docs,
   round(tick / T, 6) AS mix_weight,
   round(round(tick / T, 6) / round(n_docs / N, 6), 6) AS boost
 FROM per, tot"""
+
+
+def oov_rate_sql(vocab_size: int = 100) -> str:
+    """Oracle twin of ``textstats.oov_rate``: same corpus-trained
+    top-V bigram vocabulary with the same deterministic boundary."""
+    return f"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(w) - 1, 0)),
+    i -> array_to_string(list_slice(w, i, i + 1), ' ')
+  )) AS bigram
+  FROM w
+),
+cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+vocab AS (
+  SELECT bigram FROM cnt ORDER BY c DESC, bigram LIMIT {vocab_size}
+)
+SELECT b.doc_id,
+  count(*) AS n_bigrams,
+  CAST(sum(CASE WHEN v.bigram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_oov,
+  round(CAST(sum(CASE WHEN v.bigram IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / count(*), 6) AS oov_rate
+FROM bg b LEFT JOIN vocab v ON b.bigram = v.bigram
+GROUP BY 1"""
