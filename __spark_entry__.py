@@ -1666,6 +1666,21 @@ def q_dedup_prefix_jaccard(spark, sf_dir):
     return prefix_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def q_corpus_drift(spark, sf_dir):
+    """Corpus-drift monitor between two snapshots (even/odd doc_id
+    halves stand in for consecutive crawl batches): per-word
+    total-variation contribution via exact 1e9 share ticks — rational,
+    log-free, so both engines agree bit-for-bit
+    (operators/textstats.py::word_drift)."""
+    from gclog_parser_spark.operators.textstats import word_drift
+
+    docs = _docs(spark, sf_dir)
+    return word_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_text_oov(spark, sf_dir):
     """Tokenizer-coverage audit: per-doc OOV rate against the
     corpus-trained top-100 bigram vocabulary (deterministic count/
@@ -2988,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_domain_mix": q_corpus_domain_mix,
         "dedup_survivors": q_dedup_survivors,
         "text_oov": q_text_oov,
+        "corpus_drift": q_corpus_drift,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3302,6 +3318,7 @@ sessions AS (
     out["corpus_domain_mix"] = ot.domain_mix_sql()
     out["dedup_survivors"] = ot.dedup_survivors_sql()
     out["text_oov"] = ot.oov_rate_sql()
+    out["corpus_drift"] = ot.word_drift_sql()
     out["lang_id"] = ot.lang_id_sql()
     out["token_counts"] = ot.token_counts_sql()
     out["doc_fingerprint"] = ot.doc_fingerprint_sql()

@@ -187,6 +187,16 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     from gclog_parser_spark.operators.dedup import containment_pairs
 
     t("containment_sf", lambda: containment_pairs(docs).count())
+    from gclog_parser_spark.operators.dedup import prefix_jaccard_pairs
+    from gclog_parser_spark.operators.textstats import (
+        classifier_score,
+        oov_rate,
+    )
+
+    # the complete (no df-cap) candidate reducer vs dedup_jaccard above
+    t("prefix_jaccard_sf", lambda: prefix_jaccard_pairs(docs).count())
+    t("classifier_sf", lambda: classifier_score(docs).count())
+    t("oov_rate_sf", lambda: oov_rate(docs).count())
     # PQ: train once (2 Lloyd's iterations over the sf corpus), then
     # time the steady-state ADC search separately — the one-time vs
     # per-query split a serving deployment cares about

@@ -1011,3 +1011,51 @@ def oov_rate(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
             ),
         )
     )
+
+
+def word_drift(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
+    """Corpus-drift monitoring between two snapshots/splits: per-word
+    contribution to the total-variation distance between the two word
+    distributions — the shift detector a pipeline runs between crawl
+    batches before retraining (did the word mix move, and which words
+    moved it).  TV is the RATIONAL divergence (KL needs ``log`` and
+    its per-libm ulp drift): each share is one IEEE division of exact
+    counts quantized to integer ticks (``round(1e9·c/T)``), the drift
+    is the exact |tick difference| / 1e9, and ``sum(drift)/2`` over
+    the output is the corpus-level TV distance.
+
+    Words present in only one snapshot get share 0 in the other (full
+    outer join).  Returns ``(word, n_a, n_b, drift)``.
+
+    Scale shape: each side is one partial-aggregated word exchange;
+    the grand totals ride back as broadcast one-row relations; the
+    full outer join keys on word (AQE splits hot words).  Driver
+    holds nothing.  Reference has no text ops; north-rule corpus
+    monitoring (BASELINE.json)."""
+    from gclog_parser_spark.operators.dedup import _words
+
+    def counts(d):
+        return (
+            d.select(F.explode(_words(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("c"))
+        )
+
+    ca, cb = counts(docs_a), counts(docs_b)
+    ta = ca.agg(F.sum("c").alias("ta"))
+    tb = cb.agg(F.sum("c").alias("tb"))
+    joined = (
+        ca.withColumnRenamed("c", "n_a")
+        .join(cb.withColumnRenamed("c", "n_b"), "word", "full_outer")
+        .na.fill({"n_a": 0, "n_b": 0})
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    tick_a = F.round(F.col("n_a") * F.lit(1e9) / F.col("ta")).cast("long")
+    tick_b = F.round(F.col("n_b") * F.lit(1e9) / F.col("tb")).cast("long")
+    return joined.select(
+        "word",
+        "n_a",
+        "n_b",
+        F.round(F.abs(tick_a - tick_b) / F.lit(1e9), 6).alias("drift"),
+    )

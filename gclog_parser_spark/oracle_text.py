@@ -1760,3 +1760,31 @@ SELECT b.doc_id,
              AS BIGINT) / count(*), 6) AS oov_rate
 FROM bg b LEFT JOIN vocab v ON b.bigram = v.bigram
 GROUP BY 1"""
+
+
+def word_drift_sql() -> str:
+    """Oracle twin of ``textstats.word_drift`` over the even/odd
+    doc_id split the contract query uses — same 1e9 share ticks,
+    same full outer join."""
+    return """WITH wa AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE doc_id % 2 = 0
+),
+wb AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE doc_id % 2 = 1
+),
+ca AS (SELECT word, count(*) AS n_a FROM wa GROUP BY 1),
+cb AS (SELECT word, count(*) AS n_b FROM wb GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(sum(n_a) AS BIGINT) FROM ca) AS ta,
+         (SELECT CAST(sum(n_b) AS BIGINT) FROM cb) AS tb
+)
+SELECT coalesce(ca.word, cb.word) AS word,
+  CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+  round(abs(
+    CAST(round(coalesce(n_a, 0) * 1000000000.0 / ta) AS BIGINT)
+    - CAST(round(coalesce(n_b, 0) * 1000000000.0 / tb) AS BIGINT)
+  ) / 1000000000.0, 6) AS drift
+FROM ca FULL OUTER JOIN cb USING (word), tot"""
