@@ -1226,6 +1226,16 @@ def q_rel_cdc_latest(spark, sf_dir):
     return latest_snapshot(ev)
 
 
+def q_rel_scd2(spark, sf_dir):
+    """Type-2 SCD history from the changelog: run-compressed attribute
+    versions per user with [valid_from, valid_to) intervals and an
+    is_current flag — one key exchange, lag+lead on one shared sort
+    (operators/cdc.py::scd2_history)."""
+    from gclog_parser_spark.operators.cdc import scd2_history
+
+    return scd2_history(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_rel_cdc_upsert(spark, sf_dir):
     """MERGE INTO semantics (the Iceberg upsert the sandbox can't run
     natively — see operators/route.fanout_write): base = the per-user
@@ -3004,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "text_oov": q_text_oov,
         "corpus_drift": q_corpus_drift,
+        "rel_scd2": q_rel_scd2,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3682,6 +3693,20 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
         "SELECT doc_id, text, lang, source, n_chars FROM documents"
     )
 
+    out["rel_scd2"] = (
+        "WITH ordered AS ("
+        " SELECT user_id, event_type, ts, event_id,"
+        "  lag(event_type) OVER (PARTITION BY user_id"
+        "   ORDER BY ts, event_id) AS prev FROM events),"
+        " vers AS (SELECT user_id, event_type, ts, event_id"
+        "  FROM ordered WHERE prev IS NULL OR event_type <> prev)"
+        " SELECT user_id, event_type, ts AS valid_from,"
+        "  lead(ts) OVER (PARTITION BY user_id"
+        "   ORDER BY ts, event_id) AS valid_to,"
+        "  lead(ts) OVER (PARTITION BY user_id"
+        "   ORDER BY ts, event_id) IS NULL AS is_current"
+        " FROM vers"
+    )
     out["rel_cdc_latest"] = (
         "SELECT event_id, ts, user_id, event_type, value, props"
         " FROM (SELECT *, row_number() OVER (PARTITION BY user_id"

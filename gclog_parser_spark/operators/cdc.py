@@ -87,3 +87,42 @@ def apply_changes(
         .filter((F.col("_rn") == 1) & (~F.col("_del")))
         .drop("_rn", "_prec", "_del")
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an append-only
+    changelog: one validity interval per ATTRIBUTE RUN — consecutive
+    changes carrying the same value are compressed away (the
+    change-detection step; without it every heartbeat update mints a
+    spurious version), each surviving change opens ``[valid_from,
+    valid_to)`` closed by the next change, and the newest version per
+    key has ``valid_to`` NULL / ``is_current`` true.  This is the
+    MERGE-with-history write path of a dimension table, expressed as
+    the relational plan an Iceberg SCD2 merge executes underneath.
+
+    Scale shape: ONE hash exchange on the key; the run-compression
+    ``lag`` and the interval-closing ``lead`` ride the same partition
+    ordering (ts, seq — deterministic cross-engine tie-break), so
+    Catalyst reuses the sort.  No join, no driver state.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, seq_col)
+    vers = changes.withColumn("prev", F.lag(attr).over(w)).where(
+        F.col("prev").isNull() | (F.col(attr) != F.col("prev"))
+    )
+    w2 = Window.partitionBy(key).orderBy(ts_col, seq_col)
+    return (
+        vers.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .select(
+            key,
+            attr,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
