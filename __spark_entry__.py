@@ -1691,6 +1691,20 @@ def q_corpus_drift(spark, sf_dir):
     )
 
 
+def q_text_bpe_merges(spark, sf_dir):
+    """Corpus-scale BPE tokenizer training: learn the first 8 merges —
+    one corpus-sized word-count aggregation, then every iteration runs
+    on the |vocab|-row weighted word relation (pair-count exchange +
+    O(1) driver argmax + map-side fold rewrite, localCheckpoint-
+    truncated lineage).  Exact BIGINT parity with the oracle's
+    unrolled-CTE reimplementation, whose merge step is a gaps-and-
+    islands window rather than the fold
+    (operators/tokenizer.py::bpe_merges)."""
+    from gclog_parser_spark.operators.tokenizer import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir))
+
+
 def q_text_oov(spark, sf_dir):
     """Tokenizer-coverage audit: per-doc OOV rate against the
     corpus-trained top-100 bigram vocabulary (deterministic count/
@@ -3013,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_domain_mix": q_corpus_domain_mix,
         "dedup_survivors": q_dedup_survivors,
         "text_oov": q_text_oov,
+        "text_bpe_merges": q_text_bpe_merges,
         "corpus_drift": q_corpus_drift,
         "rel_scd2": q_rel_scd2,
         "lang_id": q_lang_id,
@@ -3329,6 +3344,7 @@ sessions AS (
     out["corpus_domain_mix"] = ot.domain_mix_sql()
     out["dedup_survivors"] = ot.dedup_survivors_sql()
     out["text_oov"] = ot.oov_rate_sql()
+    out["text_bpe_merges"] = ot.bpe_merges_sql()
     out["corpus_drift"] = ot.word_drift_sql()
     out["lang_id"] = ot.lang_id_sql()
     out["token_counts"] = ot.token_counts_sql()

@@ -197,6 +197,10 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     t("prefix_jaccard_sf", lambda: prefix_jaccard_pairs(docs).count())
     t("classifier_sf", lambda: classifier_score(docs).count())
     t("oov_rate_sf", lambda: oov_rate(docs).count())
+    # BPE trainer: iterative, one corpus-sized word count then 8
+    # vocab-relation rounds (pair-count exchange + O(1) argmax each)
+    from gclog_parser_spark.operators.tokenizer import bpe_merges
+    t("bpe_train_sf", lambda: bpe_merges(docs).count(), reps=1)
     # PQ: train once (2 Lloyd's iterations over the sf corpus), then
     # time the steady-state ADC search separately — the one-time vs
     # per-query split a serving deployment cares about

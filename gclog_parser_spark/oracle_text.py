@@ -1788,3 +1788,71 @@ SELECT coalesce(ca.word, cb.word) AS word,
     - CAST(round(coalesce(n_b, 0) * 1000000000.0 / tb) AS BIGINT)
   ) / 1000000000.0, 6) AS drift
 FROM ca FULL OUTER JOIN cb USING (word), tot"""
+
+
+def bpe_merges_sql(n_merges: int = 8, max_word_len: int = 64) -> str:
+    """Unrolled-CTE DuckDB twin of ``operators/tokenizer.bpe_merges``.
+
+    Independently re-derives each step: pair counts over the weighted
+    vocab, the (n DESC, lhs, rhs) argmax, and the left-to-right
+    non-overlapping merge — the merge expressed as a gaps-and-islands
+    window (merge starts = odd row numbers within each maximal run of
+    consecutive matched positions) rather than the Spark side's
+    aggregate fold, so the two constructions are independent."""
+    ctes = [
+        "wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq"
+        " FROM (SELECT unnest(string_split_regex(trim(text), '\\s+'))"
+        " AS word FROM documents)"
+        f" WHERE word <> '' AND length(word) <= {max_word_len}"
+        " GROUP BY 1)",
+        "w0 AS MATERIALIZED (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+        " AS syms, freq FROM wf)",
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT t.s[u.j] AS lhs, t.s[u.j+1] AS rhs,"
+            " CAST(sum(t.freq) AS BIGINT) AS n"
+            f" FROM (SELECT string_split(syms, ' ') AS s, freq FROM w{p}) t,"
+            " unnest(generate_series(1, len(t.s)-1)) AS u(j)"
+            " GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"best{i} AS MATERIALIZED (SELECT lhs, rhs, n FROM p{i}"
+            " ORDER BY n DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT t.syms, t.freq, u.j AS j, t.s[u.j] AS sym,"
+            " t.s[u.j+1] AS nxt,"
+            " CASE WHEN u.j < len(t.s)"
+            f" AND t.s[u.j] = (SELECT lhs FROM best{i})"
+            f" AND t.s[u.j+1] = (SELECT rhs FROM best{i})"
+            " THEN 1 ELSE 0 END AS m"
+            f" FROM (SELECT syms, freq, string_split(syms, ' ') AS s"
+            f" FROM w{p}) t,"
+            " unnest(generate_series(1, len(t.s))) AS u(j))"
+        )
+        ctes.append(
+            f"isl{i} AS MATERIALIZED (SELECT syms, j, j - row_number() OVER"
+            " (PARTITION BY syms ORDER BY j) AS isl"
+            f" FROM e{i} WHERE m = 1)"
+        )
+        ctes.append(
+            f"st{i} AS MATERIALIZED (SELECT syms, j FROM (SELECT syms, j,"
+            " row_number() OVER (PARTITION BY syms, isl ORDER BY j) AS rr"
+            f" FROM isl{i}) WHERE rr % 2 = 1)"
+        )
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT string_agg(CASE WHEN s1.j IS NOT NULL"
+            " THEN e.sym || e.nxt ELSE e.sym END, ' ' ORDER BY e.j)"
+            " AS syms, any_value(e.freq) AS freq"
+            f" FROM e{i} e"
+            f" LEFT JOIN st{i} s1 ON s1.syms = e.syms AND s1.j = e.j"
+            f" LEFT JOIN st{i} s2 ON s2.syms = e.syms AND s2.j = e.j - 1"
+            " WHERE s2.j IS NULL GROUP BY e.syms)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, n FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (" + finals + ")"
