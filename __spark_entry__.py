@@ -1705,6 +1705,18 @@ def q_text_bpe_merges(spark, sf_dir):
     return bpe_merges(_docs(spark, sf_dir))
 
 
+def q_corpus_pack(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing: deterministic
+    content-keyed concat order, sliced every 128 tokens, docs spanning
+    boundaries — one row per (doc, sequence) span.  Grouped prefix
+    sums (8 fixed pack groups here for cross-cluster reproducibility;
+    the operator defaults to defaultParallelism) keep the running sum
+    parallel (operators/sampling.py::pack_sequences)."""
+    from gclog_parser_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=128, n_groups=8)
+
+
 def q_text_oov(spark, sf_dir):
     """Tokenizer-coverage audit: per-doc OOV rate against the
     corpus-trained top-100 bigram vocabulary (deterministic count/
@@ -3028,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "text_oov": q_text_oov,
         "text_bpe_merges": q_text_bpe_merges,
+        "corpus_pack": q_corpus_pack,
         "corpus_drift": q_corpus_drift,
         "rel_scd2": q_rel_scd2,
         "lang_id": q_lang_id,
@@ -3345,6 +3358,7 @@ sessions AS (
     out["dedup_survivors"] = ot.dedup_survivors_sql()
     out["text_oov"] = ot.oov_rate_sql()
     out["text_bpe_merges"] = ot.bpe_merges_sql()
+    out["corpus_pack"] = ot.pack_sequences_sql()
     out["corpus_drift"] = ot.word_drift_sql()
     out["lang_id"] = ot.lang_id_sql()
     out["token_counts"] = ot.token_counts_sql()

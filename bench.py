@@ -201,6 +201,9 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     # vocab-relation rounds (pair-count exchange + O(1) argmax each)
     from gclog_parser_spark.operators.tokenizer import bpe_merges
     t("bpe_train_sf", lambda: bpe_merges(docs).count(), reps=1)
+    from gclog_parser_spark.operators.sampling import pack_sequences
+    t("pack_sequences_sf",
+      lambda: pack_sequences(docs, seq_len=128, n_groups=8).count())
     # PQ: train once (2 Lloyd's iterations over the sf corpus), then
     # time the steady-state ADC search separately — the one-time vs
     # per-query split a serving deployment cares about

@@ -364,3 +364,80 @@ def domain_mix_weights(
             F.round(mix / share, 6).alias("boost"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 128,
+    n_groups: int | None = None,
+    key: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Pack the corpus into fixed-``seq_len``-token training sequences
+    (GPT-style concat-and-chunk): documents are concatenated in a
+    deterministic content-keyed order and sliced every ``seq_len``
+    tokens, so a document can SPAN sequence boundaries — the output is
+    one row per (doc, sequence) span, ``(key, pack_group, seq_idx,
+    tok_start, tok_end)`` with ``[tok_start, tok_end)`` the doc-local
+    token slice that lands in that sequence.  This is the step that
+    turns a filtered corpus into the equal-length rows a trainer
+    consumes; ``shard_by_tokens`` (above) solves the different problem
+    of whole-doc output-file budgeting.
+
+    Scale shape: a single global running sum would serialize on one
+    task, so docs hash into ``n_groups`` independent pack groups
+    (default ``defaultParallelism`` = O(executor cores)) and each
+    group packs its own sequence id space — one exchange, window
+    parallel across groups.  Content-keyed order (md5 bucket, never
+    ``rand()``/``monotonically_increasing_id``) keeps re-runs and task
+    retries byte-stable; pass ``n_groups`` explicitly when the packing
+    must reproduce across differently-sized clusters.  Empty docs (0
+    tokens) occupy no span and are dropped."""
+    from gclog_parser_spark.operators.textstats import TOKEN_RE
+
+    if n_groups is None:
+        n_groups = docs.sparkSession.sparkContext.defaultParallelism
+
+    b = hash_bucket(F.col(key), salt)
+    toks = F.regexp_count(F.col("text"), F.lit(TOKEN_RE))
+    base = docs.select(
+        F.col(key),
+        (b % n_groups).cast("int").alias("pack_group"),
+        b.alias("order_key"),
+        toks.cast("long").alias("doc_tokens"),
+    ).where(F.col("doc_tokens") > 0)
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("order_key", key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = base.select(
+        key,
+        "pack_group",
+        "doc_tokens",
+        (F.sum("doc_tokens").over(w) - F.col("doc_tokens")).alias("off"),
+    )
+    first = F.floor(F.col("off") / seq_len).cast("long")
+    last = (
+        F.floor((F.col("off") + F.col("doc_tokens") - 1) / seq_len)
+        .cast("long")
+    )
+    exploded = spans.select(
+        key,
+        "pack_group",
+        "doc_tokens",
+        "off",
+        F.explode(F.sequence(first, last)).alias("seq_idx"),
+    )
+    return exploded.select(
+        key,
+        "pack_group",
+        F.col("seq_idx").cast("long").alias("seq_idx"),
+        F.greatest(
+            F.col("seq_idx") * seq_len - F.col("off"), F.lit(0)
+        ).cast("long").alias("tok_start"),
+        F.least(
+            (F.col("seq_idx") + 1) * seq_len - F.col("off"),
+            F.col("doc_tokens"),
+        ).cast("long").alias("tok_end"),
+    )

@@ -1856,3 +1856,43 @@ def bpe_merges_sql(n_merges: int = 8, max_word_len: int = 64) -> str:
         for i in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (" + finals + ")"
+
+
+def pack_sequences_sql(
+    seq_len: int = 128,
+    n_groups: int = 8,
+    key: str = "doc_id",
+    salt: str = "pack",
+) -> str:
+    """Twin of ``sampling.pack_sequences`` — same content-keyed order
+    and exclusive prefix sum; the span explode is a generate_series
+    lateral instead of Spark's sequence+explode."""
+    from gclog_parser_spark.operators.textstats import TOKEN_RE
+
+    b = _bucket_sql(key, salt)
+    toks = _count_re("text", TOKEN_RE)
+    return f"""WITH base AS (
+  SELECT {key},
+    CAST({b} % {n_groups} AS INT) AS pack_group,
+    {b} AS order_key,
+    CAST({toks} AS BIGINT) AS doc_tokens
+  FROM documents
+),
+spans AS (
+  SELECT {key}, pack_group, doc_tokens,
+    sum(doc_tokens) OVER (
+      PARTITION BY pack_group ORDER BY order_key, {key}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - doc_tokens
+      AS off
+  FROM base WHERE doc_tokens > 0
+)
+SELECT s.{key}, s.pack_group,
+  CAST(u.seq_idx AS BIGINT) AS seq_idx,
+  CAST(greatest(u.seq_idx * {seq_len} - s.off, 0) AS BIGINT) AS tok_start,
+  CAST(least((u.seq_idx + 1) * {seq_len} - s.off, s.doc_tokens) AS BIGINT)
+    AS tok_end
+FROM spans s,
+  unnest(generate_series(CAST(s.off // {seq_len} AS BIGINT),
+                         CAST((s.off + s.doc_tokens - 1) // {seq_len}
+                              AS BIGINT)))
+    AS u(seq_idx)"""

@@ -395,3 +395,83 @@ def test_dsir_empty_target_is_uniform_prior(spark):
               for r in importance_weights(docs, target).collect()]
     assert len(scores) == 2
     assert all(s is not None and s > 0 for s in scores)
+
+
+class TestPackSequences:
+    """Concat-and-chunk packing invariants (value parity vs DuckDB is
+    tests/test_oracle_parity.py[corpus_pack])."""
+
+    def _pack(self, spark, sf_dir, **kw):
+        from gclog_parser_spark.operators.sampling import pack_sequences
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return pack_sequences(docs, seq_len=64, n_groups=4, **kw)
+
+    def test_spans_partition_each_doc_exactly(self, spark, sf_dir):
+        """Per doc: spans are contiguous, start at 0, end at
+        doc_tokens — no token lost or duplicated across sequences."""
+        import pyspark.sql.functions as F
+        from gclog_parser_spark.operators.textstats import TOKEN_RE
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(TOKEN_RE)).cast("long").alias("nt"),
+        )
+        per_doc = (
+            self._pack(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("tok_end") - F.col("tok_start")).alias("cov"),
+                F.min("tok_start").alias("lo"),
+                F.max("tok_end").alias("hi"),
+            )
+            .join(toks, "doc_id")
+        )
+        bad = per_doc.where(
+            (F.col("cov") != F.col("nt"))
+            | (F.col("lo") != 0)
+            | (F.col("hi") != F.col("nt"))
+        )
+        assert bad.count() == 0
+
+    def test_full_sequences_hold_exactly_seq_len(self, spark, sf_dir):
+        """Every sequence except each group's last carries exactly
+        seq_len tokens — the equal-length rows a trainer needs."""
+        import pyspark.sql.functions as F
+
+        seqs = (
+            self._pack(spark, sf_dir)
+            .groupBy("pack_group", "seq_idx")
+            .agg(F.sum(F.col("tok_end") - F.col("tok_start")).alias("n"))
+        )
+        last = seqs.groupBy("pack_group").agg(
+            F.max("seq_idx").alias("seq_idx")
+        )
+        full = seqs.join(last, ["pack_group", "seq_idx"], "left_anti")
+        assert full.where(F.col("n") != 64).count() == 0
+        # and sequence ids are dense from 0 per group
+        import pyspark.sql.functions as F2
+
+        dense = seqs.groupBy("pack_group").agg(
+            F2.count("*").alias("c"), F2.max("seq_idx").alias("m")
+        )
+        assert dense.where(F2.col("c") != F2.col("m") + 1).count() == 0
+
+    def test_rerun_is_byte_stable(self, spark, sf_dir):
+        a = sorted(map(tuple, self._pack(spark, sf_dir).collect()))
+        b = sorted(map(tuple, self._pack(spark, sf_dir).collect()))
+        assert a == b
+
+    def test_default_groups_follow_parallelism(self, spark, sf_dir):
+        from gclog_parser_spark.operators.sampling import pack_sequences
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = {
+            r["pack_group"]
+            for r in pack_sequences(docs, seq_len=64)
+            .select("pack_group")
+            .distinct()
+            .collect()
+        }
+        assert max(got) < spark.sparkContext.defaultParallelism
