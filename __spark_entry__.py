@@ -1705,6 +1705,22 @@ def q_text_bpe_merges(spark, sf_dir):
     return bpe_merges(_docs(spark, sf_dir))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """New-crawl-batch dedup against an already-deduplicated corpus
+    (even/odd doc_id halves): exact hash semi-join + LSH band-index
+    probe (new-vs-old) + within-batch band self-join (new-vs-new) —
+    the production shape that never re-clusters the corpus.  Oracle
+    re-derives verdicts from the FULL pair set, classified by split
+    side (operators/dedup.py::incremental_dedup)."""
+    from gclog_parser_spark.operators.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    return incremental_dedup(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_corpus_pack(spark, sf_dir):
     """GPT-style concat-and-chunk sequence packing: deterministic
     content-keyed concat order, sliced every 128 tokens, docs spanning
@@ -3041,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_oov": q_text_oov,
         "text_bpe_merges": q_text_bpe_merges,
         "corpus_pack": q_corpus_pack,
+        "dedup_incremental": q_dedup_incremental,
         "corpus_drift": q_corpus_drift,
         "rel_scd2": q_rel_scd2,
         "lang_id": q_lang_id,
@@ -3359,6 +3376,7 @@ sessions AS (
     out["text_oov"] = ot.oov_rate_sql()
     out["text_bpe_merges"] = ot.bpe_merges_sql()
     out["corpus_pack"] = ot.pack_sequences_sql()
+    out["dedup_incremental"] = ot.incremental_dedup_sql()
     out["corpus_drift"] = ot.word_drift_sql()
     out["lang_id"] = ot.lang_id_sql()
     out["token_counts"] = ot.token_counts_sql()

@@ -204,6 +204,11 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     from gclog_parser_spark.operators.sampling import pack_sequences
     t("pack_sequences_sf",
       lambda: pack_sequences(docs, seq_len=128, n_groups=8).count())
+    from gclog_parser_spark.operators.dedup import incremental_dedup
+    t("incremental_dedup_sf", lambda: incremental_dedup(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    ).count())
     # PQ: train once (2 Lloyd's iterations over the sf corpus), then
     # time the steady-state ADC search separately — the one-time vs
     # per-query split a serving deployment cares about

@@ -156,16 +156,18 @@ def minhash_band_pairs(
     return band_pairs_from_sigs(sigs, num_hashes, bands)
 
 
-def band_pairs_from_sigs(
+def band_keys(
     sigs: DataFrame,
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
 ) -> DataFrame:
-    """The banding + equi-join half of `minhash_band_pairs`, split out
-    so callers that also need the signatures (the verify stage) compute
-    them once."""
+    """The banding projection ``(doc_id, band_idx, band_key)`` — the
+    LSH index relation.  Split out of ``band_pairs_from_sigs`` so the
+    incremental path can persist it as the corpus index table and
+    probe it with a new batch's keys (the production shape: the index
+    is append-only storage, never recomputed from corpus text)."""
     rows = num_hashes // bands
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -182,6 +184,17 @@ def band_pairs_from_sigs(
             )
         ).alias("band_idx", "band_key"),
     )
+
+
+def band_pairs_from_sigs(
+    sigs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """The banding + equi-join half of `minhash_band_pairs`, split out
+    so callers that also need the signatures (the verify stage) compute
+    them once."""
+    banded = band_keys(sigs, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -822,5 +835,79 @@ def containment_pairs(
         .select(
             "doc_a", "doc_b", "inter", "na", "nb",
             "containment", "jaccard",
+        )
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Dedup a NEW crawl batch against an already-deduplicated corpus —
+    the shape production pipelines actually run (nobody re-clusters
+    10^12 documents per crawl; each batch probes the stored index and
+    only new-vs-old + new-vs-new comparisons happen).
+
+    Three stages, one verdict row per batch doc
+    ``(doc_id, dup_exact, dup_of_corpus, dup_in_batch, keep)``:
+
+    * exact — content-hash LEFT SEMI against the corpus hash set
+      (in production a stored ``(text_hash)`` table; shuffle ∝ batch
+      after the broadcast/semi optimization, never corpus text);
+    * near, new-vs-old — the batch's LSH band keys probe the corpus
+      band index (``band_keys`` — persisted, append-only); equi-join
+      on (band_idx, band_key), shuffle ∝ batch×bands + matching index
+      postings;
+    * near, new-vs-new — band self-join WITHIN the batch only; the
+      later doc (higher doc_id) is the duplicate — the standard online
+      policy (greedy: keep the earliest member of each within-batch
+      near-dup group; chains collapse to their earliest doc).
+
+    ``keep`` = none of the three fired.  Signature/banding functions
+    are the exact ones the full-corpus path uses, so verdicts agree
+    with what full re-clustering would call a duplicate pair."""
+    bh = batch.select("doc_id", F.md5("text").alias("h"))
+    ch = corpus.select(F.md5("text").alias("h"))
+    exact = (
+        bh.join(ch, "h", "left_semi").select("doc_id").distinct()
+        .withColumn("dup_exact", F.lit(True))
+    )
+
+    sigs_c = minhash_signatures(corpus, num_hashes).where(
+        F.element_at("sig", 1).isNotNull()
+    )
+    sigs_b = minhash_signatures(batch, num_hashes).where(
+        F.element_at("sig", 1).isNotNull()
+    )
+    idx_c = band_keys(sigs_c, num_hashes, bands)
+    keys_b = band_keys(sigs_b, num_hashes, bands)
+    vs_old = (
+        keys_b.join(idx_c, ["band_idx", "band_key"], "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("dup_of_corpus", F.lit(True))
+    )
+    vs_new = (
+        band_pairs_from_sigs(sigs_b, num_hashes, bands)
+        .select(F.col("doc_b").alias("doc_id")).distinct()
+        .withColumn("dup_in_batch", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(vs_old, "doc_id", "left")
+        .join(vs_new, "doc_id", "left")
+        .na.fill(
+            {"dup_exact": False, "dup_of_corpus": False,
+             "dup_in_batch": False}
+        )
+        .withColumn(
+            "keep",
+            ~(
+                F.col("dup_exact")
+                | F.col("dup_of_corpus")
+                | F.col("dup_in_batch")
+            ),
         )
     )

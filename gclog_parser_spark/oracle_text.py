@@ -1896,3 +1896,38 @@ FROM spans s,
                          CAST((s.off + s.doc_tokens - 1) // {seq_len}
                               AS BIGINT)))
     AS u(seq_idx)"""
+
+
+def incremental_dedup_sql() -> str:
+    """Oracle twin of ``dedup.incremental_dedup`` over the even/odd
+    doc_id split (even = deduped corpus, odd = new batch).  Re-derives
+    the verdicts from the FULL-corpus pair set — pairs among all docs,
+    classified by which side of the split each endpoint falls on — so
+    it checks the incremental path against what full re-clustering
+    would call a duplicate, not against the same probe joins."""
+    return f"""WITH {_minhash_ctes()},
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM ({_MINHASH_PAIRS_SELECT})),
+batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+ex AS (
+  SELECT DISTINCT b.doc_id FROM batch b
+  JOIN corpus c ON md5(b.text) = md5(c.text)
+),
+vs_old AS (
+  SELECT DISTINCT
+    CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS doc_id
+  FROM pairs WHERE (doc_a % 2) <> (doc_b % 2)
+),
+vs_new AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM pairs WHERE doc_a % 2 = 1 AND doc_b % 2 = 1
+)
+SELECT b.doc_id,
+  (e.doc_id IS NOT NULL) AS dup_exact,
+  (o.doc_id IS NOT NULL) AS dup_of_corpus,
+  (n.doc_id IS NOT NULL) AS dup_in_batch,
+  (e.doc_id IS NULL AND o.doc_id IS NULL AND n.doc_id IS NULL) AS keep
+FROM batch b
+LEFT JOIN ex e USING (doc_id)
+LEFT JOIN vs_old o USING (doc_id)
+LEFT JOIN vs_new n USING (doc_id)"""
