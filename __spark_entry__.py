@@ -2295,6 +2295,20 @@ def q_web_pagerank(spark, sf_dir):
     return pagerank(events_link_graph(ev))
 
 
+def q_web_triangles(spark, sf_dir):
+    """Per-node triangle counts on the link graph via degree
+    orientation (out-degree bounded O(√m), so hot-hub wedge explosion
+    cannot happen); oracle re-counts with orientation-free a<b<c
+    edge-chain joins (operators/graph.py::triangle_counts)."""
+    from gclog_parser_spark.operators.graph import (
+        events_link_graph,
+        triangle_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return triangle_counts(events_link_graph(ev))
+
+
 def _pagerank_oracle_sql(n_iter: int = 5, d: int = 85, scale: int = 10**12) -> str:
     """Unrolled-CTE DuckDB PageRank twin of operators/graph.pagerank —
     same integer-tick formulas, independently expressed."""
@@ -3145,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_table_stats": q_rel_table_stats,
         "rel_zorder_scan": q_rel_zorder_scan,
         "web_pagerank": q_web_pagerank,
+        "web_triangles": q_web_triangles,
         "snap_time_travel": q_snap_time_travel,
         "rel_dpp_scan": q_rel_dpp_scan,
         "rel_mv_refresh": q_rel_mv_refresh,
@@ -4040,6 +4055,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
         " WHERE user_id BETWEEN 0 AND 3"
     )
     out["web_pagerank"] = _pagerank_oracle_sql()
+    out["web_triangles"] = ot.triangle_counts_sql()
     out["snap_wap_publish"] = (
         "SELECT event_id, ts, user_id, event_type, props FROM events"
     )

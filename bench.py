@@ -222,6 +222,12 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     from gclog_parser_spark.operators.textstats import ngram_decontaminate
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from gclog_parser_spark.operators.graph import (
+        events_link_graph,
+        triangle_counts,
+    )
+    t("triangles_sf",
+      lambda: triangle_counts(events_link_graph(ev)).count())
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts")
     purch = ev.filter(F.col("event_type") == "purchase").select(

@@ -109,3 +109,107 @@ def events_link_graph(events: DataFrame) -> DataFrame:
         F.col("user_id").alias("src"),
         (F.col("event_id") % F.lit(int(n_users))).alias("dst"),
     ).distinct()
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts — the local clustering signal web-graph
+    pipelines use next to PageRank (spam farms are triangle-dense;
+    genuine hubs are not).
+
+    Algorithm: degree orientation (Schank & Wagner 2005 / the standard
+    MapReduce formulation).  Treat the graph as undirected and simple
+    (self-loops dropped, edges canonicalized u<v, distinct), orient
+    every edge from the endpoint that is SMALLER in the (degree, node)
+    total order to the larger, and enumerate each triangle exactly once
+    as an oriented wedge (a→b, a→c) closed by the oriented edge (b→c).
+    Orientation bounds every node's out-degree by O(√m) regardless of
+    how skewed the in-degrees are — the hot-hub wedge explosion that
+    kills the naive neighbor self-join cannot happen, which is what
+    makes this the 10^12-edge formulation.
+
+    Plan shape: degree = one exchange on node; orientation = two
+    broadcast-or-shuffle joins of edges⋈degree; wedge enumeration = one
+    self-join of the oriented relation on its source; closure = one
+    equi-join against the oriented edge set; per-node counts = explode
+    the 3 corners + one final exchange.  Shuffle ∝ oriented wedges
+    (Σ out_deg², bounded by orientation), never ∝ naive wedges.
+
+    Returns ``(node, n_triangles)`` for every node in the edge set,
+    zeros included.  The DuckDB oracle counts the same triangles with
+    NO orientation (pure a<b<c edge-chain joins) — an independent
+    construction."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).where(
+        F.col("x") != F.col("y")
+    )
+    # the canonical edge set and the oriented relation are each reused
+    # 2-3× below; localCheckpoint materializes them once (at cluster
+    # scale these would be persisted tables) instead of replanning the
+    # subtree per reference — without it the plan is an exchange storm
+    und = (
+        e.select(
+            F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # total-order key: (deg, node) packed into one BIGINT so the wedge
+    # inequality is a single long comparison
+    okey = (F.col("deg").cast("long") * F.lit(2**32) + F.col("node")).alias(
+        "okey"
+    )
+    keyed = deg.select("node", okey).localCheckpoint(eager=False)
+    nodes = keyed.select("node")  # deg already enumerates every node
+    du = keyed.select(
+        F.col("node").alias("u"), F.col("okey").alias("ku")
+    )
+    dv = keyed.select(
+        F.col("node").alias("v"), F.col("okey").alias("kv")
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("a"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("b"),
+            F.when(F.col("ku") < F.col("kv"), F.col("kv"))
+            .otherwise(F.col("ku"))
+            .alias("kb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w1 = oriented.select(
+        F.col("a"), F.col("b").alias("w_b"), F.col("kb").alias("w_kb")
+    )
+    w2 = oriented.select(
+        F.col("a"), F.col("b").alias("w_c"), F.col("kb").alias("w_kc")
+    )
+    wedges = w1.join(w2, "a").where(F.col("w_kb") < F.col("w_kc"))
+    closing = oriented.select(
+        F.col("a").alias("w_b"), F.col("b").alias("w_c")
+    )
+    tris = wedges.join(closing, ["w_b", "w_c"]).select(
+        F.col("a"), F.col("w_b").alias("b"), F.col("w_c").alias("c")
+    )
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    counts = corners.groupBy("node").agg(
+        F.count("*").alias("n_triangles")
+    )
+    return (
+        nodes.join(counts, "node", "left")
+        .na.fill({"n_triangles": 0})
+        .select("node", F.col("n_triangles").cast("long").alias("n_triangles"))
+    )

@@ -1931,3 +1931,35 @@ FROM batch b
 LEFT JOIN ex e USING (doc_id)
 LEFT JOIN vs_old o USING (doc_id)
 LEFT JOIN vs_new n USING (doc_id)"""
+
+
+def triangle_counts_sql() -> str:
+    """Oracle twin of ``graph.triangle_counts`` over the same
+    events-derived link graph — INDEPENDENT construction: no degree
+    orientation, just the canonical a<b<c edge-chain join (each
+    triangle enumerated exactly once because every undirected edge is
+    stored as u<v)."""
+    nv = "(SELECT count(DISTINCT user_id) FROM events)"
+    return f"""WITH edges AS (
+  SELECT DISTINCT user_id AS src, event_id % {nv} AS dst FROM events
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY 1),
+nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und)
+SELECT n.node, coalesce(c.n_triangles, 0) AS n_triangles
+FROM nodes n LEFT JOIN cnt c USING (node)"""

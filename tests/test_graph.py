@@ -65,3 +65,38 @@ def test_events_link_graph_is_deterministic(spark, sf_dir):
     n_users = ev.select(F.countDistinct("user_id")).first()[0]
     mx = g1.agg(F.max("dst")).first()[0]
     assert mx < n_users
+
+
+def test_triangles_k4(spark):
+    """K4: every node sits in C(3,2)=3 triangles; 4 triangles total."""
+    from gclog_parser_spark.operators.graph import triangle_counts
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_star_and_path_are_zero(spark):
+    """A hub star has maximal wedges but zero triangles — the case the
+    degree orientation exists for."""
+    from gclog_parser_spark.operators.graph import triangle_counts
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "src bigint, dst bigint"
+    )
+    assert (
+        triangle_counts(star).agg(F.sum("n_triangles")).first()[0] == 0
+    )
+
+
+def test_triangles_ignore_direction_loops_and_dups(spark):
+    """(1,2),(2,1),(2,2) + a closing edge count one triangle once."""
+    from gclog_parser_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 2), (2, 3), (3, 1), (1, 3)],
+        "src bigint, dst bigint",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
