@@ -396,3 +396,51 @@ def test_observed_metrics_ride_the_action(spark, sf_dir):
         F.round(F.sum("pause_seconds"), 6).alias("s")
     ).collect()[0]["s"]
     assert got["pause_seconds_sum"] == recount
+
+
+def test_tokenize_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """filter → dedup → BPE train → encode → pack, deterministic
+    across re-runs and internally reconciled."""
+    out = str(tmp_path / "tok_out")
+
+    def run():
+        res = subprocess.run(
+            [
+                sys.executable,
+                "jobs/tokenize_pipeline.py",
+                "--master", "local[8]",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", out,
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    s1 = run()
+    assert s1["n_input"] == 500
+    assert (
+        s1["n_input"]
+        == s1["n_filtered_out"] + s1["n_dup_dropped"] + s1["n_trained_on"]
+    )
+    assert s1["n_merges"] == 8
+    assert s1["total_subwords"] > 0 and s1["n_sequences"] > 0
+
+    merges = spark.read.parquet(f"{out}/merges").orderBy("step").collect()
+    assert [r["step"] for r in merges] == list(range(1, 9))
+    # encoded coverage: one row per trained-on doc with >= 1 subword
+    enc = spark.read.parquet(f"{out}/encoded")
+    assert enc.count() == s1["n_trained_on"]
+    assert enc.where(F.col("n_subwords") <= 0).count() == 0
+    # packed spans only reference trained-on docs
+    pk = spark.read.parquet(f"{out}/packed")
+    assert pk.join(enc, "doc_id", "left_anti").count() == 0
+
+    # deterministic: a re-run reproduces identical stats and merges
+    s2 = run()
+    assert s2 == s1
+    merges2 = spark.read.parquet(f"{out}/merges").orderBy("step").collect()
+    assert [tuple(r) for r in merges2] == [tuple(r) for r in merges]
