@@ -2229,6 +2229,16 @@ def q_emb_neardup(spark, sf_dir):
     return neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
+def q_emb_knn_graph(spark, sf_dir):
+    """Approximate k-NN graph: every vector's top-3 cosine neighbors
+    within its LSH bucket — SemDeDup/clustering building block; bucket
+    equi-join candidates + WindowGroupLimit per-src top-k
+    (operators/similarity.py::knn_graph)."""
+    from gclog_parser_spark.operators.similarity import knn_graph
+
+    return knn_graph(_embs(spark, sf_dir), k=3)
+
+
 def q_media_meta(spark, sf_dir):
     from gclog_parser_spark.operators.multimodal import extract_media_meta
 
@@ -3086,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_facets": q_web_url_facets,
         "gc_key_skew": q_gc_key_skew,
         "emb_neardup": q_emb_neardup,
+        "emb_knn_graph": q_emb_knn_graph,
         "media_meta": q_media_meta,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
@@ -3405,6 +3416,7 @@ sessions AS (
     out["web_url_facets"] = ot.url_facets_sql()
     out["gc_key_skew"] = oracle.skew_stats_sql()
     out["emb_neardup"] = ot.emb_neardup_sql(threshold=0.4)
+    out["emb_knn_graph"] = ot.knn_graph_sql(k=3)
     out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)
     # lined view re-derived independently: RE2 \1 backref vs Spark $1
     out["text_span_dedup"] = ot.span_dedup_sql(k=5)

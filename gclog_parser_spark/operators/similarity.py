@@ -1118,3 +1118,51 @@ def pq_topk(
         .orderBy("pq_dist_ticks", "vec_id")
         .limit(k)
     )
+
+
+def knn_graph(
+    emb: DataFrame, k: int = 3, seed: int = 42
+) -> DataFrame:
+    """Approximate k-NN graph: for EVERY vector, its top-k cosine
+    neighbors within its LSH bucket — the all-queries generalization of
+    ``lsh_bucket_topk`` and the building block for SemDeDup-style
+    semantic dedup, embedding clustering, and graph-based retrieval
+    indexes (HNSW layer-0 construction starts from exactly this).
+
+    Scale shape: candidate generation is the bucket equi-join (shuffle
+    ∝ Σ bucket², bounded by occupancy ≈ n/2^planes per bucket, never a
+    crossJoin); ranking is a per-source row_number window whose
+    ``rank <= k`` filter Spark rewrites to WindowGroupLimit — map-side
+    partial top-k, so the exchange carries ≤ k·n rows, not the full
+    candidate set.  Zero-norm vectors score NULL and are excluded
+    (both engines).  Recall follows the LSH bucket (union several
+    seeds for multiband recall, as in ``neardup_pairs_multiband``).
+
+    Returns ``(src, dst, sim, rank)``, rank 1-based per src."""
+    from pyspark.sql import Window
+
+    b = lsh_buckets(emb, seed)
+    a = b.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        "bucket",
+    )
+    scored = (
+        a.join(c, "bucket")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            _cos_sim(F.col("ea"), F.col("eb")).alias("sim"),
+        )
+        .where(F.col("sim").isNotNull())
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w)
+    ).where(F.col("rank") <= k)

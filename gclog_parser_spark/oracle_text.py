@@ -1963,3 +1963,28 @@ cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und)
 SELECT n.node, coalesce(c.n_triangles, 0) AS n_triangles
 FROM nodes n LEFT JOIN cnt c USING (node)"""
+
+
+def knn_graph_sql(k: int = 3) -> str:
+    """Oracle twin of ``similarity.knn_graph`` — same LSH buckets and
+    guarded cosine, rank re-derived with a plain window."""
+    bits = _planes_sql().split(", (")
+    bits = [b if b.startswith("(") else "(" + b for b in bits]
+    bucket = " || ".join(
+        f"(CASE WHEN {b} THEN '1' ELSE '0' END)" for b in bits
+    )
+    cos = _cos_guarded("a.embedding", "b.embedding")
+    return f"""WITH buckets AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {cos} AS sim
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT src, dst, sim, rank FROM (
+  SELECT src, dst, sim,
+    CAST(row_number() OVER (
+      PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rank
+  FROM pairs WHERE sim IS NOT NULL
+) WHERE rank <= {k}"""
