@@ -353,3 +353,36 @@ def test_quantization_error_bound_adversarial(spark):
         assert r["worst_rel_err"] is None or (
             r["worst_rel_err"] <= 1.0 / 254.0 + 1e-6
         ), r
+
+
+def test_knn_graph_invariants_and_plan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gclog_parser_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = knn_graph(emb, k=3)
+    rows = g.collect()
+    assert rows, "knn graph empty"
+    # no self-edges, rank bounded by k and dense from 1 per src
+    by_src: dict[int, list] = {}
+    for r in rows:
+        assert r.src != r.dst
+        by_src.setdefault(r.src, []).append(r)
+    for src, edges in by_src.items():
+        ranks = sorted(e.rank for e in edges)
+        assert ranks == list(range(1, len(edges) + 1))
+        assert len(edges) <= 3
+        # ranks ordered by (sim desc, dst asc) — deterministic ties
+        ordered = sorted(edges, key=lambda e: (-e.sim, e.dst))
+        assert [e.rank for e in ordered] == ranks
+    # re-run is byte-stable (content-keyed planes, no rand())
+    again = sorted(
+        (r.src, r.dst, r.rank) for r in knn_graph(emb, k=3).collect()
+    )
+    assert again == sorted((r.src, r.dst, r.rank) for r in rows)
+    # the rank<=k filter must reach WindowGroupLimit so the window
+    # exchange ships <= k rows per (src, map task), not the full
+    # candidate set -- the property that makes this viable at 10^9 vecs
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
