@@ -2219,6 +2219,23 @@ def q_gc_key_skew(spark, sf_dir):
     )
 
 
+def q_agg_hll_distinct(spark, sf_dir):
+    """Approximate COUNT DISTINCT users per event_type via a
+    cross-engine-deterministic HyperLogLog sketch (md5 registers,
+    exact BIGINT harmonic ticks — `aggregate.hll_distinct`), joined
+    with the exact distinct it approximates.  The 10^12-row story:
+    O(2^p) mergeable state per group instead of a global distinct
+    shuffle; per-batch register relations roll up by max."""
+    from gclog_parser_spark.operators.aggregate import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = hll_distinct(ev, ["event_type"], "user_id", p=4)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(F.broadcast(exact), "event_type")
+
+
 def q_emb_neardup(spark, sf_dir):
     """LSH-blocked cosine near-dup pairs.  Exercised at threshold 0.4
     because the synthetic embeddings' max pairwise cosine is ~0.51 —
@@ -3095,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quant_error": q_ann_quant_error,
         "web_url_facets": q_web_url_facets,
         "gc_key_skew": q_gc_key_skew,
+        "agg_hll_distinct": q_agg_hll_distinct,
         "emb_neardup": q_emb_neardup,
         "emb_knn_graph": q_emb_knn_graph,
         "media_meta": q_media_meta,
@@ -3415,6 +3433,7 @@ sessions AS (
     out["ann_quant_error"] = ot.quant_error_sql()
     out["web_url_facets"] = ot.url_facets_sql()
     out["gc_key_skew"] = oracle.skew_stats_sql()
+    out["agg_hll_distinct"] = oracle.hll_distinct_sql(p=4)
     out["emb_neardup"] = ot.emb_neardup_sql(threshold=0.4)
     out["emb_knn_graph"] = ot.knn_graph_sql(k=3)
     out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)

@@ -657,3 +657,105 @@ def merge_agg_states(
         F.min("min_value_ticks").alias("min_value_ticks"),
         F.max("max_value_ticks").alias("max_value_ticks"),
     )
+
+
+# --- HyperLogLog distinct sketch (cross-engine deterministic) -------
+
+HLL_W_BITS = 40  # rho source bits; registers hold rho in [1, 40]
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant (Table on p. 140)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 4,
+) -> DataFrame:
+    """Per-group HyperLogLog register relation ``(group…, reg, r)`` —
+    the mergeable state.  Register index = first ``p`` bits of
+    ``md5('hll:'||value)`` (p a multiple of 4 so it is a hex-substring
+    in BOTH engines); rho = position of the leftmost 1-bit in the next
+    40 bits, computed as ``41 - length(bin(w))`` — ``bin`` (minimal
+    binary string, '0' for 0) is the same function in Spark and DuckDB,
+    so the sketch is bit-identical cross-engine, unlike
+    approx_count_distinct whose sketch is engine-private.
+
+    Scale shape: ONE hash-aggregate on (group, reg) with map-side
+    partial max — state per group is m=2^p counters no matter how many
+    rows, and states merge by register-max, so per-day/per-batch
+    sketches roll up without rescanning history (the streaming/MV
+    story of ``merge_agg_states``, for COUNT DISTINCT)."""
+    if p % 4 or not 4 <= p <= 20:
+        raise ValueError("p must be a multiple of 4 in [4, 20]")
+    digest = F.md5(
+        F.concat(F.lit("hll:"), F.col(value_col).cast("string"))
+    )
+    reg = F.conv(F.substring(digest, 1, p // 4), 16, 10).cast("long")
+    w = F.conv(
+        F.substring(digest, p // 4 + 1, HLL_W_BITS // 4), 16, 10
+    ).cast("long")
+    rho = (F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, reg.alias("reg"))
+        .agg(F.max(rho).alias("r"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 4,
+    registers: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate COUNT DISTINCT per group from the HLL register
+    relation (pass ``registers`` to estimate from pre-merged state).
+
+    The harmonic mean is EXACT integer math: each register contributes
+    ``2^(40 - r)`` ticks (absent registers contribute ``2^40``), so
+    the cross-partition sum is associative BIGINT — no float-order
+    drift — and the one double division at the end is computed from
+    identical integers in both engines.  Worst case ticks =
+    ``2^(p+40)`` so BIGINT is safe through p=20 (m=1,048,576).
+
+    Raw HLL estimate only (no small-range linear-counting branch: it
+    needs ``ln``, whose libm rounding is engine-private; the sketch is
+    for the 10^6-10^12 distinct regime where the raw estimator is the
+    right branch anyway).  Standard error ≈ 1.04/√m."""
+    m = 1 << p
+    regs = (
+        registers
+        if registers is not None
+        else hll_registers(df, group_cols, value_col, p)
+    )
+    one = F.lit(1).cast("long")
+    sketch = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS} - r)")
+        ).alias("_present_ticks"),
+        F.count("*").alias("regs_used"),
+    )
+    ticks = F.col("_present_ticks") + (
+        F.lit(m).cast("long") - F.col("regs_used")
+    ) * F.shiftleft(one, HLL_W_BITS)
+    est = (
+        F.lit(_hll_alpha(m) * m * m)
+        * F.shiftleft(one, HLL_W_BITS).cast("double")
+        / ticks.cast("double")
+    )
+    return sketch.select(
+        *group_cols,
+        F.round(est, 4).alias("est_distinct"),
+        F.col("regs_used").cast("int").alias("regs_used"),
+    )

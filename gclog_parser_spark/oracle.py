@@ -783,3 +783,55 @@ SELECT hour, n,
   round(n * n_keys / total, 6) AS skew_ratio
 FROM counts, tot
 ORDER BY n DESC, hour ASC LIMIT {top}"""
+
+
+def hll_distinct_sql(p: int = 4) -> str:
+    """Oracle for aggregate.hll_distinct over events user_id per
+    event_type — re-derives the SAME md5-register HLL sketch in SQL
+    (register = first p bits of md5('hll:'||value), rho = 41 -
+    length(bin(next 40 bits)), exact BIGINT harmonic ticks) plus the
+    exact COUNT DISTINCT the sketch approximates.  The alpha·m² bias
+    constant is the repr of the identical Python double Spark embeds,
+    so the one double division matches bit-for-bit."""
+    from gclog_parser_spark.operators.aggregate import (
+        HLL_W_BITS,
+        _hll_alpha,
+    )
+
+    m = 1 << p
+    alpha_m2 = repr(_hll_alpha(m) * m * m)
+    wq = HLL_W_BITS // 4
+    return f"""WITH vals AS (
+  SELECT event_type,
+    CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                        1, {p // 4}) AS BIGINT) AS reg,
+    CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                        {p // 4 + 1}, {wq}) AS BIGINT) AS w
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT event_type, reg,
+         MAX({HLL_W_BITS + 1} - length(bin(w))) AS r
+  FROM vals GROUP BY 1, 2
+),
+sk AS (
+  SELECT event_type,
+    SUM((CAST(1 AS BIGINT) << ({HLL_W_BITS} - r))) AS present_ticks,
+    COUNT(*) AS regs_used
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT s.event_type,
+  round(CAST({alpha_m2} AS DOUBLE)
+        * CAST((CAST(1 AS BIGINT) << {HLL_W_BITS}) AS DOUBLE)
+        / CAST(present_ticks
+               + ({m} - regs_used)
+                 * (CAST(1 AS BIGINT) << {HLL_W_BITS}) AS DOUBLE),
+        4) AS est_distinct,
+  CAST(regs_used AS INT) AS regs_used,
+  e.exact_distinct
+FROM sk s JOIN exact e USING (event_type)"""

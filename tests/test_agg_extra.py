@@ -416,3 +416,70 @@ def test_mv_refresh_with_empty_delta_is_identity(spark, sf_dir):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, agg_state(ev).collect())
     )
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """sketch(A ∪ B) == max-merge(sketch(A), sketch(B)) — the property
+    that lets per-batch/per-day register relations roll up without
+    rescanning history."""
+    from gclog_parser_spark.operators.aggregate import (
+        hll_distinct,
+        hll_registers,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    halves = [ev.where(F.col("event_id") % 2 == i) for i in range(2)]
+    parts = [
+        hll_registers(h, ["event_type"], "user_id") for h in halves
+    ]
+    merged_regs = (
+        parts[0]
+        .unionByName(parts[1])
+        .groupBy("event_type", "reg")
+        .agg(F.max("r").alias("r"))
+    )
+    merged = hll_distinct(
+        ev, ["event_type"], "user_id", registers=merged_regs
+    )
+    whole = hll_distinct(ev, ["event_type"], "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """m=16 → stderr ≈ 26 %; every group at sf0.01 must land within
+    4σ of exact (raw-regime groups only, which all of these are)."""
+    from gclog_parser_spark.operators.aggregate import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = {
+        r.event_type: r.est_distinct
+        for r in hll_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 4 * 1.04 / (16 ** 0.5), (
+            k, est[k], n,
+        )
+
+
+def test_hll_state_is_bounded_and_deterministic(spark, sf_dir):
+    from gclog_parser_spark.operators.aggregate import hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    regs = hll_registers(ev, ["event_type"], "user_id", p=4).collect()
+    per_group: dict[str, int] = {}
+    for r in regs:
+        assert 0 <= r.reg < 16
+        assert 1 <= r.r <= 41
+        per_group[r.event_type] = per_group.get(r.event_type, 0) + 1
+    assert all(n <= 16 for n in per_group.values())
+    again = hll_registers(ev, ["event_type"], "user_id", p=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, regs))
