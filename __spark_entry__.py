@@ -2236,6 +2236,43 @@ def q_agg_hll_distinct(spark, sf_dir):
     return sk.join(F.broadcast(exact), "event_type")
 
 
+def q_rel_stream_hll(spark, sf_dir):
+    """Streaming twin of `agg_hll_distinct`: the events table replayed
+    one file per micro-batch → stateful register-MAX aggregate
+    (complete mode) → estimate off the final in-memory register table.
+    HLL state merges by exactly the aggregate running in the stream,
+    so the stream's sketch is BIT-IDENTICAL to the batch sketch and
+    the SAME DuckDB oracle value-checks both — the always-on
+    distinct-users dashboard whose state is groups × 16 rows however
+    many events stream through."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.operators.aggregate import hll_distinct
+    from gclog_parser_spark.streaming.stream import run_hll_stream
+
+    base = tempfile.mkdtemp(prefix="gps_hll_")
+    inp = f"{base}/events"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(4).write.parquet(inp)
+    _STREAM_SEQ[0] += 1
+    qname = f"gps_stream_hll_{_STREAM_SEQ[0]}"
+    q = run_hll_stream(
+        spark, inp, ev.schema, f"{base}/ckpt", query_name=qname
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("rel_stream_hll: stream timed out (600 s)")
+    shutil.rmtree(base, ignore_errors=True)
+    sk = hll_distinct(
+        None, ["event_type"], "user_id", registers=spark.table(qname)
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(F.broadcast(exact), "event_type")
+
+
 def q_emb_neardup(spark, sf_dir):
     """LSH-blocked cosine near-dup pairs.  Exercised at threshold 0.4
     because the synthetic embeddings' max pairwise cosine is ~0.51 —
@@ -3113,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_facets": q_web_url_facets,
         "gc_key_skew": q_gc_key_skew,
         "agg_hll_distinct": q_agg_hll_distinct,
+        "rel_stream_hll": q_rel_stream_hll,
         "emb_neardup": q_emb_neardup,
         "emb_knn_graph": q_emb_knn_graph,
         "media_meta": q_media_meta,
@@ -3434,6 +3472,9 @@ sessions AS (
     out["web_url_facets"] = ot.url_facets_sql()
     out["gc_key_skew"] = oracle.skew_stats_sql()
     out["agg_hll_distinct"] = oracle.hll_distinct_sql(p=4)
+    # the stream's register-max state makes its sketch bit-identical
+    # to the batch sketch — same oracle checks both paths
+    out["rel_stream_hll"] = oracle.hll_distinct_sql(p=4)
     out["emb_neardup"] = ot.emb_neardup_sql(threshold=0.4)
     out["emb_knn_graph"] = ot.knn_graph_sql(k=3)
     out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)

@@ -421,3 +421,36 @@ def run_cdc_apply_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    checkpoint: str,
+    query_name: str = "hll_registers",
+):
+    """Streaming HyperLogLog: the register relation is a stateful
+    streaming MAX aggregate, one file per micro-batch.  Because HLL
+    state merges by register-max (exactly the aggregate running here),
+    the final in-memory table is BIT-IDENTICAL to the batch sketch
+    over the same rows — so the stream is value-checked by the same
+    DuckDB oracle as ``agg_hll_distinct``.  State is bounded at
+    groups × 2^p rows no matter how many events stream through — the
+    always-on distinct-users dashboard that never holds a user set."""
+    from gclog_parser_spark.operators.aggregate import hll_registers
+
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    return (
+        regs.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

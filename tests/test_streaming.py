@@ -372,3 +372,35 @@ def test_cdc_apply_stream_snapshots_and_idempotence(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, final.collect())
     )
+
+
+def test_stream_hll_is_stateful_across_batches(spark, sf_dir, tmp_path):
+    """The streaming sketch must be built across MULTIPLE micro-batches
+    (one file per trigger) and its final register table must equal the
+    batch register relation exactly — the max-merge property under
+    Spark's own stateful aggregation, not a single-batch fluke."""
+    from gclog_parser_spark.operators.aggregate import hll_registers
+    from gclog_parser_spark.streaming.stream import run_hll_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    inp = str(tmp_path / "events")
+    ev.repartition(5).write.parquet(inp)
+    q = run_hll_stream(
+        spark, inp, ev.schema, str(tmp_path / "ckpt"),
+        query_name="hll_state_test",
+    )
+    assert q.awaitTermination(600)
+    batches = [
+        p["batchId"] for p in q.recentProgress if p.get("numInputRows")
+    ]
+    assert len(set(batches)) >= 5, f"expected >=5 micro-batches: {batches}"
+    stream_regs = sorted(
+        map(tuple, spark.table("hll_state_test").collect())
+    )
+    batch_regs = sorted(
+        map(
+            tuple,
+            hll_registers(ev, ["event_type"], "user_id").collect(),
+        )
+    )
+    assert stream_regs == batch_regs
