@@ -272,6 +272,11 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     t("catalog_prune_scan_sf", lambda: _cat.scan_with_pruning(
         spark, cat_tbl, "event_id", 100, 400)[0].count())
     t("ann_cosine_sf", lambda: cosine_topk(embs).count())
+    from gclog_parser_spark.operators.similarity import knn_graph
+    t("knn_graph_sf", lambda: knn_graph(embs, k=3).count())
+    from gclog_parser_spark.operators.aggregate import hll_distinct
+    t("hll_distinct_sf", lambda: hll_distinct(
+        ev, ["event_type"], "user_id").count())
 
     # HOF (oracle-parity) vs Arrow/numpy scorer on a corpus large
     # enough that scan cost dominates — the production ANN scan shape
