@@ -2314,6 +2314,28 @@ def q_media_frames(spark, sf_dir):
     return sample_frames(pages_from_documents(spark, sf_dir))
 
 
+def q_media_phash(spark, sf_dir):
+    """Perceptual average-hash per media payload (stub decode over
+    codepoints, exact integer block-mean bits — the image-dedup
+    signature; `multimodal.media_phash`)."""
+    from gclog_parser_spark.operators.multimodal import media_phash
+
+    return media_phash(pages_from_documents(spark, sf_dir))
+
+
+def q_media_phash_pairs(spark, sf_dir):
+    """Near-duplicate media by phash Hamming distance via pigeonhole
+    banding; the oracle runs the all-pairs plan, so a hash match also
+    proves the banded candidates lose no pair within the threshold."""
+    from gclog_parser_spark.operators.multimodal import (
+        media_phash_pairs,
+    )
+
+    return media_phash_pairs(
+        pages_from_documents(spark, sf_dir), max_hamming=12, bands=15
+    )
+
+
 def q_rel_table_stats(spark, sf_dir):
     """ANALYZE-style column profile of the events table — one-scan
     multi-aggregate (nulls / exact NDV / numeric min-max / string
@@ -3156,6 +3178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        "media_phash": q_media_phash,
+        "media_phash_pairs": q_media_phash_pairs,
         "gc_event_counts": q_gc_event_counts,
         "gc_events_full": q_gc_events_full,
         "gc_events_full_window": q_gc_events_full_window,
@@ -3568,6 +3592,8 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
     out["media_meta"] = ot.media_meta_sql()
     out["media_resize"] = ot.media_resize_sql()
     out["media_frames"] = ot.media_frames_sql()
+    out["media_phash"] = ot.media_phash_sql()
+    out["media_phash_pairs"] = ot.media_phash_pairs_sql(max_hamming=12)
 
     out["rel_agg_lineitem"] = (
         "SELECT l_returnflag, l_linestatus,"

@@ -202,3 +202,133 @@ def media_size_rollup(pages: DataFrame, payload_col: str = "html"):
         F.octet_length(F.col(payload_col)).alias("n_bytes"),
         F.md5(F.col(payload_col)).alias("content_digest"),
     )
+
+
+PHASH_BITS = 60  # fits BIGINT positive; bands must divide it
+PHASH_SCHEMA = "url string, n_cp long, phash long"
+
+
+def media_phash(
+    pages: DataFrame,
+    payload_col: str = "html",
+    bits: int = PHASH_BITS,
+) -> DataFrame:
+    """Perceptual-style average-hash of every media payload — the
+    image-dedup signature (pHash family): split the decoded payload
+    into ``bits`` contiguous blocks, bit_i = (block mean >= global
+    mean), compared with EXACT integer cross-multiplication
+    (block_sum·n >= total_sum·block_len) so both engines derive the
+    same bits.  Decode is the documented codec stub (no PIL/ffmpeg in
+    this image): 'pixels' are the utf-8 codepoints, vectorized per row
+    via numpy over the utf-32 view — a real deployment swaps ONLY the
+    decode line for the codec + DCT/resample call, the Spark plumbing
+    (pruned binary scan, Arrow batches, zero shuffle) is the 100 TB
+    shape already.
+
+    Returns (url, n_cp, phash) — phash is a ``bits``-bit BIGINT;
+    near-duplicate payloads land within small Hamming distance."""
+    import numpy as np
+
+    def _phash_one(text: str) -> tuple[int, int]:
+        n = len(text)
+        arr = np.frombuffer(
+            text.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        total = int(arr.sum())
+        if n >= bits:
+            starts = (np.arange(bits) * n + bits - 1) // bits
+            bs = np.add.reduceat(arr, starts)
+            bn = np.diff(np.append(starts, n))
+        else:  # tiny payloads: some blocks empty, loop is exact
+            bs = np.zeros(bits, dtype=np.int64)
+            bn = np.zeros(bits, dtype=np.int64)
+            for pos in range(n):
+                b = pos * bits // n
+                bs[b] += int(arr[pos])
+                bn[b] += 1
+        h = 0
+        for i in range(bits):
+            if bn[i] and int(bs[i]) * n >= total * int(bn[i]):
+                h |= 1 << (bits - 1 - i)
+        return n, h
+
+    def fn(batches):
+        for pdf in batches:
+            recs = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                text = bytes(payload).decode("utf-8", errors="replace")
+                if not text:
+                    continue
+                n, h = _phash_one(text)
+                recs.append({"url": url, "n_cp": n, "phash": h})
+            yield pd.DataFrame.from_records(
+                recs, columns=["url", "n_cp", "phash"]
+            )
+
+    return pages.select("url", payload_col).mapInPandas(
+        fn, PHASH_SCHEMA
+    )
+
+
+def media_phash_pairs(
+    pages: DataFrame,
+    max_hamming: int = 12,
+    bands: int = 15,
+    bits: int = PHASH_BITS,
+    payload_col: str = "html",
+) -> DataFrame:
+    """Near-duplicate media pairs by phash Hamming distance — the
+    image-dedup join, same pigeonhole banding as ``simhash_pairs``:
+    two hashes within Hamming ``max_hamming`` (< bands) must agree
+    exactly on at least one of ``bands`` equal segments, so candidates
+    come from band equi-joins (shuffle ∝ payloads×bands, per-bucket
+    fan-out bounded by segment cardinality 2^(bits/bands)) and verify
+    with one popcount — never an all-pairs scan.  Production images
+    use wider hashes (256-bit pHash, 8-bit segments) for colder
+    buckets; the 60-bit default matches the stub decode.
+
+    Returns (url_a, url_b, hamming), url_a < url_b."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < bands, got"
+            f" {max_hamming} >= {bands}"
+        )
+    if bits % bands:
+        raise ValueError("bands must divide bits")
+    seg = bits // bands
+    sigs = media_phash(pages, payload_col=payload_col, bits=bits)
+    banded = sigs.select(
+        "url",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftright("phash", b * seg)
+                    .bitwiseAND((1 << seg) - 1)
+                    .alias("band_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("url", "phash", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.url") < F.col("b.url")),
+        )
+        .select(
+            F.col("a.url").alias("url_a"),
+            F.col("b.url").alias("url_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

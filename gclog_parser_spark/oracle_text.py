@@ -1988,3 +1988,57 @@ SELECT src, dst, sim, rank FROM (
       PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rank
   FROM pairs WHERE sim IS NOT NULL
 ) WHERE rank <= {k}"""
+
+
+def _phash_cte(bits: int = 60) -> str:
+    """Shared CTE chain deriving (url, n_cp, phash) — the SAME
+    block-mean bit rule as ``multimodal.media_phash`` re-derived over
+    SQL codepoints (``unicode(substr(...))`` == Python ``ord`` on the
+    utf-8-roundtripped payload), exact integer cross-multiplication."""
+    return f"""cps AS (
+  SELECT url, length(html_text) AS n,
+    unnest(generate_series(1, length(html_text))) AS i,
+    html_text
+  FROM pages WHERE length(html_text) > 0
+),
+pc AS (
+  SELECT url, n, ((i - 1) * {bits}) // n AS blk,
+    CAST(unicode(substr(html_text, CAST(i AS INT), 1)) AS BIGINT) AS cp
+  FROM cps
+),
+blocks AS (
+  SELECT url, n, blk,
+    CAST(SUM(cp) AS BIGINT) AS bs, CAST(COUNT(*) AS BIGINT) AS bn
+  FROM pc GROUP BY 1, 2, 3
+),
+tot AS (SELECT url, CAST(SUM(cp) AS BIGINT) AS total FROM pc GROUP BY 1),
+phashes AS (
+  SELECT b.url, CAST(MAX(b.n) AS BIGINT) AS n_cp,
+    CAST(SUM(CASE WHEN b.bs * b.n >= t.total * b.bn
+          THEN (CAST(1 AS BIGINT) << ({bits} - 1 - b.blk))
+          ELSE 0 END) AS BIGINT) AS phash
+  FROM blocks b JOIN tot t USING (url)
+  GROUP BY 1
+)"""
+
+
+def media_phash_sql(bits: int = 60) -> str:
+    """Oracle twin of ``multimodal.media_phash``."""
+    return f"""WITH {fixtures_values()},
+{PAGES_CTE.replace("f.fixture_text AS gc_text", f"{_HTML_EXPR} AS html_text")},
+{_phash_cte(bits)}
+SELECT url, n_cp, phash FROM phashes"""
+
+
+def media_phash_pairs_sql(max_hamming: int = 12, bits: int = 60) -> str:
+    """Oracle twin of ``multimodal.media_phash_pairs`` — deliberately
+    the all-pairs plan (no banding), so it also proves the banded
+    candidate generation loses no pair with hamming <= max_hamming
+    (< bands)."""
+    return f"""WITH {fixtures_values()},
+{PAGES_CTE.replace("f.fixture_text AS gc_text", f"{_HTML_EXPR} AS html_text")},
+{_phash_cte(bits)}
+SELECT a.url AS url_a, b.url AS url_b,
+  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM phashes a JOIN phashes b ON a.url < b.url
+WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}"""
