@@ -988,6 +988,53 @@ def q_rel_retention(spark, sf_dir):
     )
 
 
+def q_rel_resample(spark, sf_dir):
+    """Hourly resample + forward fill per user (the gap-filling
+    time-series primitive; `temporal.resample_ffill`) — grid generated
+    scan-side with `sequence`, observations pre-collapse per (user,
+    bucket), one user exchange for the fill window.  Sampled to every
+    10th user to keep the gate result compact (~10.6k rows)."""
+    from gclog_parser_spark.operators.temporal import resample_ffill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id") % 10 == 0
+    )
+    return resample_ffill(ev)
+
+
+def q_rel_dq_audit(spark, sf_dir):
+    """Data-quality expectations audit (Deequ shape, `operators/dq`):
+    uniqueness, referential integrity, null/range constraints, and the
+    orders-without-lineitem coverage stat — each check one scan or one
+    anti-join, all counts algebraic (map-side partial), report is a
+    6-row union.  Clean-by-construction tables gate at exact zeros;
+    the coverage stat is non-zero, so the hash check is not vacuous."""
+    from gclog_parser_spark.operators.dq import (
+        coverage_check,
+        dq_audit,
+        fk_check,
+        null_check,
+        range_check,
+        unique_check,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dq_audit([
+        unique_check(orders, ["o_orderkey"], name="o_orderkey_unique"),
+        fk_check(orders, "o_custkey", cust, "c_custkey",
+                 name="o_custkey_fk"),
+        fk_check(li, "l_orderkey", orders, "o_orderkey",
+                 name="l_orderkey_fk"),
+        null_check(ev, "user_id", name="user_id_not_null"),
+        range_check(ev, "value", 0, 1_000_000_000, name="value_range"),
+        coverage_check(orders, "o_orderkey", li, "l_orderkey",
+                       name="orders_without_lineitem"),
+    ])
+
+
 def q_rel_funnel(spark, sf_dir):
     """Ordered conversion funnel view -> click -> purchase: each step
     counts only events strictly AFTER the user's previous-step time
@@ -3222,6 +3269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_transitions": q_rel_transitions,
         "rel_retention": q_rel_retention,
         "rel_funnel": q_rel_funnel,
+        "rel_resample": q_rel_resample,
+        "rel_dq_audit": q_rel_dq_audit,
         "rel_dq_checks": q_rel_dq_checks,
         "rel_session_window": q_rel_session_window,
         "rel_recursive_cte": q_rel_recursive_cte,
@@ -3710,6 +3759,8 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
         " FROM c GROUP BY 1, 2"
     )
 
+    out["rel_resample"] = oracle.resample_ffill_sql(user_mod=10)
+    out["rel_dq_audit"] = oracle.dq_audit_sql()
     out["rel_funnel"] = (
         "WITH s AS ("
         " SELECT user_id, event_type, ts,"

@@ -179,3 +179,79 @@ def range_join(
         )
         .drop("_bkt")
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-series resampling with forward fill: per key, a regular
+    ``step`` grid from the key's first to last observation, carrying
+    the most recent observed value across empty buckets — the
+    gap-filling primitive behind every dashboard line chart and every
+    join-against-a-regular-clock feature pipeline.
+
+    Deterministic: within a bucket the kept observation is the max by
+    the (epoch-micros, event_id) total order (encoded as one sortable
+    string so both engines' arg-max agree on ties); the fill itself is
+    ``last(ignoreNulls)`` over the grid order.
+
+    Scale shape: the grid is generated scan-side per key
+    (``sequence`` + explode — rows ∝ keys × buckets, no join against
+    a calendar table), observations pre-collapse to one row per
+    (key, bucket) map-side, and the fill is ONE window over the same
+    key partitioning the grid join already established — a single
+    exchange on ``key`` end-to-end.  Keys are independent, so the
+    plan scales with executors; a single key spanning years serializes
+    only its own window (same caveat as sessionization)."""
+    from pyspark.sql import Window
+
+    n, unit = step.split()
+    unit = unit.rstrip("s")
+    if n != "1" or unit not in ("minute", "hour", "day", "week"):
+        # the grid step must equal the truncation unit or observations
+        # could land on off-grid buckets and silently vanish
+        raise ValueError(f"step must be 1 minute/hour/day/week: {step}")
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    order_key = F.concat(
+        F.lpad(_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lpad(F.col(tiebreak_col).cast("string"), 12, "0"),
+    )
+    obs = (
+        events.select(
+            key, bucket.alias("bucket"), F.col(value_col), order_key.alias("_k")
+        )
+        .groupBy(key, "bucket")
+        .agg(F.expr(f"max_by({value_col}, _k)").alias("_obs"))
+    )
+    grid = (
+        events.groupBy(key)
+        .agg(
+            F.min(bucket).alias("_lo"),
+            F.max(bucket).alias("_hi"),
+        )
+        .select(
+            key,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key, "bucket"], "left")
+        .select(
+            key,
+            "bucket",
+            F.last("_obs", ignorenulls=True).over(w).alias("value_ffill"),
+            F.col("_obs").isNotNull().alias("is_observed"),
+        )
+    )

@@ -835,3 +835,65 @@ SELECT s.event_type,
   CAST(regs_used AS INT) AS regs_used,
   e.exact_distinct
 FROM sk s JOIN exact e USING (event_type)"""
+
+
+def resample_ffill_sql(user_mod: int = 10) -> str:
+    """Oracle for temporal.resample_ffill over events (hourly grid per
+    user, forward-filled value, same (epoch-micros, event_id) string
+    arg-max tie rule)."""
+    k = (
+        "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+        "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+    )
+    return f"""WITH src AS (
+  SELECT * FROM events WHERE user_id % {user_mod} = 0
+),
+obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         arg_max(value, {k}) AS obs
+  FROM src GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id,
+         min(date_trunc('hour', ts)) AS lo,
+         max(date_trunc('hour', ts)) AS hi
+  FROM src GROUP BY 1
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT g.user_id, g.bucket,
+  last_value(o.obs IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+  o.obs IS NOT NULL AS is_observed
+FROM grid g LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.bucket = o.bucket"""
+
+
+def dq_audit_sql() -> str:
+    """Oracle for the dq_audit contract query — every check re-derived
+    as an independent scalar subquery, one UNION ALL per check."""
+    return """SELECT 'o_orderkey_unique' AS check,
+  CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+    AS BIGINT) AS violations
+UNION ALL SELECT 'o_custkey_fk',
+  CAST((SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL SELECT 'l_orderkey_fk',
+  CAST((SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL SELECT 'user_id_not_null',
+  CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT)
+UNION ALL SELECT 'value_range',
+  CAST((SELECT count(*) FROM events
+        WHERE value IS NOT NULL
+          AND (value < 0 OR value >= 1000000000)) AS BIGINT)
+UNION ALL SELECT 'orders_without_lineitem',
+  CAST((SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT)"""

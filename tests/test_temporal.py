@@ -182,3 +182,53 @@ def test_decontam_broadcasts_benchmark(spark, sf_dir):
     # for the per-doc count (the benchmark side's tiny distinct also
     # shows as exchanges; corpus data itself shuffles once)
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
+
+
+class TestResampleFfill:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+
+    def test_gap_fill_and_grid(self, spark):
+        from datetime import datetime as dt
+
+        from gclog_parser_spark.operators.temporal import resample_ffill
+
+        ev = self._ev(spark, [
+            (1, 7, dt(2024, 1, 1, 0, 10), 1.0),
+            (2, 7, dt(2024, 1, 1, 0, 50), 2.0),   # same bucket, later
+            (3, 7, dt(2024, 1, 1, 3, 5), 9.0),    # 2 empty buckets
+            (4, 8, dt(2024, 1, 1, 5, 0), 4.0),
+        ])
+        got = {
+            (r.user_id, r.bucket.hour): (r.value_ffill, r.is_observed)
+            for r in resample_ffill(ev).collect()
+        }
+        # bucket 0 keeps the LATER event's value (max by ts,event_id)
+        assert got[(7, 0)] == (2.0, True)
+        assert got[(7, 1)] == (2.0, False)   # carried across the gap
+        assert got[(7, 2)] == (2.0, False)
+        assert got[(7, 3)] == (9.0, True)
+        assert got[(8, 5)] == (4.0, True)
+        assert len(got) == 5  # grid spans first..last bucket per key
+
+    def test_tie_breaks_on_event_id(self, spark):
+        from datetime import datetime as dt
+
+        from gclog_parser_spark.operators.temporal import resample_ffill
+
+        t = dt(2024, 1, 1, 0, 0)
+        ev = self._ev(spark, [(2, 1, t, 5.0), (1, 1, t, 3.0)])
+        [r] = resample_ffill(ev).collect()
+        assert r.value_ffill == 5.0  # higher event_id wins the tie
+
+    def test_step_validation(self, spark):
+        import pytest as _pt
+        from datetime import datetime as dt
+
+        from gclog_parser_spark.operators.temporal import resample_ffill
+
+        ev = self._ev(spark, [(1, 1, dt(2024, 1, 1), 1.0)])
+        with _pt.raises(ValueError, match="step"):
+            resample_ffill(ev, step="2 hours")
