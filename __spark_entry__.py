@@ -2320,6 +2320,22 @@ def q_rel_stream_hll(spark, sf_dir):
     return sk.join(F.broadcast(exact), "event_type")
 
 
+def q_gc_anomaly_hours(spark, sf_dir):
+    """Robust anomaly flags over the hot-hour distribution
+    (`aggregate.mad_anomalies`): per-hour page counts → median/MAD →
+    flag hours above median + 3·MAD.  The 70 %-hot hour 4 is the
+    anomaly by construction — the alerting twin of `gc_key_skew`'s
+    diagnosis.  Counts pre-collapse map-side; both stats broadcast as
+    single rows, so flagging never reshuffles the counts."""
+    from gclog_parser_spark.operators.aggregate import mad_anomalies
+
+    pages = pages_from_documents(spark, sf_dir)
+    counts = pages.groupBy(
+        F.hour("warc_ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    return mad_anomalies(counts, "n", k=3.0)
+
+
 def q_emb_neardup(spark, sf_dir):
     """LSH-blocked cosine near-dup pairs.  Exercised at threshold 0.4
     because the synthetic embeddings' max pairwise cosine is ~0.51 —
@@ -3220,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_key_skew": q_gc_key_skew,
         "agg_hll_distinct": q_agg_hll_distinct,
         "rel_stream_hll": q_rel_stream_hll,
+        "gc_anomaly_hours": q_gc_anomaly_hours,
         "emb_neardup": q_emb_neardup,
         "emb_knn_graph": q_emb_knn_graph,
         "media_meta": q_media_meta,
@@ -3548,6 +3565,7 @@ sessions AS (
     # the stream's register-max state makes its sketch bit-identical
     # to the batch sketch — same oracle checks both paths
     out["rel_stream_hll"] = oracle.hll_distinct_sql(p=4)
+    out["gc_anomaly_hours"] = oracle.mad_anomalies_sql(k=3.0)
     out["emb_neardup"] = ot.emb_neardup_sql(threshold=0.4)
     out["emb_knn_graph"] = ot.knn_graph_sql(k=3)
     out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)

@@ -759,3 +759,46 @@ def hll_distinct(
         F.round(est, 4).alias("est_distinct"),
         F.col("regs_used").cast("int").alias("regs_used"),
     )
+
+
+def mad_anomalies(
+    rel: DataFrame,
+    value_col: str = "n",
+    k: float = 3.0,
+    mad_floor: float = 1.0,
+) -> DataFrame:
+    """Robust outlier flags via median absolute deviation — the
+    telemetry anomaly detector (median/MAD shrug off the very outliers
+    a mean/stddev rule would absorb).  Flags rows where
+    ``value > median + k·MAD``.
+
+    Scale shape: the input relation is usually a pre-collapsed
+    aggregate (e.g. per-hour counts — tiny however big the raw table),
+    and both stats reduce it to ONE broadcast row each, so the flagging
+    pass is a scan with two broadcast joins — no second shuffle of the
+    raw data.  Exact ``percentile`` keeps cross-engine parity (counts
+    are integers; the interpolated midpoints are exact binary
+    fractions)."""
+    v = F.col(value_col)
+    med1 = rel.agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    mad1 = (
+        rel.crossJoin(F.broadcast(med1))
+        .agg(
+            F.expr(
+                f"percentile(abs({value_col} - med), 0.5)"
+            ).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return rel.crossJoin(F.broadcast(mad1)).select(
+        *rel.columns,
+        "med",
+        "mad",
+        (
+            v
+            > F.col("med")
+            + F.lit(k) * F.greatest(F.col("mad"), F.lit(mad_floor))
+        ).alias("is_anomaly"),
+    )

@@ -897,3 +897,25 @@ UNION ALL SELECT 'orders_without_lineitem',
   CAST((SELECT count(*) FROM orders o
         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT)"""
+
+
+def mad_anomalies_sql(k: float = 3.0, mad_floor: float = 1.0) -> str:
+    """Oracle for the hot-hour anomaly flags: per-hour page counts,
+    median/MAD re-derived with quantile_cont over explicit DOUBLE
+    casts (DuckDB's median does not interpolate DECIMAL inputs)."""
+    return with_prefix() + f"""
+, counts AS (
+  SELECT CAST(hour(warc_ts) AS INT) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pages GROUP BY 1
+),
+med AS (
+  SELECT quantile_cont(CAST(n AS DOUBLE), 0.5) AS med FROM counts
+),
+mad AS (
+  SELECT quantile_cont(CAST(abs(n - med) AS DOUBLE), 0.5) AS mad
+  FROM counts, med
+)
+SELECT c.hour, c.n, med.med, mad.mad,
+       c.n > med.med + {k} * greatest(mad.mad, {mad_floor}) AS is_anomaly
+FROM counts c, med, mad"""

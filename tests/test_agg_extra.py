@@ -483,3 +483,34 @@ def test_hll_state_is_bounded_and_deterministic(spark, sf_dir):
     assert all(n <= 16 for n in per_group.values())
     again = hll_registers(ev, ["event_type"], "user_id", p=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, regs))
+
+
+def test_mad_anomalies_flags_only_the_spike(spark):
+    from gclog_parser_spark.operators.aggregate import mad_anomalies
+
+    counts = spark.createDataFrame(
+        [(h, 100 + h % 3) for h in range(23)] + [(23, 5000)],
+        "hour int, n long",
+    )
+    rows = {r.hour: r for r in mad_anomalies(counts, "n").collect()}
+    assert rows[23].is_anomaly
+    assert not any(r.is_anomaly for h, r in rows.items() if h != 23)
+    # the spike must not drag the location stat (robustness): median
+    # stays in the bulk
+    assert 100 <= rows[0].med <= 103
+
+
+def test_mad_anomalies_hot_hour_fires_on_pages(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.datagen import pages_from_documents
+    from gclog_parser_spark.operators.aggregate import mad_anomalies
+
+    counts = pages_from_documents(spark, sf_dir).groupBy(
+        F.hour("warc_ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    flagged = [
+        r.hour for r in mad_anomalies(counts, "n").collect()
+        if r.is_anomaly
+    ]
+    assert flagged == [4]  # the 70%-by-construction hot hour
