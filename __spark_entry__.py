@@ -2320,6 +2320,30 @@ def q_rel_stream_hll(spark, sf_dir):
     return sk.join(F.broadcast(exact), "event_type")
 
 
+def q_agg_cms_freq(spark, sf_dir):
+    """Count-Min frequency estimates for a probe key set vs the exact
+    counts they over-approximate (`aggregate.cms_counters/
+    cms_estimate`): O(depth·width) mergeable state however many
+    distinct keys, probe join broadcasts the sketch — the per-key
+    frequency dashboard a 10^11-distinct-key global groupBy cannot
+    serve."""
+    from gclog_parser_spark.operators.aggregate import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counters = cms_counters(ev, "user_id")
+    probes = ev.where(F.col("user_id") % 15 == 0).select(
+        "user_id"
+    ).distinct()
+    est = cms_estimate(probes, counters, "user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return est.join(exact, "user_id")
+
+
 def q_gc_anomaly_hours(spark, sf_dir):
     """Robust anomaly flags over the hot-hour distribution
     (`aggregate.mad_anomalies`): per-hour page counts → median/MAD →
@@ -3237,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hll_distinct": q_agg_hll_distinct,
         "rel_stream_hll": q_rel_stream_hll,
         "gc_anomaly_hours": q_gc_anomaly_hours,
+        "agg_cms_freq": q_agg_cms_freq,
         "emb_neardup": q_emb_neardup,
         "emb_knn_graph": q_emb_knn_graph,
         "media_meta": q_media_meta,
@@ -3566,6 +3591,7 @@ sessions AS (
     # to the batch sketch — same oracle checks both paths
     out["rel_stream_hll"] = oracle.hll_distinct_sql(p=4)
     out["gc_anomaly_hours"] = oracle.mad_anomalies_sql(k=3.0)
+    out["agg_cms_freq"] = oracle.cms_freq_sql()
     out["emb_neardup"] = ot.emb_neardup_sql(threshold=0.4)
     out["emb_knn_graph"] = ot.knn_graph_sql(k=3)
     out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)

@@ -802,3 +802,83 @@ def mad_anomalies(
             + F.lit(k) * F.greatest(F.col("mad"), F.lit(mad_floor))
         ).alias("is_anomaly"),
     )
+
+
+# --- Count-Min frequency sketch (cross-engine deterministic) --------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512  # power of two; counters per row
+
+
+def cms_counters(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-Min sketch counter relation ``(row_idx, bucket, cnt)`` —
+    the mergeable frequency-estimate state (Cormode & Muthukrishnan
+    2005): row j hashes the value with an independent salted md5, the
+    estimate is the min over rows, error is one-sided (never under).
+
+    Complements the exact sketches: `heavy_hitters` (Misra-Gries)
+    answers "which keys are heavy" exactly; CMS answers "roughly how
+    often is ANY key" in O(depth·width) state per sketch however many
+    distinct keys exist — the per-key frequency dashboard over a
+    10^11-distinct-key stream.  One exchange on (row, bucket) with
+    map-side partial sums; sketches merge by counter addition (exact,
+    associative BIGINT), so per-batch/per-day sketches roll up."""
+    from gclog_parser_spark.operators.dedup import md5_long
+
+    rows = F.explode(
+        F.array(*[F.lit(j) for j in range(depth)])
+    ).alias("row_idx")
+    v = F.col(value_col).cast("string")
+    keyed = df.where(F.col(value_col).isNotNull()).select(
+        v.alias("_v"), rows
+    )
+    bucket = F.pmod(
+        md5_long(F.concat(F.lit("cms"), F.col("row_idx").cast("string"),
+                          F.lit(":"), F.col("_v"))),
+        F.lit(width),
+    )
+    return keyed.groupBy("row_idx", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    counters: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate each probe key against the counter relation:
+    est = min over rows of the key's counter (0 if the bucket is
+    empty).  The probe side re-derives the same salted buckets
+    scan-side and equi-joins the counters (broadcast: the sketch is
+    O(depth·width) rows by construction), so estimating 10^6 probes
+    costs one map-side join — the sketch never rescans the stream."""
+    from gclog_parser_spark.operators.dedup import md5_long
+
+    rows = F.explode(
+        F.array(*[F.lit(j) for j in range(depth)])
+    ).alias("row_idx")
+    v = F.col(value_col).cast("string")
+    keyed = probes.select(F.col(value_col), v.alias("_v"), rows)
+    bucket = F.pmod(
+        md5_long(F.concat(F.lit("cms"), F.col("row_idx").cast("string"),
+                          F.lit(":"), F.col("_v"))),
+        F.lit(width),
+    )
+    return (
+        keyed.withColumn("bucket", bucket)
+        .join(F.broadcast(counters), ["row_idx", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
+    )

@@ -919,3 +919,45 @@ mad AS (
 SELECT c.hour, c.n, med.med, mad.mad,
        c.n > med.med + {k} * greatest(mad.mad, {mad_floor}) AS is_anomaly
 FROM counts c, med, mad"""
+
+
+def cms_freq_sql(
+    depth: int = 4, width: int = 512, probe_mod: int = 15
+) -> str:
+    """Oracle for the Count-Min frequency estimates over events
+    user_id — identical salted-md5 buckets, min-over-rows estimate,
+    joined with the exact counts the sketch over-approximates."""
+    h = (
+        "CAST('0x' || substr(md5('cms' || CAST({j} AS VARCHAR) || ':'"
+        " || CAST({v} AS VARCHAR)), 1, 15) AS BIGINT) % {w}"
+    )
+    return f"""WITH rows_ AS (
+  SELECT unnest(generate_series(0, {depth - 1})) AS j
+),
+counters AS (
+  SELECT r.j AS row_idx,
+         {h.format(j='r.j', v='e.user_id', w=width)} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events e, rows_ r WHERE e.user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % {probe_mod} = 0
+),
+pb AS (
+  SELECT p.user_id, r.j,
+         {h.format(j='r.j', v='p.user_id', w=width)} AS bucket
+  FROM probes p, rows_ r
+),
+est AS (
+  SELECT pb.user_id, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+  FROM pb LEFT JOIN counters c
+    ON c.row_idx = pb.j AND c.bucket = pb.bucket
+  GROUP BY 1
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY 1
+)
+SELECT e.user_id, e.est, x.exact_n
+FROM est e JOIN exact x USING (user_id)"""

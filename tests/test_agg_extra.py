@@ -514,3 +514,63 @@ def test_mad_anomalies_hot_hour_fires_on_pages(spark, sf_dir):
         if r.is_anomaly
     ]
     assert flagged == [4]  # the 70%-by-construction hot hour
+
+
+def test_cms_overestimates_only_and_merges(spark, sf_dir):
+    from gclog_parser_spark.operators.aggregate import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counters = cms_counters(ev, "user_id")
+    # bounded state: <= depth * width counter rows, exact row sums
+    rows = counters.collect()
+    assert len(rows) <= 4 * 512
+    n_events = ev.where(F.col("user_id").isNotNull()).count()
+    per_row = {}
+    for r in rows:
+        per_row[r.row_idx] = per_row.get(r.row_idx, 0) + r.cnt
+    assert all(v == n_events for v in per_row.values())
+    # one-sided error: est >= exact for EVERY key
+    probes = ev.select("user_id").distinct()
+    est = {
+        r.user_id: r.est
+        for r in cms_estimate(probes, counters, "user_id").collect()
+    }
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est[k] >= v for k, v in exact.items())
+    # few keys over 4x512 counters: collisions in all 4 rows are rare,
+    # so nearly every estimate is exact
+    assert sum(est[k] == v for k, v in exact.items()) >= 0.9 * len(exact)
+    # mergeability: counters(A) + counters(B) == counters(A ∪ B)
+    halves = [ev.where(F.col("event_id") % 2 == i) for i in range(2)]
+    merged = (
+        cms_counters(halves[0], "user_id")
+        .unionByName(cms_counters(halves[1], "user_id"))
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rows)
+    )
+
+
+def test_cms_absent_key_estimates_zero_or_collision(spark):
+    from gclog_parser_spark.operators.aggregate import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(1,)] * 5 + [(2,)] * 3, "k long")
+    counters = cms_counters(df, "k")
+    probes = spark.createDataFrame([(1,), (2,), (999,)], "k long")
+    est = {
+        r.k: r.est for r in cms_estimate(probes, counters, "k").collect()
+    }
+    assert est[1] >= 5 and est[2] >= 3
+    assert est[999] in (0, 3, 5, 8)  # absent key: 0 unless colliding
