@@ -2344,6 +2344,17 @@ def q_agg_cms_freq(spark, sf_dir):
     return est.join(exact, "user_id")
 
 
+def q_rel_journeys(spark, sf_dir):
+    """Top-20 user journey paths (`aggregate.journey_paths`): 30-min
+    sessionization → first-5-step path strings → counted, top-k by
+    (count, path).  One user exchange for both windows, map-side path
+    collapse, TakeOrderedAndProject top-k."""
+    from gclog_parser_spark.operators.aggregate import journey_paths
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return journey_paths(ev)
+
+
 def q_gc_anomaly_hours(spark, sf_dir):
     """Robust anomaly flags over the hot-hour distribution
     (`aggregate.mad_anomalies`): per-hour page counts → median/MAD →
@@ -3262,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_stream_hll": q_rel_stream_hll,
         "gc_anomaly_hours": q_gc_anomaly_hours,
         "agg_cms_freq": q_agg_cms_freq,
+        "rel_journeys": q_rel_journeys,
         "emb_neardup": q_emb_neardup,
         "emb_knn_graph": q_emb_knn_graph,
         "media_meta": q_media_meta,
@@ -3592,6 +3604,7 @@ sessions AS (
     out["rel_stream_hll"] = oracle.hll_distinct_sql(p=4)
     out["gc_anomaly_hours"] = oracle.mad_anomalies_sql(k=3.0)
     out["agg_cms_freq"] = oracle.cms_freq_sql()
+    out["rel_journeys"] = oracle.journey_paths_sql()
     out["emb_neardup"] = ot.emb_neardup_sql(threshold=0.4)
     out["emb_knn_graph"] = ot.knn_graph_sql(k=3)
     out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)

@@ -882,3 +882,70 @@ def cms_estimate(
             .alias("est")
         )
     )
+
+
+def journey_paths(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    gap_minutes: int = 30,
+    max_steps: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k user journeys: sessionize per key (gaps-and-islands on
+    ``gap_minutes``), take each session's first ``max_steps`` steps in
+    (ts, event_id) order, and count identical paths — the funnel
+    discovery that tells you which flows actually happen (vs
+    `rel_funnel`, which scores one hypothesized flow, and
+    `rel_transitions`, which only sees pairs).
+
+    Scale shape: ONE exchange on ``key`` shared by the session and
+    step-rank windows, the path aggregate collapses map-side (paths
+    are short strings), and the top-k is ORDER BY+LIMIT — Spark plans
+    TakeOrderedAndProject, a map-side partial top-k that never sorts
+    the full path relation.  Deterministic: step order and the
+    (count DESC, path) cut are total orders in both engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col, "event_id")
+    prev_ts = F.lag(ts_col).over(w)
+    gap_s = gap_minutes * 60
+    new_s = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+            > gap_s * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    sess = events.select(
+        key, ts_col, "event_id", step_col, new_s.alias("_new")
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy(key, "_sid").orderBy(ts_col, "event_id")
+    steps = sess.withColumn("_step", F.row_number().over(ws)).where(
+        F.col("_step") <= max_steps
+    )
+    paths = steps.groupBy(key, "_sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_step", step_col))
+                ),
+                lambda s: s[step_col],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )

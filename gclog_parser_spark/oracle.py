@@ -961,3 +961,46 @@ exact AS (
 )
 SELECT e.user_id, e.est, x.exact_n
 FROM est e JOIN exact x USING (user_id)"""
+
+
+def journey_paths_sql(
+    gap_minutes: int = 30, max_steps: int = 5, k: int = 20
+) -> str:
+    """Oracle for the top-k journey paths — independent gaps-and-
+    islands (lag + running sum) + ordered string_agg + window-rank
+    top-k with the same (count DESC, path) total order."""
+    return f"""WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+              > {gap_minutes * 60} * 1000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+steps AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, sid ORDER BY ts, event_id) AS step
+  FROM sess
+),
+paths AS (
+  SELECT user_id, sid,
+    string_agg(event_type, '>' ORDER BY step) AS path
+  FROM steps WHERE step <= {max_steps}
+  GROUP BY 1, 2
+),
+counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY 1
+)
+SELECT path, n_sessions FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY n_sessions DESC, path) AS r
+  FROM counted
+) WHERE r <= {k}"""

@@ -574,3 +574,44 @@ def test_cms_absent_key_estimates_zero_or_collision(spark):
     }
     assert est[1] >= 5 and est[2] >= 3
     assert est[999] in (0, 3, 5, 8)  # absent key: 0 unless colliding
+
+
+def test_journey_paths_sessionize_and_truncate(spark):
+    from datetime import datetime as dt
+
+    from gclog_parser_spark.operators.aggregate import journey_paths
+
+    def e(i, u, minute, t):
+        return (i, u, dt(2024, 1, 1, minute // 60, minute % 60), t)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1, session 1: a>b ; session 2 (gap > 30m): c
+            e(1, 1, 0, "a"), e(2, 1, 10, "b"), e(3, 1, 60, "c"),
+            # user 2: one 7-step session — path truncates to 5 steps
+            *[e(10 + i, 2, i, s) for i, s in enumerate("abcdefg")],
+            # user 3: same a>b shape as user 1's first session
+            e(30, 3, 0, "a"), e(31, 3, 5, "b"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    rows = {r.path: r.n_sessions for r in journey_paths(ev).collect()}
+    assert rows == {"a>b": 2, "c": 1, "a>b>c>d>e": 1}
+
+
+def test_journey_paths_topk_cut_is_deterministic(spark):
+    from datetime import datetime as dt
+
+    from gclog_parser_spark.operators.aggregate import journey_paths
+
+    ev = spark.createDataFrame(
+        [
+            (i, i, dt(2024, 1, 1), t)
+            for i, t in enumerate(["a", "b", "c", "d"])
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    # four single-step paths all tie at 1 — k=2 must keep the two
+    # lexicographically smallest
+    rows = [r.path for r in journey_paths(ev, k=2).collect()]
+    assert rows == ["a", "b"]
