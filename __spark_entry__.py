@@ -2344,6 +2344,18 @@ def q_agg_cms_freq(spark, sf_dir):
     return est.join(exact, "user_id")
 
 
+def q_rel_trending(spark, sf_dir):
+    """Freshness-weighted counts with EXACT power-of-two exponential
+    decay (`aggregate.decayed_counts`): weight 2^-age_days summed as
+    BIGINT ticks — associative, bit-identical cross-engine, where a
+    float pow(0.5, age) sum would drift with partition order."""
+    from gclog_parser_spark.operators.aggregate import decayed_counts
+
+    return decayed_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def q_rel_journeys(spark, sf_dir):
     """Top-20 user journey paths (`aggregate.journey_paths`): 30-min
     sessionization → first-5-step path strings → counted, top-k by
@@ -3274,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_anomaly_hours": q_gc_anomaly_hours,
         "agg_cms_freq": q_agg_cms_freq,
         "rel_journeys": q_rel_journeys,
+        "rel_trending": q_rel_trending,
         "emb_neardup": q_emb_neardup,
         "emb_knn_graph": q_emb_knn_graph,
         "media_meta": q_media_meta,
@@ -3605,6 +3618,7 @@ sessions AS (
     out["gc_anomaly_hours"] = oracle.mad_anomalies_sql(k=3.0)
     out["agg_cms_freq"] = oracle.cms_freq_sql()
     out["rel_journeys"] = oracle.journey_paths_sql()
+    out["rel_trending"] = oracle.decayed_counts_sql()
     out["emb_neardup"] = ot.emb_neardup_sql(threshold=0.4)
     out["emb_knn_graph"] = ot.knn_graph_sql(k=3)
     out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)

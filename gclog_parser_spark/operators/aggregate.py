@@ -949,3 +949,47 @@ def journey_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(k)
     )
+
+
+DECAY_SCALE_BITS = 40  # weight ticks: 2^(40 - age); age caps at 40
+
+
+def decayed_counts(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Freshness-weighted ('trending') counts with EXACT exponential
+    decay: each row weighs 2^-age_days (half-life = one day), summed
+    as integer ticks ``2^(40 - min(age, 40))`` — powers of two make
+    the decay exact BIGINT arithmetic, so the cross-partition sum is
+    associative and both engines agree bit-for-bit (a float
+    ``pow(0.5, age)`` sum would drift with partition order).  Ages
+    beyond 40 days decay below one tick and round to zero by
+    construction.
+
+    The anchor is the table's max timestamp (one broadcast row); at
+    scale this is the classic trending dashboard: one scan, map-side
+    partial sums, state = one (group) row however many events."""
+    anchor = events.agg(
+        F.max(F.to_date(ts_col)).alias("_anchor")
+    )
+    aged = events.crossJoin(F.broadcast(anchor)).select(
+        group_col,
+        F.least(
+            F.datediff("_anchor", F.to_date(ts_col)),
+            F.lit(DECAY_SCALE_BITS),
+        ).alias("_age"),
+    )
+    ticks = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {DECAY_SCALE_BITS} - _age)"
+    )
+    return aged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ticks).alias("decayed_ticks"),
+        F.round(
+            F.sum(ticks)
+            / F.lit(float(1 << DECAY_SCALE_BITS)),
+            6,
+        ).alias("trend_score"),
+    )

@@ -1004,3 +1004,24 @@ SELECT path, n_sessions FROM (
     ORDER BY n_sessions DESC, path) AS r
   FROM counted
 ) WHERE r <= {k}"""
+
+
+def decayed_counts_sql() -> str:
+    """Oracle for the trending counts — same power-of-two tick decay
+    (exact BIGINT), same max-date anchor."""
+    return """WITH anchor AS (
+  SELECT max(CAST(ts AS DATE)) AS a FROM events
+),
+aged AS (
+  SELECT event_type,
+    least(datediff('day', CAST(ts AS DATE), anchor.a), 40) AS age
+  FROM events, anchor
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(1 AS BIGINT) << (40 - age)) AS BIGINT)
+    AS decayed_ticks,
+  round(SUM(CAST(1 AS BIGINT) << (40 - age))
+        / CAST((CAST(1 AS BIGINT) << 40) AS DOUBLE), 6)
+    AS trend_score
+FROM aged GROUP BY 1"""

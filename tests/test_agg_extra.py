@@ -615,3 +615,24 @@ def test_journey_paths_topk_cut_is_deterministic(spark):
     # lexicographically smallest
     rows = [r.path for r in journey_paths(ev, k=2).collect()]
     assert rows == ["a", "b"]
+
+
+def test_decayed_counts_exact_powers_of_two(spark):
+    from datetime import datetime as dt
+
+    from gclog_parser_spark.operators.aggregate import decayed_counts
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", dt(2024, 1, 10)),   # age 0 → 2^40
+            (2, "a", dt(2024, 1, 9)),    # age 1 → 2^39
+            (3, "a", dt(2023, 1, 1)),    # age > 40 → capped: 1 tick
+            (4, "b", dt(2024, 1, 10)),
+        ],
+        "event_id long, event_type string, ts timestamp",
+    )
+    rows = {r.event_type: r for r in decayed_counts(ev).collect()}
+    assert rows["a"].decayed_ticks == (1 << 40) + (1 << 39) + 1
+    assert rows["a"].n == 3
+    assert rows["a"].trend_score == 1.5  # 1 + 0.5 + ~0 rounds to 1.5
+    assert rows["b"].decayed_ticks == 1 << 40
