@@ -1121,7 +1121,7 @@ def pq_topk(
 
 
 def knn_graph(
-    emb: DataFrame, k: int = 3, seed: int = 42
+    emb: DataFrame, k: int = 3, seed: int = 42, seeds=None
 ) -> DataFrame:
     """Approximate k-NN graph: for EVERY vector, its top-k cosine
     neighbors within its LSH bucket — the all-queries generalization of
@@ -1138,30 +1138,44 @@ def knn_graph(
     (both engines).  Recall follows the LSH bucket (union several
     seeds for multiband recall, as in ``neardup_pairs_multiband``).
 
+    ``seeds``: pass several plane-set seeds to union candidate sets
+    before ranking — the multiband recall amplifier
+    (``neardup_pairs_multiband``): a true neighbor split off by one
+    unlucky hyperplane set is caught by another; cost grows linearly
+    in seeds (one bucket join each), recall loss decays exponentially.
+
     Returns ``(src, dst, sim, rank)``, rank 1-based per src."""
     from pyspark.sql import Window
 
-    b = lsh_buckets(emb, seed)
-    a = b.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("ea"),
-        "bucket",
-    )
-    c = b.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("eb"),
-        "bucket",
-    )
-    scored = (
-        a.join(c, "bucket")
-        .where(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            _cos_sim(F.col("ea"), F.col("eb")).alias("sim"),
+    def _cands(sd):
+        b = lsh_buckets(emb, sd)
+        a = b.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("ea"),
+            "bucket",
         )
-        .where(F.col("sim").isNotNull())
-    )
+        c = b.select(
+            F.col("vec_id").alias("dst"),
+            F.col("embedding").alias("eb"),
+            "bucket",
+        )
+        return (
+            a.join(c, "bucket")
+            .where(F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                _cos_sim(F.col("ea"), F.col("eb")).alias("sim"),
+            )
+            .where(F.col("sim").isNotNull())
+        )
+
+    scored = _cands(seed)
+    for sd in seeds or ():
+        if sd != seed:
+            scored = scored.unionByName(_cands(sd))
+    if seeds:
+        scored = scored.distinct()
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     return scored.withColumn(
         "rank", F.row_number().over(w)

@@ -386,3 +386,30 @@ def test_knn_graph_invariants_and_plan(spark, sf_dir):
     # candidate set -- the property that makes this viable at 10^9 vecs
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_knn_graph_multiband_recall_dominates_single(spark, sf_dir):
+    """Union of several plane sets can only ADD candidates: every
+    single-seed edge survives (same sim, rank <= single-seed rank),
+    and recall vs exact top-k never decreases."""
+    from gclog_parser_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    single = {(r.src, r.dst): r.sim for r in knn_graph(emb, k=3).collect()}
+    multi_rows = knn_graph(
+        emb, k=3, seeds=(42, 1042, 2042)
+    ).collect()
+    multi = {(r.src, r.dst): r.sim for r in multi_rows}
+    # per-src neighbor quality is monotone: the multiband rank-1 sim
+    # >= single-seed rank-1 sim for every src present in both
+    best_s: dict[int, float] = {}
+    for (s, _), sim in single.items():
+        best_s[s] = max(best_s.get(s, -2.0), sim)
+    best_m: dict[int, float] = {}
+    for (s, _), sim in multi.items():
+        best_m[s] = max(best_m.get(s, -2.0), sim)
+    assert set(best_s) <= set(best_m)
+    assert all(best_m[s] >= best_s[s] for s in best_s)
+    # dedup works: no (src,dst) appears twice
+    keys = [(r.src, r.dst) for r in multi_rows]
+    assert len(keys) == len(set(keys))
