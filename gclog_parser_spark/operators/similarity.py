@@ -1148,24 +1148,39 @@ def knn_graph(
     from pyspark.sql import Window
 
     def _cands(sd):
-        b = lsh_buckets(emb, sd)
+        # norms hoisted per VECTOR before the join (sqrt(dot(v,v)) is
+        # bit-identical whether computed once per vector or once per
+        # candidate pair, so oracle parity holds) — this removes 2 of
+        # the 3 per-pair HOF aggregates and is the difference between
+        # O(pairs·dim) and O(3·pairs·dim) interpreted work
+        b = lsh_buckets(emb, sd).withColumn(
+            "_nrm", _norm(F.col("embedding"))
+        )
         a = b.select(
             F.col("vec_id").alias("src"),
             F.col("embedding").alias("ea"),
+            F.col("_nrm").alias("na"),
             "bucket",
         )
         c = b.select(
             F.col("vec_id").alias("dst"),
             F.col("embedding").alias("eb"),
+            F.col("_nrm").alias("nb"),
             "bucket",
         )
+        denom = F.col("na") * F.col("nb")
         return (
             a.join(c, "bucket")
             .where(F.col("src") != F.col("dst"))
             .select(
                 "src",
                 "dst",
-                _cos_sim(F.col("ea"), F.col("eb")).alias("sim"),
+                F.when(
+                    denom != 0,
+                    F.round(
+                        _dot(F.col("ea"), F.col("eb")) / denom, 6
+                    ),
+                ).alias("sim"),
             )
             .where(F.col("sim").isNotNull())
         )
