@@ -2344,6 +2344,36 @@ def q_agg_cms_freq(spark, sf_dir):
     return est.join(exact, "user_id")
 
 
+def q_gc_grok_access(spark, sf_dir):
+    """Generic grok extraction round-trip (`functions/grok.py`):
+    synthesize access-log-shaped lines from events, then pull the
+    typed fields back out with ONE compiled %{PATTERN:field:type}
+    regex running in whole-stage codegen.  The oracle extracts with
+    the SAME compiled regex under DuckDB's RE2 — two regex engines,
+    one pattern, value-equal fields (the north rule's 'grok/regex
+    parse' as a reusable operator, not just the GC grammar)."""
+    from gclog_parser_spark.functions.grok import (
+        ACCESS_PATTERN,
+        grok_parse,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.select(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(" - "),
+            F.col("event_type"),
+            F.lit(" ["),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit('] "GET /api/'),
+            F.col("event_type"),
+            F.lit('" '),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        ).alias("line")
+    )
+    return grok_parse(lines, "line", ACCESS_PATTERN)
+
+
 def q_rel_trending(spark, sf_dir):
     """Freshness-weighted counts with EXACT power-of-two exponential
     decay (`aggregate.decayed_counts`): weight 2^-age_days summed as
@@ -3287,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cms_freq": q_agg_cms_freq,
         "rel_journeys": q_rel_journeys,
         "rel_trending": q_rel_trending,
+        "gc_grok_access": q_gc_grok_access,
         "emb_neardup": q_emb_neardup,
         "emb_knn_graph": q_emb_knn_graph,
         "media_meta": q_media_meta,
@@ -3619,6 +3650,7 @@ sessions AS (
     out["agg_cms_freq"] = oracle.cms_freq_sql()
     out["rel_journeys"] = oracle.journey_paths_sql()
     out["rel_trending"] = oracle.decayed_counts_sql()
+    out["gc_grok_access"] = oracle.grok_access_sql()
     out["emb_neardup"] = ot.emb_neardup_sql(threshold=0.4)
     out["emb_knn_graph"] = ot.knn_graph_sql(k=3)
     out["emb_clusters"] = ot.emb_clusters_sql(threshold=0.35)

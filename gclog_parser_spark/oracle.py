@@ -1025,3 +1025,37 @@ SELECT event_type,
         / CAST((CAST(1 AS BIGINT) << 40) AS DOUBLE), 6)
     AS trend_score
 FROM aged GROUP BY 1"""
+
+
+def grok_access_sql() -> str:
+    """Oracle for the grok round-trip: builds the SAME synthetic
+    access-log lines and extracts with the SAME compiled regex via
+    DuckDB's RE2 — two regex engines, one pattern, value-equal typed
+    fields."""
+    from gclog_parser_spark.functions.grok import (
+        ACCESS_PATTERN,
+        grok_compile,
+    )
+
+    regex, fields = grok_compile(ACCESS_PATTERN)
+    r = regex.replace("'", "''")
+    casts = {
+        "bigint": "CAST(regexp_extract(line, '{r}', {i}) AS BIGINT)",
+        "timestamp": "CAST(regexp_extract(line, '{r}', {i}) AS TIMESTAMP)",
+        "string": "regexp_extract(line, '{r}', {i})",
+    }
+    sel = ",\n  ".join(
+        casts[t].format(r=r, i=i + 1) + f" AS {n}"
+        for i, (n, t) in enumerate(fields)
+    )
+    return f"""WITH lines AS (
+  SELECT CAST(user_id AS VARCHAR) || ' - ' || event_type || ' ['
+         || strftime(ts, '%Y-%m-%d %H:%M:%S') || '] "GET /api/'
+         || event_type || '" '
+         || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+         AS line
+  FROM events
+)
+SELECT
+  {sel}
+FROM lines WHERE regexp_matches(line, '{r}')"""
