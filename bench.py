@@ -214,7 +214,11 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     # per-query split a serving deployment cares about
     from gclog_parser_spark.operators.similarity import pq_topk, pq_train
     t("pq_train_sf", lambda: len(pq_train(embs, iters=2)), reps=1)
-    _pq_cents = pq_train(embs, iters=2)
+    # Arrow int64 assigner: bit-identical codebooks (pinned in
+    # tests/test_pq.py), ~9x wall — the construction-cost story
+    t("pq_train_np_sf",
+      lambda: len(pq_train(embs, iters=2, assigner="np")), reps=1)
+    _pq_cents = pq_train(embs, iters=2, assigner="np")
     t("pq_adc_topk_sf", lambda: pq_topk(embs, _pq_cents).count())
     t("token_counts_sf", lambda: token_counts(docs)
         .agg(F.sum("tokens")).collect()[0][0])

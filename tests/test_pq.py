@@ -114,3 +114,16 @@ def test_empty_cells_keep_previous_centroid(spark):
     )
     cents = pq_train(emb, iters=1)
     assert len(cents) == PQ_M and len(cents[0]) == PQ_KS
+
+
+def test_pq_np_assigner_trains_identical_codebooks(spark, sf_dir):
+    """The Arrow int64 assigner must reproduce the codegen path's
+    codebooks BIT-FOR-BIT (integer ticks + HALF_UP replication +
+    first-minimum tie rule) — it is a construction-cost optimization,
+    not an approximation."""
+    from gclog_parser_spark.operators.similarity import pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert pq_train(emb, iters=2) == pq_train(
+        emb, iters=2, assigner="np"
+    )
