@@ -1752,6 +1752,17 @@ def q_text_bpe_merges(spark, sf_dir):
     return bpe_merges(_docs(spark, sf_dir))
 
 
+def q_dedup_recall(spark, sf_dir):
+    """Candidate-recall audit of the MinHash-LSH banding index against
+    the provably-complete exact-Jaccard ground truth (PPJoin): the
+    pre-flight quality dial for a 10^12-doc dedup run — banding
+    parameters trade recall against candidate volume, and this makes
+    the trade measurable on a sample (operators/dedup.py::lsh_recall)."""
+    from gclog_parser_spark.operators.dedup import lsh_recall
+
+    return lsh_recall(_docs(spark, sf_dir))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """New-crawl-batch dedup against an already-deduplicated corpus
     (even/odd doc_id halves): exact hash semi-join + LSH band-index
@@ -2320,6 +2331,62 @@ def q_rel_stream_hll(spark, sf_dir):
     return sk.join(F.broadcast(exact), "event_type")
 
 
+def q_agg_hll_rollup(spark, sf_dir):
+    """HLL sketch-hierarchy rollup: sketch ONCE at the finest grain
+    (event_type × hour register relation), answer the per-type AND
+    global distinct-user questions by register-max re-aggregation of
+    that sketch relation — never rescanning the events.  est_merged
+    (rolled up from the fine sketch) and est_direct (sketched from
+    the raw rows at the coarse grain) are equal by associativity;
+    emitting both and hash-matching the oracle proves it
+    (operators/aggregate.py::hll_rollup).  The 10^12-row story: store
+    O(groups × 2^p) register rows per day, serve every coarser
+    COUNT DISTINCT from sketch-sized input."""
+    from gclog_parser_spark.operators.aggregate import (
+        hll_distinct,
+        hll_registers,
+        hll_rollup,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fine = hll_registers(
+        ev.withColumn("hour", F.date_trunc("hour", "ts")),
+        ["event_type", "hour"],
+        "user_id",
+        p=4,
+    )
+    by_type = hll_rollup(fine, ["event_type"], p=4).withColumnRenamed(
+        "est_distinct", "est_merged"
+    )
+    direct_type = hll_distinct(ev, ["event_type"], "user_id", p=4).select(
+        "event_type", F.col("est_distinct").alias("est_direct")
+    )
+    typed = by_type.join(direct_type, "event_type").select(
+        F.lit("event_type").alias("level"),
+        "event_type",
+        "est_merged",
+        "est_direct",
+        "regs_used",
+    )
+    glob = (
+        hll_rollup(fine, [], p=4)
+        .withColumnRenamed("est_distinct", "est_merged")
+        .crossJoin(
+            hll_distinct(ev, [], "user_id", p=4).select(
+                F.col("est_distinct").alias("est_direct")
+            )
+        )
+        .select(
+            F.lit("global").alias("level"),
+            F.lit(None).cast("string").alias("event_type"),
+            "est_merged",
+            "est_direct",
+            "regs_used",
+        )
+    )
+    return typed.unionByName(glob)
+
+
 def q_agg_cms_freq(spark, sf_dir):
     """Count-Min frequency estimates for a probe key set vs the exact
     counts they over-approximate (`aggregate.cms_counters/
@@ -2438,6 +2505,23 @@ def q_media_meta(spark, sf_dir):
 
     pages = pages_from_documents(spark, sf_dir)
     return extract_media_meta(pages)
+
+
+def q_media_neighbors(spark, sf_dir):
+    """Multimodal→ANN composition: binary payloads → deterministic
+    stand-in embeddings (Arrow mapInPandas, the model-inference shape;
+    a real deployment swaps only the per-payload function for the
+    encoder forward pass) → exact-BIGINT dot-product top-k around the
+    keeper of the largest exact-duplicate payload group.  The
+    expected top neighbors are that page's re-crawled byte-copies at
+    the maximum score — the encoder sanity check a media pipeline
+    runs before trusting embedding dedup
+    (operators/multimodal.py::media_embed/media_neighbor_topk)."""
+    from gclog_parser_spark.operators.multimodal import (
+        media_neighbor_topk,
+    )
+
+    return media_neighbor_topk(pages_from_documents(spark, sf_dir))
 
 
 def q_media_resize(spark, sf_dir):
@@ -3289,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+        "dedup_recall": q_dedup_recall,
         "dedup_containment": q_dedup_containment,
         "text_quality": q_text_quality,
         "text_classifier": q_text_classifier,
@@ -3312,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_facets": q_web_url_facets,
         "gc_key_skew": q_gc_key_skew,
         "agg_hll_distinct": q_agg_hll_distinct,
+        "agg_hll_rollup": q_agg_hll_rollup,
         "rel_stream_hll": q_rel_stream_hll,
         "gc_anomaly_hours": q_gc_anomaly_hours,
         "agg_cms_freq": q_agg_cms_freq,
@@ -3321,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         "emb_knn_graph": q_emb_knn_graph,
         "media_meta": q_media_meta,
+        "media_neighbors": q_media_neighbors,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "media_phash": q_media_phash,
@@ -3621,6 +3708,7 @@ sessions AS (
     out["dedup_simhash"] = ot.dedup_simhash_sql()
     out["dedup_jaccard"] = ot.dedup_jaccard_sql()
     out["dedup_prefix_jaccard"] = ot.prefix_jaccard_sql()
+    out["dedup_recall"] = ot.lsh_recall_sql()
     out["dedup_containment"] = ot.dedup_containment_sql()
     out["text_quality"] = ot.text_quality_sql()
     out["text_classifier"] = ot.classifier_score_sql()
@@ -3643,6 +3731,7 @@ sessions AS (
     out["web_url_facets"] = ot.url_facets_sql()
     out["gc_key_skew"] = oracle.skew_stats_sql()
     out["agg_hll_distinct"] = oracle.hll_distinct_sql(p=4)
+    out["agg_hll_rollup"] = oracle.hll_rollup_sql(p=4)
     # the stream's register-max state makes its sketch bit-identical
     # to the batch sketch — same oracle checks both paths
     out["rel_stream_hll"] = oracle.hll_distinct_sql(p=4)
@@ -3742,6 +3831,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
    OR a.value IS DISTINCT FROM b.value
    OR a.props IS DISTINCT FROM b.props"""
     out["media_meta"] = ot.media_meta_sql()
+    out["media_neighbors"] = ot.media_neighbor_sql()
     out["media_resize"] = ot.media_resize_sql()
     out["media_frames"] = ot.media_frames_sql()
     out["media_phash"] = ot.media_phash_sql()

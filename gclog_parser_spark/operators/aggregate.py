@@ -761,6 +761,32 @@ def hll_distinct(
     )
 
 
+def hll_rollup(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int = 4,
+) -> DataFrame:
+    """Merge a FINER-grained HLL register relation up to
+    ``group_cols`` and estimate — the sketch-hierarchy rollup.
+
+    Register max is associative and commutative, so merging the
+    per-(sink, hour) register relation up to per-sink (or to one
+    global row with ``group_cols=[]``) yields BIT-IDENTICAL registers
+    to sketching the raw rows at the coarse grain directly.  That is
+    the 10^12-row distinct-count story: sketch each partition / day /
+    micro-batch once at the finest grain you will ever query, store
+    the O(groups × 2^p) register relation, and answer every coarser
+    COUNT DISTINCT from it by a register-max re-aggregation — no
+    rescan of history, and the rollup input is sketch-sized, not
+    corpus-sized.  (``approx_count_distinct`` cannot do this: its
+    binary sketch is engine-private and not exposed for re-grouping.)
+    """
+    merged = registers.groupBy(*group_cols, "reg").agg(
+        F.max("r").alias("r")
+    )
+    return hll_distinct(None, group_cols, "", p=p, registers=merged)
+
+
 def mad_anomalies(
     rel: DataFrame,
     value_col: str = "n",

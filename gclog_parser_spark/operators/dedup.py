@@ -911,3 +911,62 @@ def incremental_dedup(
             ),
         )
     )
+
+
+def lsh_recall(
+    docs: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Candidate-recall audit for the MinHash-LSH banding index:
+    measure what fraction of TRUE near-dup pairs (exact Jaccard ≥
+    num/den, from the provably-complete ``prefix_jaccard_pairs``
+    ground truth) the banding actually surfaces as candidates.
+
+    One row: ``(n_truth, n_candidates, n_hits, recall, efficiency)``
+    where recall = hits/truth (the banding's miss rate made visible)
+    and efficiency = hits/candidates (how much of the candidate
+    volume is real signal vs band collisions to be verified away).
+
+    This is the dial an operator turns BEFORE a 10^12-doc dedup run:
+    banding parameters (hashes × bands) trade recall against candidate
+    volume, and this audit makes the trade measurable on a sample —
+    at full scale the exact ground truth is unaffordable, so you run
+    it on a hash-sampled slice and extrapolate.  Scale shape: the
+    truth side is PPJoin (self-limiting prefix join), the candidate
+    side the band equi-join, the comparison two aggregates over
+    pair-id relations — no driver loop, no collect.
+
+    Reference has no similarity ops; north-rule dedup quality gate
+    (BASELINE.json)."""
+    truth = prefix_jaccard_pairs(
+        docs, threshold_num, threshold_den
+    ).select("doc_a", "doc_b")
+    cand = (
+        minhash_band_pairs(docs, num_hashes, bands)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    hits = truth.join(cand.withColumn("is_cand", F.lit(1)),
+                      ["doc_a", "doc_b"], "left")
+    stats = hits.agg(
+        F.count("*").alias("n_truth"),
+        F.coalesce(F.sum("is_cand"), F.lit(0))
+        .cast("long")
+        .alias("n_hits"),
+    )
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    return stats.crossJoin(n_cand).select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.col("n_hits") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_hits") / F.greatest(F.col("n_candidates"), F.lit(1)),
+            6,
+        ).alias("efficiency"),
+    )

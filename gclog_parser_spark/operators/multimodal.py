@@ -332,3 +332,98 @@ def media_phash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+EMBED_DIM = 8
+EMBED_LANE_OFFSET = 1 << 23  # 24-bit lanes, signed around zero
+
+
+def media_embed(
+    pages: DataFrame,
+    dim: int = EMBED_DIM,
+    payload_col: str = "html",
+) -> DataFrame:
+    """Deterministic stand-in media embedder — the model-inference
+    pass of a multimodal pipeline in its real Spark shape: pruned
+    (url, binary) scan → Arrow-batched ``mapInPandas`` → (url,
+    ``array<long>``) embedding relation, zero shuffle.  A real
+    deployment swaps ONLY the per-payload function for the
+    CLIP/encoder forward pass (GPU-batched over exactly these Arrow
+    batches); everything downstream — storage schema, similarity
+    joins, dedup — is unchanged.
+
+    The stand-in is content-determined: lane j = signed 24-bit integer
+    from ``md5(payload_text || ':' || j)``.  24-bit lanes keep every
+    downstream dot product exact BIGINT (dim · 2^46 ≪ 2^63), so the
+    similarity queries built on top are bit-checkable cross-engine.
+    Identical payloads ⇒ identical vectors, which is precisely the
+    property embedding-dedup relies on."""
+
+    def fn(batches):
+        for pdf in batches:
+            recs = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                text = bytes(payload).decode("utf-8", errors="replace")
+                emb = [
+                    int(
+                        hashlib.md5(
+                            (text + f":{j}").encode()
+                        ).hexdigest()[:6],
+                        16,
+                    )
+                    - EMBED_LANE_OFFSET
+                    for j in range(dim)
+                ]
+                recs.append({"url": url, "emb": emb})
+            yield pd.DataFrame.from_records(
+                recs, columns=["url", "emb"]
+            )
+
+    return pages.select("url", payload_col).mapInPandas(
+        fn, "url string, emb array<long>"
+    )
+
+
+def media_neighbor_topk(
+    pages: DataFrame,
+    k: int = 10,
+    dim: int = EMBED_DIM,
+    payload_col: str = "html",
+) -> DataFrame:
+    """Embedding-space nearest neighbors of one probe page — the
+    multimodal→ANN composition: binary payload → embedding relation →
+    exact-BIGINT dot-product top-k.  The probe is the keeper of the
+    LARGEST exact-duplicate payload group (deterministic: count DESC,
+    url ASC), so the expected top neighbors are its re-crawled copies
+    at the maximum attainable score — embedding dedup finding what
+    byte-dedup finds, the cross-modality sanity check a production
+    media pipeline runs before trusting the encoder.
+
+    Scale shape: the embedding pass is shuffle-free; the probe row
+    broadcasts; the scan computes dim multiplies per vector; top-k is
+    a bounded TakeOrdered — no global sort materializes."""
+    emb = media_embed(pages, dim=dim, payload_col=payload_col)
+    probe_url = (
+        pages.groupBy(F.md5(payload_col))
+        .agg(F.count("*").alias("n"), F.min("url").alias("url"))
+        .orderBy(F.desc("n"), F.asc("url"))
+        .limit(1)
+        .select("url")
+    )
+    probe = emb.join(
+        F.broadcast(probe_url), "url"
+    ).select(F.col("url").alias("probe_url"), F.col("emb").alias("pemb"))
+    dot = F.aggregate(
+        F.zip_with("pemb", "emb", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.crossJoin(F.broadcast(probe))
+        .where(F.col("url") != F.col("probe_url"))
+        .select("probe_url", "url", dot.alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("url"))
+        .limit(k)
+    )

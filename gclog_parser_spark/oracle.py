@@ -837,6 +837,62 @@ SELECT s.event_type,
 FROM sk s JOIN exact e USING (event_type)"""
 
 
+def hll_rollup_sql(p: int = 4) -> str:
+    """Oracle for the HLL sketch-hierarchy rollup query: per-type and
+    global distinct-user estimates.  Register max is associative, so
+    the oracle derives each level's registers directly from the
+    values — by construction the same bits Spark gets by merging the
+    finer (event_type, hour) register relation — and emits the one
+    estimate as BOTH est_merged and est_direct (the Spark side
+    computes the two columns along the two different paths; equality
+    IS the rollup property under test)."""
+    from gclog_parser_spark.operators.aggregate import (
+        HLL_W_BITS,
+        _hll_alpha,
+    )
+
+    m = 1 << p
+    alpha_m2 = repr(_hll_alpha(m) * m * m)
+    wq = HLL_W_BITS // 4
+    est = (
+        f"round(CAST({alpha_m2} AS DOUBLE)"
+        f" * CAST((CAST(1 AS BIGINT) << {HLL_W_BITS}) AS DOUBLE)"
+        f" / CAST(present_ticks + ({m} - regs_used)"
+        f" * (CAST(1 AS BIGINT) << {HLL_W_BITS}) AS DOUBLE), 4)"
+    )
+    ticks = f"SUM((CAST(1 AS BIGINT) << ({HLL_W_BITS} - r)))"
+    return f"""WITH vals AS (
+  SELECT event_type,
+    CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                        1, {p // 4}) AS BIGINT) AS reg,
+    CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                        {p // 4 + 1}, {wq}) AS BIGINT) AS w
+  FROM events WHERE user_id IS NOT NULL
+),
+regs_t AS (
+  SELECT event_type, reg,
+         MAX({HLL_W_BITS + 1} - length(bin(w))) AS r
+  FROM vals GROUP BY 1, 2
+),
+regs_g AS (SELECT reg, MAX(r) AS r FROM regs_t GROUP BY 1),
+sk_t AS (
+  SELECT event_type, {ticks} AS present_ticks,
+         COUNT(*) AS regs_used
+  FROM regs_t GROUP BY 1
+),
+sk_g AS (
+  SELECT {ticks} AS present_ticks, COUNT(*) AS regs_used FROM regs_g
+)
+SELECT 'event_type' AS level, event_type,
+  {est} AS est_merged, {est} AS est_direct,
+  CAST(regs_used AS INT) AS regs_used
+FROM sk_t
+UNION ALL
+SELECT 'global', CAST(NULL AS VARCHAR),
+  {est}, {est}, CAST(regs_used AS INT)
+FROM sk_g"""
+
+
 def resample_ffill_sql(user_mod: int = 10) -> str:
     """Oracle for temporal.resample_ffill over events (hourly grid per
     user, forward-filled value, same (epoch-micros, event_id) string

@@ -2042,3 +2042,59 @@ SELECT a.url AS url_a, b.url AS url_b,
   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
 FROM phashes a JOIN phashes b ON a.url < b.url
 WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}"""
+
+
+def lsh_recall_sql(num: int = 1, den: int = 2) -> str:
+    """Oracle for dedup.lsh_recall — truth from the prefix-filter
+    exact-Jaccard query, candidates from the banding query (both full
+    queries nested as derived tables so their CTE namespaces cannot
+    collide), metrics by the same greatest(·,1)-guarded divisions."""
+    return f"""WITH truth AS (
+  SELECT doc_a, doc_b FROM ({prefix_jaccard_sql(num, den)})
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM ({dedup_minhash_sql()})
+),
+m AS (
+  SELECT
+    (SELECT count(*) FROM truth) AS n_truth,
+    (SELECT count(*) FROM cand) AS n_candidates,
+    (SELECT count(*) FROM truth JOIN cand USING (doc_a, doc_b))
+      AS n_hits
+)
+SELECT n_truth, n_candidates, n_hits,
+  round(n_hits / greatest(n_truth, 1), 6) AS recall,
+  round(n_hits / greatest(n_candidates, 1), 6) AS efficiency
+FROM m"""
+
+
+def media_neighbor_sql(k: int = 10, dim: int = 8) -> str:
+    """Oracle for multimodal.media_neighbor_topk: re-derives the
+    md5-lane embeddings relationally (one (url, j) row per lane), the
+    largest-duplicate-group probe, and the exact BIGINT dot-product
+    top-k with the same (dot DESC, url ASC) deterministic cut."""
+    lane = (
+        "CAST('0x' || substr(md5(html_text || ':' ||"
+        " CAST(j AS VARCHAR)), 1, 6) AS BIGINT) - 8388608"
+    )
+    return f"""WITH {fixtures_values()},
+{PAGES_CTE.replace("f.fixture_text AS gc_text", f"{_HTML_EXPR} AS html_text")},
+emb AS (
+  SELECT url, j, {lane} AS v
+  FROM pages, unnest(generate_series(0, {dim - 1})) AS t(j)
+),
+probe AS (
+  SELECT url FROM (
+    SELECT md5(html_text) AS h, count(*) AS n, min(url) AS url
+    FROM pages GROUP BY 1
+  ) ORDER BY n DESC, url ASC LIMIT 1
+),
+pe AS (SELECT e.j, e.v FROM emb e JOIN probe p ON e.url = p.url),
+dots AS (
+  SELECT e.url, SUM(e.v * pe.v) AS dot
+  FROM emb e JOIN pe ON e.j = pe.j
+  WHERE e.url <> (SELECT url FROM probe)
+  GROUP BY e.url
+)
+SELECT (SELECT url FROM probe) AS probe_url, url, dot
+FROM dots ORDER BY dot DESC, url ASC LIMIT {k}"""

@@ -27,6 +27,11 @@ CAPS: dict[str, int] = {
     # side exists only to bound the estimate and is the part a real
     # 10^12-row deployment would drop
     "rel_kmv_intersect": 18,
+    # composes the PPJoin exact-truth pipeline (the expensive audit
+    # side a full-scale run only executes on a sample) with the
+    # minhash banding pipeline it audits, then two count aggregates;
+    # each half alone is under the default cap
+    "dedup_recall": 16,
 }
 
 #: streaming queries execute real micro-batch streams inside the
