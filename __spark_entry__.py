@@ -2331,6 +2331,87 @@ def q_rel_stream_hll(spark, sf_dir):
     return sk.join(F.broadcast(exact), "event_type")
 
 
+def q_rel_stream_late(spark, sf_dir):
+    """Watermark late-data audit — the APPEND-mode drop contract made
+    value-checkable.  The events table replays as 4 chronological
+    weekly micro-batches where every ``event_id % 7 == 0`` row arrives
+    TWO batches late; a 3-day watermark hourly count then drops
+    exactly the stragglers whose hour closed before they arrived.
+    Output per finalized hour: ``(hour, n_stream, n_true,
+    n_late_dropped)`` — the dropped-row accounting a production
+    dashboard publishes next to its numbers.
+
+    The oracle models Spark's watermark mechanics to the millisecond
+    (validated empirically on this engine version): a row in batch b
+    is dropped iff its window END <= the LATE-EVENTS watermark of
+    batch b (= max event time through batch b-2, ms-floored, minus
+    the delay — Spark's late-row filter runs one batch behind the
+    eviction watermark); a window is emitted iff its end <= the final
+    watermark (availableNow runs a trailing no-data batch to flush).
+    Because the late filter and all prior evictions share the same
+    threshold sequence, a surviving late row always finds its window
+    state still live — no duplicate emission, so the audit is exact
+    (streaming/stream.py::run_late_audit_stream)."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.streaming.stream import run_late_audit_stream
+
+    base = tempfile.mkdtemp(prefix="gps_late_")
+    inp = f"{base}/events"
+    os.makedirs(inp)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b0 = F.least(F.floor((F.dayofmonth("ts") - 1) / 7), F.lit(3))
+    b = (
+        F.when(F.col("event_id") % 7 == 0, F.least(b0 + 2, F.lit(3)))
+        .otherwise(b0)
+        .cast("int")
+    )
+    arr = ev.withColumn("b", b)
+    for i in range(4):
+        # one file per chronological batch → one micro-batch each
+        arr.filter(F.col("b") == i).drop("b").coalesce(1).write.parquet(
+            f"{inp}/chunk-{i}"
+        )
+    _STREAM_SEQ[0] += 1
+    qname = f"gps_stream_late_{_STREAM_SEQ[0]}"
+    q = run_late_audit_stream(
+        spark, f"{inp}/chunk-*", ev.schema, f"{base}/ckpt", query_name=qname
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("rel_stream_late: stream timed out (600 s)")
+    streamed = spark.table(qname)
+    ts_t = F.col("ts").cast("timestamp")
+    truth = (
+        ev.select(F.date_trunc("hour", ts_t).alias("hour"))
+        .groupBy("hour")
+        .agg(F.count("*").alias("n_true"))
+    )
+    wm_row = ev.agg(
+        (F.max(F.unix_millis(ts_t)) - F.lit(3 * 86400 * 1000)).alias(
+            "final_wm"
+        )
+    )
+    out = (
+        truth.crossJoin(F.broadcast(wm_row))
+        .where(F.unix_millis(F.col("hour")) + 3600000 <= F.col("final_wm"))
+        .join(streamed, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("n_stream", F.lit(0)).cast("long").alias("n_stream"),
+            F.col("n_true").cast("long").alias("n_true"),
+            (F.col("n_true") - F.coalesce("n_stream", F.lit(0)))
+            .cast("long")
+            .alias("n_late_dropped"),
+        )
+    )
+    # the memory sink and sf_dir parquet back every input; the temp
+    # chunk files are no longer referenced once the stream terminated
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_agg_hll_rollup(spark, sf_dir):
     """HLL sketch-hierarchy rollup: sketch ONCE at the finest grain
     (event_type × hour register relation), answer the per-type AND
@@ -3399,6 +3480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hll_distinct": q_agg_hll_distinct,
         "agg_hll_rollup": q_agg_hll_rollup,
         "rel_stream_hll": q_rel_stream_hll,
+        "rel_stream_late": q_rel_stream_late,
         "gc_anomaly_hours": q_gc_anomaly_hours,
         "agg_cms_freq": q_agg_cms_freq,
         "rel_journeys": q_rel_journeys,
@@ -3735,6 +3817,8 @@ sessions AS (
     # the stream's register-max state makes its sketch bit-identical
     # to the batch sketch — same oracle checks both paths
     out["rel_stream_hll"] = oracle.hll_distinct_sql(p=4)
+    # models Spark's lagged late-events watermark + final flush exactly
+    out["rel_stream_late"] = oracle.stream_late_sql()
     out["gc_anomaly_hours"] = oracle.mad_anomalies_sql(k=3.0)
     out["agg_cms_freq"] = oracle.cms_freq_sql()
     out["rel_journeys"] = oracle.journey_paths_sql()

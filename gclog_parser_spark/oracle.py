@@ -1115,3 +1115,54 @@ def grok_access_sql() -> str:
 SELECT
   {sel}
 FROM lines WHERE regexp_matches(line, '{r}')"""
+
+
+def stream_late_sql(delay_ms: int = 3 * 86400 * 1000) -> str:
+    """Oracle for rel_stream_late: re-derives the 4-weekly-batch /
+    2-batch-late-straggler arrival plan, then models Spark's
+    watermark mechanics exactly (validated against the engine):
+
+    * late-events watermark of batch b = max event time through batch
+      b-2 (ms-floored; epoch_ms truncates like Spark's us/1000) minus
+      the delay — one batch BEHIND the eviction watermark;
+    * a row is dropped iff its hour-window end <= that watermark;
+    * an hour is emitted iff its end <= the final watermark
+      (global max - delay, the trailing no-data flush batch).
+
+    The window over batch_max uses ROWS ... 2 PRECEDING to express
+    the one-batch lag; NULL (batches 0/1) means the initial watermark
+    where nothing drops."""
+    return f"""WITH arr AS (
+  SELECT ts,
+    CASE WHEN event_id % 7 = 0
+         THEN least(CAST(floor((day(ts)-1)/7) AS BIGINT) + 2, 3)
+         ELSE least(CAST(floor((day(ts)-1)/7) AS BIGINT), 3)
+    END AS b
+  FROM events
+),
+batch_max AS (SELECT b, max(epoch_ms(ts)) AS mx FROM arr GROUP BY b),
+wm AS (
+  SELECT b,
+    max(mx) OVER (ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+      - {delay_ms} AS late_wm
+  FROM batch_max
+),
+fin AS (SELECT max(mx) - {delay_ms} AS final_wm FROM batch_max),
+kept AS (
+  SELECT date_trunc('hour', a.ts) AS hour
+  FROM arr a JOIN wm USING (b)
+  WHERE wm.late_wm IS NULL
+     OR epoch_ms(date_trunc('hour', a.ts)) + 3600000 > wm.late_wm
+),
+s AS (SELECT hour, count(*) AS n_stream FROM kept GROUP BY 1),
+t AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_true
+  FROM events GROUP BY 1
+)
+SELECT t.hour,
+  CAST(coalesce(s.n_stream, 0) AS BIGINT) AS n_stream,
+  CAST(t.n_true AS BIGINT) AS n_true,
+  CAST(t.n_true - coalesce(s.n_stream, 0) AS BIGINT) AS n_late_dropped
+FROM t LEFT JOIN s USING (hour), fin
+WHERE epoch_ms(t.hour) + 3600000 <= fin.final_wm"""

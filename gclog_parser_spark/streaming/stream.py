@@ -454,3 +454,56 @@ def run_hll_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_late_audit_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    checkpoint: str,
+    query_name: str = "late_hours",
+    watermark: str = "3 days",
+):
+    """APPEND-mode watermarked hourly aggregate — the query that makes
+    Structured Streaming's late-data contract observable.  Every other
+    stream in this module runs complete/update-ish modes where nothing
+    is ever dropped; this one runs the production dashboard shape:
+
+    * state for an hour window is kept only until the watermark passes
+      its end (bounded state — the reason a 10^12-event stream can run
+      forever),
+    * a row arriving AFTER the watermark has passed its window is
+      dropped on input (the late-data discard),
+    * a window row is emitted exactly once, when it is finalized.
+
+    Watermark mechanics this exposes (and the contract oracle models
+    to the millisecond): the watermark used while processing micro-
+    batch N is ``max(event time seen through batch N-1) - delay``,
+    ms-truncated; a row is dropped iff its window END <= that
+    watermark; a window is emitted iff its end <= the FINAL watermark
+    (availableNow runs a trailing no-data batch to flush eviction).
+
+    ``maxFilesPerTrigger=1`` + chronologically named/written files pin
+    the batch boundaries so the replay is deterministic."""
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+        # event-time ops need TIMESTAMP; the table stores NTZ (UTC
+        # session makes the cast value-preserving)
+        .withColumn("ts_t", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        ev.withWatermark("ts_t", watermark)
+        .groupBy(F.window("ts_t", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_stream"))
+        .select(F.col("w.start").alias("hour"), "n_stream")
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

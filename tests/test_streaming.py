@@ -404,3 +404,28 @@ def test_stream_hll_is_stateful_across_batches(spark, sf_dir, tmp_path):
         )
     )
     assert stream_regs == batch_regs
+
+
+def test_stream_late_audit_drops_and_bounds_state(spark, sf_dir):
+    """rel_stream_late: append-mode watermark semantics.  Real drops
+    happen (2-batch-late stragglers to closed hours), nothing is ever
+    over-counted (n_stream <= n_true hour-for-hour), on-time hours are
+    exact, no hour emits twice, and the state-store row count stays
+    far below the total distinct-hour count (bounded state — the
+    point of the watermark)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["rel_stream_late"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    hours = [r["hour"] for r in rows]
+    assert len(hours) == len(set(hours)), "duplicate hour emission"
+    assert all(r["n_stream"] <= r["n_true"] for r in rows)
+    assert all(
+        r["n_late_dropped"] == r["n_true"] - r["n_stream"] for r in rows
+    )
+    total_dropped = sum(r["n_late_dropped"] for r in rows)
+    assert total_dropped > 0, "scenario produced no late drops"
+    # most hours have only on-time rows and must be exact
+    exact_hours = sum(1 for r in rows if r["n_late_dropped"] == 0)
+    assert exact_hours > len(rows) // 2
