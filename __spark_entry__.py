@@ -3356,6 +3356,18 @@ def q_text_ccnet_buckets(spark, sf_dir):
     return unigram_surprisal_buckets(_docs(spark, sf_dir))
 
 
+def q_text_lm_score(spark, sf_dir):
+    """KenLM-filter shape: interpolated bigram LM trained on the
+    hash-split train docs, scoring every doc — held-out fluency
+    measured by a model that never saw the doc.  Exact-rational
+    inverse-probability ticks (one IEEE division per position, BIGINT
+    sums) keep both engines bit-identical
+    (operators/textstats.py::bigram_lm_score)."""
+    from gclog_parser_spark.operators.textstats import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_text_span_dedup(spark, sf_dir):
     """ExactSubstr-style dedup (Lee et al., ACL 2022): corpus-wide
     duplicated word 5-grams mark the tokens they cover; covered tokens
@@ -3594,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": q_text_line_dedup,
         "text_span_dedup": q_text_span_dedup,
         "text_ccnet_buckets": q_text_ccnet_buckets,
+        "text_lm_score": q_text_lm_score,
         "corpus_dsir": q_corpus_dsir,
         "text_normalize": q_text_normalize,
         "rel_lateral_topk": q_rel_lateral_topk,
@@ -3830,6 +3843,7 @@ sessions AS (
     # lined view re-derived independently: RE2 \1 backref vs Spark $1
     out["text_span_dedup"] = ot.span_dedup_sql(k=5)
     out["text_ccnet_buckets"] = ot.surprisal_buckets_sql()
+    out["text_lm_score"] = ot.bigram_lm_sql()
     out["corpus_dsir"] = ot.dsir_weights_sql()
 
     out["text_line_dedup"] = ot.line_dedup_sql(

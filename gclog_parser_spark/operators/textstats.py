@@ -1059,3 +1059,115 @@ def word_drift(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
         "n_b",
         F.round(F.abs(tick_a - tick_b) / F.lit(1e9), 6).alias("drift"),
     )
+
+
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Interpolated bigram language-model scoring — the KenLM-filter
+    shape of a CCNet/RedPajama pipeline one level up from
+    :func:`unigram_surprisal_buckets`: TRAIN an LM on the hash-split
+    ``train`` docs, score EVERY doc (so held-out fluency is measured
+    by a model that never saw the doc), keep the head.
+
+    The model is Jelinek-Mercer interpolation with lambda = 1/2:
+    ``p(cur|prev) = (c2/c1 + (cu+1)/(C+V)) / 2`` where c2 = train
+    bigram count, c1 = train count of the context word (>=1 guard for
+    unseen contexts), cu = train count of cur, C/V = train token/vocab
+    totals.  Per position the INVERSE probability is the exact
+    rational ``2*b*d / (a*d + c*b)`` (a=c2, b=max(c1,1), c=cu+1,
+    d=C+V) — integer numerator and denominator, ONE IEEE double
+    division, tick-quantized (round * 1e6, HALF_UP in both engines),
+    summed as exact BIGINT; a doc's score is the mean tick / 1e6.  No
+    transcendental, no accumulation-order sensitivity — bit-identical
+    cross-engine (same trick as tfidf/surprisal, extended to a trained
+    conditional model).  BIGINT headroom caps exactness at ~1.4e9
+    train tokens (2*b*d <= 2^63); past that a production run drops to
+    DOUBLE counts and accepts 1-ulp drift, or shards the LM by
+    context-hash.
+
+    Returns ``(doc_id, split, n_bigrams, lm_surprisal)`` — single-word
+    and empty docs have no bigram positions and are excluded.
+
+    Scale shape: bigram extraction is scan-side (two array slices +
+    zip, zero shuffle before the counts); c2/c1 are one exchange each
+    of the postings relations; scoring is three postings-sized
+    equi-joins (AQE splits hot contexts — stop-word pairs are the
+    skew) plus one broadcast totals row; one final doc_id exchange.
+    The reference has no text ops; north-rule quality-scoring family
+    (BASELINE.json input_hint).
+    """
+    from gclog_parser_spark.operators.sampling import hash_split
+
+    d = hash_split(docs).select(
+        "doc_id", "split", _words(F.col("text")).alias("w")
+    )
+    bi = (
+        d.withColumn("prev_a", F.expr("slice(w, 1, size(w)-1)"))
+        .withColumn("cur_a", F.expr("slice(w, 2, size(w)-1)"))
+        .select(
+            "doc_id",
+            "split",
+            F.explode(F.arrays_zip("prev_a", "cur_a")).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.col("p.prev_a").alias("prev"),
+            F.col("p.cur_a").alias("cur"),
+        )
+    )
+    tok = d.filter(F.col("split") == "train").select(
+        F.explode("w").alias("word")
+    )
+    c1 = tok.groupBy("word").agg(F.count("*").alias("n1"))
+    tot = c1.agg(F.sum("n1").alias("C"), F.count("*").alias("V"))
+    c2 = (
+        bi.filter(F.col("split") == "train")
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("n2"))
+    )
+    a = F.coalesce(F.col("n2"), F.lit(0))
+    b = F.greatest(F.coalesce(F.col("np"), F.lit(0)), F.lit(1))
+    c = F.coalesce(F.col("nc"), F.lit(0)) + F.lit(1)
+    dd = F.col("C") + F.col("V")
+    tick = (
+        F.round(
+            (F.lit(2) * b * dd).cast("double")
+            / (a * dd + c * b).cast("double")
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+    )
+    return (
+        bi.join(c2, ["prev", "cur"], "left")
+        .join(
+            c1.select(
+                F.col("word").alias("prev"), F.col("n1").alias("np")
+            ),
+            "prev",
+            "left",
+        )
+        .join(
+            c1.select(
+                F.col("word").alias("cur"), F.col("n1").alias("nc")
+            ),
+            "cur",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(tick).alias("ticks"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            "n_bigrams",
+            F.round(
+                F.col("ticks").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("lm_surprisal"),
+        )
+    )

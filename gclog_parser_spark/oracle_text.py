@@ -2098,3 +2098,51 @@ dots AS (
 )
 SELECT (SELECT url FROM probe) AS probe_url, url, dot
 FROM dots ORDER BY dot DESC, url ASC LIMIT {k}"""
+
+
+def bigram_lm_sql(salt: str = "split") -> str:
+    """Oracle for textstats.bigram_lm_score: same hash split, bigrams
+    by 1-based list indexing over an unnested position series (vs
+    Spark's slice+zip — different construction, same pairs), same
+    exact-rational tick with the identical single-division expression
+    order, same BIGINT sum and final rounding."""
+    from gclog_parser_spark.operators.sampling import BUCKETS
+
+    thr = int(round(0.9 * BUCKETS))
+    return f"""WITH d AS (
+  SELECT doc_id,
+    CASE WHEN {_bucket_sql('doc_id', salt)} < {thr} THEN 'train'
+         WHEN {_bucket_sql('doc_id', salt)} < {int(round(0.95 * BUCKETS))}
+           THEN 'val' ELSE 'test' END AS split,
+    string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, split, w[i] AS prev, w[i + 1] AS cur
+  FROM d, unnest(generate_series(1, len(w) - 1)) AS t(i)
+),
+tok AS (SELECT unnest(w) AS word FROM d WHERE split = 'train'),
+c1 AS (SELECT word, count(*) AS n1 FROM tok GROUP BY 1),
+tot AS (SELECT sum(n1) AS C, count(*) AS V FROM c1),
+c2 AS (
+  SELECT prev, cur, count(*) AS n2 FROM bi
+  WHERE split = 'train' GROUP BY 1, 2
+),
+scored AS (
+  SELECT bi.doc_id, bi.split,
+    CAST(round(
+      CAST(2 * greatest(coalesce(p.n1, 0), 1) * (tot.C + tot.V)
+           AS DOUBLE)
+      / CAST(coalesce(c2.n2, 0) * (tot.C + tot.V)
+             + (coalesce(u.n1, 0) + 1)
+               * greatest(coalesce(p.n1, 0), 1) AS DOUBLE)
+      * 1000000.0) AS BIGINT) AS tick
+  FROM bi
+  LEFT JOIN c2 USING (prev, cur)
+  LEFT JOIN c1 p ON bi.prev = p.word
+  LEFT JOIN c1 u ON bi.cur = u.word, tot
+)
+SELECT doc_id, split, count(*) AS n_bigrams,
+  round(CAST(sum(tick) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        / 1000000.0, 6) AS lm_surprisal
+FROM scored GROUP BY 1, 2"""

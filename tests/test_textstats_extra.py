@@ -342,3 +342,30 @@ def test_ccnet_buckets_empty_input(spark):
         [], "doc_id long, text string, lang string"
     ).where(F.lit(False))
     assert unigram_surprisal_buckets(docs).count() == 0
+
+
+def test_bigram_lm_fits_train_better_than_heldout(spark, sf_dir):
+    """The trained LM must assign lower mean surprisal to its own
+    training split than to docs it never saw — the signal the
+    KenLM-filter stage relies on.  Also: every multi-word doc scored,
+    ticks positive, single-word docs excluded."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.textstats import bigram_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bigram_lm_score(docs)
+    agg = {
+        r["split"]: r["m"]
+        for r in out.groupBy("split")
+        .agg(F.avg("lm_surprisal").alias("m"))
+        .collect()
+    }
+    held = [v for k, v in agg.items() if k != "train"]
+    assert held and all(agg["train"] < v for v in held), agg
+    rows = out.collect()
+    assert all(r["lm_surprisal"] > 0 for r in rows)
+    n_multiword = docs.filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 2
+    ).count()
+    assert len(rows) == n_multiword
