@@ -926,8 +926,13 @@ def classifier_score(
 
     if weights is None:
         weights = hashed_feature_weights(docs.sparkSession, n_buckets)
-    w = _words(F.col("text"))
+    # materialize the words array in its own projection: passing the
+    # split() expression straight into _shingle_expr re-evaluates the
+    # regex split per element_at (O(words) splits per doc, ~30x wall)
+    w = F.col("w")
     feats = docs.select(
+        "doc_id", _words(F.col("text")).alias("w")
+    ).select(
         "doc_id",
         F.explode(
             F.concat(
@@ -982,9 +987,12 @@ def oov_rate(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
     text ops; north-rule tokenizer-coverage audit (BASELINE.json)."""
     from gclog_parser_spark.operators.dedup import _shingle_expr, _words
 
+    # words array materialized first — see classifier_score note
     bg = docs.select(
+        "doc_id", _words(F.col("text")).alias("w")
+    ).select(
         "doc_id",
-        F.explode(_shingle_expr(_words(F.col("text")), 2)).alias("bigram"),
+        F.explode(_shingle_expr(F.col("w"), 2)).alias("bigram"),
     )
     vocab = (
         bg.groupBy("bigram")
