@@ -234,6 +234,48 @@ def q_gc_unified_regions(spark, sf_dir):
     return unified_region_deltas(pages)
 
 
+def _safepoint_pages(spark):
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import SAFEPOINT_LOG
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (
+                "sp://fixture/0",
+                datetime(2026, 8, 17, 5, 0, 0),
+                None,
+                SAFEPOINT_LOG,
+                "en",
+            )
+        ],
+        PAGES_SCHEMA,
+    )
+
+
+def q_gc_safepoints(spark, sf_dir):
+    """JDK 13+ unified-logging [safepoint] lines (-Xlog:safepoint) —
+    per-VM-operation rows with exact nanosecond integers (optional
+    JDK 16+ Cleanup field; truncated lines dropped by the filter).
+    The per-operation superset of the legacy TotalAppStoppedTime
+    aggregate (reference Parser.scala P13); parsed by a pure-codegen
+    regexp path and independently re-derived in DuckDB."""
+    from gclog_parser_spark.operators.enrich import parse_safepoints
+
+    return parse_safepoints(_safepoint_pages(spark))
+
+
+def q_gc_safepoint_stats(spark, sf_dir):
+    """Per-VM-op safepoint rollup: count, stopped ns, worst
+    time-to-safepoint (TTSP tail), cleanup, wall — exact BIGINT
+    sums/maxes over the pre-window matched relation (scan → partial
+    agg → one sp_op exchange)."""
+    from gclog_parser_spark.operators.enrich import safepoint_stats
+
+    return safepoint_stats(_safepoint_pages(spark))
+
+
 def q_gc_sessions(spark, sf_dir):
     """Gaps-and-islands sessionization of the event stream (activity
     bursts per JVM, 30 s age gap) — oracled as the identical
@@ -3515,6 +3557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_zgc_parse": q_gc_zgc_parse,
         "gc_unified_cms_parse": q_gc_unified_cms_parse,
         "gc_unified_regions": q_gc_unified_regions,
+        "gc_safepoints": q_gc_safepoints,
+        "gc_safepoint_stats": q_gc_safepoint_stats,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -3670,6 +3714,8 @@ def oracle_sql() -> dict[str, str]:
 
     out["gc_unified_cms_parse"] = oracle.unified_sql(CMS_UNIFIED_LOG)
     out["gc_unified_regions"] = oracle.unified_regions_sql()
+    out["gc_safepoints"] = oracle.safepoints_sql()
+    out["gc_safepoint_stats"] = oracle.safepoint_stats_sql()
 
     out["gc_tsv_export"] = oracle.tsv_export_sql()
     out["gc_graphite_export"] = oracle.graphite_export_sql()

@@ -197,6 +197,11 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     t("prefix_jaccard_sf", lambda: prefix_jaccard_pairs(docs).count())
     t("classifier_sf", lambda: classifier_score(docs).count())
     t("oov_rate_sf", lambda: oov_rate(docs).count())
+    # trained bigram LM scoring (KenLM-filter shape): train on the
+    # hash-split train docs, score every doc — two corpus scans plus
+    # one bigram-count exchange and two broadcast probe joins
+    from gclog_parser_spark.operators.textstats import bigram_lm_score
+    t("lm_score_sf", lambda: bigram_lm_score(docs).count())
     # BPE trainer: iterative, one corpus-sized word count then 8
     # vocab-relation rounds (pair-count exchange + O(1) argmax each)
     from gclog_parser_spark.operators.tokenizer import bpe_merges
@@ -281,6 +286,17 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     from gclog_parser_spark.operators.aggregate import hll_distinct
     t("hll_distinct_sf", lambda: hll_distinct(
         ev, ["event_type"], "user_id").count())
+    # sketch-hierarchy rollup: input is the register relation (sketch-
+    # sized), so this times the serve-from-sketch path, not a rescan
+    from gclog_parser_spark.operators.aggregate import (
+        hll_registers, hll_rollup)
+    _fine_regs = hll_registers(
+        ev.withColumn("hour", F.date_trunc("hour", "ts")),
+        ["event_type", "hour"], "user_id", p=4)
+    t("hll_rollup_sf",
+      lambda: hll_rollup(_fine_regs, ["event_type"]).count())
+    # generic grok template extraction: one compiled codegen regex
+    t("grok_sf", lambda: entry.q_gc_grok_access(spark, sf_dir).count())
 
     # HOF (oracle-parity) vs Arrow/numpy scorer on a corpus large
     # enough that scan cost dominates — the production ANN scan shape

@@ -166,6 +166,30 @@ CMS_UNIFIED_LOG = "\n".join(
 #: class_id → (class_name, resource file or None for inline,
 #:             events in GcLine mode, events in heap-stats mode)
 #: GcLine-mode counts: ParserTest.scala:128-168,104-111,527-537;
+#: JDK 13+ unified-logging ``[safepoint]`` lines (-Xlog:safepoint) —
+#: the per-VM-operation twin of the legacy ``Total time for which
+#: application threads were stopped`` long form (P13): each safepoint
+#: carries time-since-last / time-to-safepoint (reaching) / optional
+#: cleanup (JDK 16+ adds the ``Cleanup:`` field) / at-safepoint /
+#: total, all exact nanosecond integers.  SUPERSET (the reference
+#: grammar predates unified logging); interleaved gc lines and a
+#: truncated safepoint line prove the filter.
+SAFEPOINT_LOG = "\n".join(
+    [
+        '[0.512s][info][safepoint] Safepoint "G1CollectForAllocation", Time since last: 123456789 ns, Reaching safepoint: 234567 ns, At safepoint: 3456789 ns, Total: 3691356 ns',
+        "[0.513s][info][gc] GC(0) Pause Young (Normal) (G1 Evacuation Pause) 98M->23M(256M) 3.456ms",
+        '[0.801s][info][safepoint] Safepoint "ThreadDump", Time since last: 288765432 ns, Reaching safepoint: 98765 ns, At safepoint: 456123 ns, Total: 554888 ns',
+        '[1.204s][info][safepoint] Safepoint "G1CollectForAllocation", Time since last: 402333111 ns, Reaching safepoint: 187654 ns, Cleanup: 23456 ns, At safepoint: 2987654 ns, Total: 3198764 ns',
+        '[1.500s][info][safepoint] Safepoint "RevokeBias", Time since last: 295888000 ns, Reaching safepoint: 45678 ns, At safepoint: 87654 ns, Total: 133332 ns',
+        '[2.001s][info][safepoint] Safepoint "Cleanup", Time since last: 500123456 ns, Reaching safepoint: 65432 ns, Cleanup: 12345 ns, At safepoint: 234567 ns, Total: 312344 ns',
+        '[2.002s][info][safepoint] Safepoint "ICBufferFull", Time since last: 1234567 ns, Reaching safepoint: 34567 ns, At safepoint: 123456 ns, Total: 158023 ns',
+        "[2.100s][info][gc] GC(1) Pause Young (Concurrent Start) (Metadata GC Threshold) 150M->40M(256M) 4.200ms",
+        '[2.950s][info][safepoint] Safepoint "G1Concurrent", Time since last: 947000000 ns, Reaching safepoint: 156789 ns, Cleanup: 9876 ns, At safepoint: 1456789 ns, Total: 1623454 ns',
+        '[3.400s][info][safepoint] Safepoint "ThreadDump", Time since last: 449876543 ns, Reaching safepoint: 76543 ns, At safepoint: 398765 ns, Total: 475308 ns',
+        '[3.500s][info][safepoint] Safepoint "G1CollectForAllocation", Time since last: 99000000 ns, Reaching safepoint: 201234 ns, At safepoint: 4123456 ns',
+    ]
+)
+
 #: heap-stats counts: ParserTest.scala:261-321,539-547.
 CLASSES = [
     (0, "basic7", "basic-java7-gc.log", 7, 0),

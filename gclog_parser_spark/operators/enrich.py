@@ -122,6 +122,94 @@ def unified_region_deltas(pages: DataFrame) -> DataFrame:
     )
 
 
+_SAFEPOINT_LINE = (
+    r'\[safepoint\] Safepoint "([A-Za-z0-9_]+)",'
+    r" Time since last: (\d+) ns,"
+    r" Reaching safepoint: (\d+) ns,"
+    r"( Cleanup: (\d+) ns,)?"
+    r" At safepoint: (\d+) ns,"
+    r" Total: (\d+) ns\s*$"
+)
+
+
+def _safepoint_lines(pages: DataFrame) -> DataFrame:
+    """Matched+typed ``[safepoint]`` line relation (pre-ordering):
+    posexplode lines → codegen rlike filter + regexp_extract
+    projections, no Python and no exchange."""
+    lines = pages.select(
+        "url",
+        F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
+    )
+    return lines.where(F.col("line").rlike(_SAFEPOINT_LINE)).select(
+        "url",
+        "line_no",
+        F.regexp_extract("line", _SAFEPOINT_LINE, 1).alias("sp_op"),
+        F.regexp_extract("line", _SAFEPOINT_LINE, 2)
+        .cast("long")
+        .alias("since_last_ns"),
+        F.regexp_extract("line", _SAFEPOINT_LINE, 3)
+        .cast("long")
+        .alias("reaching_ns"),
+        F.when(
+            F.regexp_extract("line", _SAFEPOINT_LINE, 5) != "",
+            F.regexp_extract("line", _SAFEPOINT_LINE, 5).cast("long"),
+        ).alias("cleanup_ns"),
+        F.regexp_extract("line", _SAFEPOINT_LINE, 6)
+        .cast("long")
+        .alias("at_safepoint_ns"),
+        F.regexp_extract("line", _SAFEPOINT_LINE, 7)
+        .cast("long")
+        .alias("total_ns"),
+    )
+
+
+def parse_safepoints(pages: DataFrame) -> DataFrame:
+    """JDK 13+ unified-logging ``[safepoint]`` lines
+    (``-Xlog:safepoint``) — one row per VM operation with exact
+    nanosecond integers: time since last safepoint, time-to-safepoint
+    (reaching), optional JDK 16+ cleanup, at-safepoint, and total.
+    The per-operation superset of the legacy aggregate
+    ``Total time for which application threads were stopped``
+    (reference Parser.scala TotalAppStoppedTime, P13).
+
+    Plan: the matched-line relation (zero exchanges) plus ONE exchange
+    on url for the in-log safepoint order.  At 100 TB the rlike filter
+    prunes to the tiny [safepoint] subset before the only shuffle."""
+    from pyspark.sql import Window
+
+    m = _safepoint_lines(pages)
+    w = Window.partitionBy("url").orderBy("line_no")
+    return m.select(
+        "url",
+        (F.row_number().over(w) - 1).cast("int").alias("sp_idx"),
+        "sp_op",
+        "since_last_ns",
+        "reaching_ns",
+        "cleanup_ns",
+        "at_safepoint_ns",
+        "total_ns",
+    )
+
+
+def safepoint_stats(pages: DataFrame) -> DataFrame:
+    """Per-VM-operation safepoint rollup over :func:`parse_safepoints`:
+    count, total stopped (at-safepoint) ns, worst time-to-safepoint
+    (the TTSP tail a latency investigation chases), and total wall ns
+    including reaching+cleanup — all exact BIGINT sums/maxes, so the
+    cross-engine hash is trivially stable.  Aggregates the pre-window
+    matched relation (sp_idx ordering is irrelevant to a rollup), so
+    the plan is scan → partial agg → ONE exchange on sp_op — map-side
+    partials collapse the per-op rows before the shuffle."""
+    sp = _safepoint_lines(pages)
+    return sp.groupBy("sp_op").agg(
+        F.count("*").cast("long").alias("n_safepoints"),
+        F.sum("at_safepoint_ns").alias("stopped_ns"),
+        F.max("reaching_ns").alias("max_ttsp_ns"),
+        F.sum(F.coalesce("cleanup_ns", F.lit(0))).alias("cleanup_ns"),
+        F.sum("total_ns").alias("wall_ns"),
+    )
+
+
 def explode_region_deltas(events: DataFrame) -> DataFrame:
     """Unnest the region deltas of detailed events and enrich each with
     its region kind (young/old/perm/meta/survivor_space) via broadcast

@@ -768,6 +768,79 @@ FROM r
 """
 
 
+_SP_PAT = (
+    r'\[safepoint\] Safepoint "([A-Za-z0-9_]+)",'
+    r" Time since last: (\d+) ns,"
+    r" Reaching safepoint: (\d+) ns,"
+    r"( Cleanup: (\d+) ns,)?"
+    r" At safepoint: (\d+) ns,"
+    r" Total: (\d+) ns\s*$"
+)
+
+
+def _safepoints_cte(log_text: str | None, url: str) -> str:
+    """Shared matched-line CTE for the safepoint oracles: fixture
+    lines as VALUES, fields re-derived with DuckDB (RE2) regexps —
+    an independent second implementation of
+    operators/enrich.parse_safepoints."""
+    from gclog_parser_spark.fixtures import SAFEPOINT_LOG
+
+    values = _fixture_values(
+        log_text if log_text is not None else SAFEPOINT_LOG
+    )
+    return f"""
+WITH raw(line_no, line) AS (VALUES
+    {values}
+),
+sp AS (
+  SELECT line_no,
+    regexp_extract(line, '{_SP_PAT}', 1) AS sp_op,
+    CAST(regexp_extract(line, '{_SP_PAT}', 2) AS BIGINT)
+      AS since_last_ns,
+    CAST(regexp_extract(line, '{_SP_PAT}', 3) AS BIGINT)
+      AS reaching_ns,
+    CASE WHEN regexp_extract(line, '{_SP_PAT}', 5) <> ''
+      THEN CAST(regexp_extract(line, '{_SP_PAT}', 5) AS BIGINT)
+    END AS cleanup_ns,
+    CAST(regexp_extract(line, '{_SP_PAT}', 6) AS BIGINT)
+      AS at_safepoint_ns,
+    CAST(regexp_extract(line, '{_SP_PAT}', 7) AS BIGINT) AS total_ns
+  FROM raw
+  WHERE regexp_matches(line, '{_SP_PAT}')
+)
+"""
+
+
+def safepoints_sql(
+    log_text: str | None = None, url: str = "sp://fixture/0"
+) -> str:
+    """Oracle for enrich.parse_safepoints (JDK 13+ [safepoint] lines,
+    optional JDK 16+ Cleanup field, truncated lines dropped)."""
+    return _safepoints_cte(log_text, url) + f"""
+SELECT '{url}' AS url,
+  CAST(row_number() OVER (ORDER BY line_no) - 1 AS INT) AS sp_idx,
+  sp_op, since_last_ns, reaching_ns, cleanup_ns, at_safepoint_ns,
+  total_ns
+FROM sp
+"""
+
+
+def safepoint_stats_sql(
+    log_text: str | None = None, url: str = "sp://fixture/0"
+) -> str:
+    """Oracle for enrich.safepoint_stats (per-VM-op rollup, exact
+    BIGINT sums/maxes)."""
+    return _safepoints_cte(log_text, url) + """
+SELECT sp_op,
+  count(*) AS n_safepoints,
+  CAST(sum(at_safepoint_ns) AS BIGINT) AS stopped_ns,
+  max(reaching_ns) AS max_ttsp_ns,
+  CAST(sum(coalesce(cleanup_ns, 0)) AS BIGINT) AS cleanup_ns,
+  CAST(sum(total_ns) AS BIGINT) AS wall_ns
+FROM sp GROUP BY sp_op
+"""
+
+
 def skew_stats_sql(top: int = 5) -> str:
     """Oracle for aggregate.skew_stats over the pages hot-hour key
     (70 % of pages land on hour 4 by construction — the skew the

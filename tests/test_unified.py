@@ -176,3 +176,42 @@ def test_unified_region_plan_no_python(spark):
     import re as _re
 
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_safepoint_parse_counts(spark):
+    """SAFEPOINT_LOG: 9 well-formed [safepoint] lines (one truncated
+    line and two [gc] lines must be dropped), 6 distinct VM ops,
+    cleanup_ns present only on the three JDK 16+ shaped lines."""
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import SAFEPOINT_LOG
+    from gclog_parser_spark.operators.enrich import (
+        parse_safepoints,
+        safepoint_stats,
+    )
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [("sp://t/0", datetime(2026, 8, 17, 5, 0), None,
+          SAFEPOINT_LOG, "en")],
+        PAGES_SCHEMA,
+    )
+    sp = parse_safepoints(pages).collect()
+    assert len(sp) == 8
+    assert [r["sp_idx"] for r in sp] == list(range(8))
+    assert sum(r["cleanup_ns"] is not None for r in sp) == 3
+    first = sp[0]
+    assert first["sp_op"] == "G1CollectForAllocation"
+    assert first["reaching_ns"] == 234567
+    assert first["at_safepoint_ns"] == 3456789
+    assert first["total_ns"] == 3691356
+
+    stats = {r["sp_op"]: r for r in safepoint_stats(pages).collect()}
+    assert len(stats) == 6
+    g1 = stats["G1CollectForAllocation"]
+    assert g1["n_safepoints"] == 2
+    assert g1["stopped_ns"] == 3456789 + 2987654
+    assert g1["max_ttsp_ns"] == 234567
+    assert g1["cleanup_ns"] == 23456
+    td = stats["ThreadDump"]
+    assert td["n_safepoints"] == 2 and td["cleanup_ns"] == 0
