@@ -276,6 +276,18 @@ def q_gc_safepoint_stats(spark, sf_dir):
     return safepoint_stats(_safepoint_pages(spark))
 
 
+def q_gc_cpu_times(spark, sf_dir):
+    """GC CPU accounting over the corpus: legacy `[Times: user= sys=,
+    real=]` trailers (the reference reads only real= as the CMS pause,
+    Parser.scala:48 — user/sys are new surface) + the JDK 9+ [gc,cpu]
+    twin, per-url exact centisecond sums and the floor((user+sys)*1000
+    /real) parallelism ratio (operators/enrich.cpu_times)."""
+    from gclog_parser_spark.datagen import pages_from_documents
+    from gclog_parser_spark.operators.enrich import cpu_times
+
+    return cpu_times(pages_from_documents(spark, sf_dir))
+
+
 def q_gc_sessions(spark, sf_dir):
     """Gaps-and-islands sessionization of the event stream (activity
     bursts per JVM, 30 s age gap) — oracled as the identical
@@ -3559,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_unified_regions": q_gc_unified_regions,
         "gc_safepoints": q_gc_safepoints,
         "gc_safepoint_stats": q_gc_safepoint_stats,
+        "gc_cpu_times": q_gc_cpu_times,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -3716,6 +3729,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_unified_regions"] = oracle.unified_regions_sql()
     out["gc_safepoints"] = oracle.safepoints_sql()
     out["gc_safepoint_stats"] = oracle.safepoint_stats_sql()
+    out["gc_cpu_times"] = oracle.cpu_times_sql()
 
     out["gc_tsv_export"] = oracle.tsv_export_sql()
     out["gc_graphite_export"] = oracle.graphite_export_sql()

@@ -210,6 +210,84 @@ def safepoint_stats(pages: DataFrame) -> DataFrame:
     )
 
 
+_LEGACY_CPU = (
+    r"\[Times: user=(\d+\.\d+) sys=(\d+\.\d+), real=(\d+\.\d+) secs\]"
+)
+_UNIFIED_CPU = (
+    r"\[gc,cpu\] GC\((\d+)\)"
+    r" User=(\d+\.\d+)s Sys=(\d+\.\d+)s Real=(\d+\.\d+)s\s*$"
+)
+
+
+def _cs(col):
+    """Exact centisecond ticks from a 'S.CC' seconds string: the
+    decimal cast is exact at 2 dp in both engines (no IEEE parse)."""
+    return (col.cast("decimal(12,2)") * 100).cast("long")
+
+
+def cpu_times(
+    pages: DataFrame, text_col: str = "text", require_marker: bool = True
+) -> DataFrame:
+    """GC CPU-time accounting per log: extract the ``[Times: user=U
+    sys=S, real=R secs]`` trailers (legacy, present on most JDK 7/8
+    lines — the reference grammar reads only ``real=`` as the CMS
+    pause, Parser.scala:48; user/sys are dropped there) and the JDK 9+
+    ``[gc,cpu] GC(n) User= Sys= Real=`` unified twin, as exact
+    centisecond BIGINTs.
+
+    Returns one row per url: line count, summed user/sys/real ticks,
+    and the GC parallelism ratio floor((user+sys)*1000/real) — the
+    'are my GC threads actually parallel' signal an ops investigation
+    reads first.  Plan: marker-pruned scan → posexplode → codegen
+    rlike/regexp_extract → partial agg → ONE url exchange; shuffle
+    volume ∝ urls, never ∝ page text."""
+    from gclog_parser_spark.operators.parse import extract_gc_text
+
+    gc = extract_gc_text(pages, text_col=text_col,
+                         require_marker=require_marker)
+    lines = gc.select(
+        "url",
+        F.posexplode(F.split("gc_text", "\n")).alias("line_no", "line"),
+    )
+    line = F.col("line")
+    is_uni = line.rlike(_UNIFIED_CPU)
+    m = lines.where(line.rlike(_LEGACY_CPU) | is_uni).select(
+        "url",
+        F.when(is_uni, F.lit("unified")).otherwise("legacy")
+        .alias("source"),
+        _cs(
+            F.when(is_uni, F.regexp_extract(line, _UNIFIED_CPU, 2))
+            .otherwise(F.regexp_extract(line, _LEGACY_CPU, 1))
+        ).alias("user_cs"),
+        _cs(
+            F.when(is_uni, F.regexp_extract(line, _UNIFIED_CPU, 3))
+            .otherwise(F.regexp_extract(line, _LEGACY_CPU, 2))
+        ).alias("sys_cs"),
+        _cs(
+            F.when(is_uni, F.regexp_extract(line, _UNIFIED_CPU, 4))
+            .otherwise(F.regexp_extract(line, _LEGACY_CPU, 3))
+        ).alias("real_cs"),
+    )
+    agg = m.groupBy("url", "source").agg(
+        F.count("*").cast("long").alias("n_cpu_lines"),
+        F.sum("user_cs").alias("user_cs"),
+        F.sum("sys_cs").alias("sys_cs"),
+        F.sum("real_cs").alias("real_cs"),
+    )
+    return agg.select(
+        "url",
+        "source",
+        "n_cpu_lines",
+        "user_cs",
+        "sys_cs",
+        "real_cs",
+        F.when(
+            F.col("real_cs") > 0,
+            F.expr("div((user_cs + sys_cs) * 1000, real_cs)"),
+        ).alias("parallelism_millis"),
+    )
+
+
 def explode_region_deltas(events: DataFrame) -> DataFrame:
     """Unnest the region deltas of detailed events and enrich each with
     its region kind (young/old/perm/meta/survivor_space) via broadcast

@@ -841,6 +841,52 @@ FROM sp GROUP BY sp_op
 """
 
 
+_CPU_LEG = (
+    r"\[Times: user=(\d+\.\d+) sys=(\d+\.\d+), real=(\d+\.\d+) secs\]"
+)
+_CPU_UNI = (
+    r"\[gc,cpu\] GC\((\d+)\)"
+    r" User=(\d+\.\d+)s Sys=(\d+\.\d+)s Real=(\d+\.\d+)s\s*$"
+)
+
+
+def cpu_times_sql() -> str:
+    """Oracle for enrich.cpu_times: legacy [Times:] trailers + unified
+    [gc,cpu] lines re-derived over the same synthesized pages with
+    DuckDB regexps; exact DECIMAL(12,2) centisecond ticks and integer
+    floor division for the parallelism ratio."""
+
+    def cs(expr: str) -> str:
+        return f"CAST(CAST({expr} AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+    uni = f"regexp_matches(line, '{_CPU_UNI}')"
+    pick = (
+        "CASE WHEN {u} THEN regexp_extract(line, '{up}', {ug})"
+        " ELSE regexp_extract(line, '{lp}', {lg}) END"
+    )
+    user = pick.format(u=uni, up=_CPU_UNI, ug=2, lp=_CPU_LEG, lg=1)
+    sys_ = pick.format(u=uni, up=_CPU_UNI, ug=3, lp=_CPU_LEG, lg=2)
+    real = pick.format(u=uni, up=_CPU_UNI, ug=4, lp=_CPU_LEG, lg=3)
+    return with_prefix(f"""cpu AS (
+  SELECT url,
+    CASE WHEN {uni} THEN 'unified' ELSE 'legacy' END AS source,
+    {cs(user)} AS user_cs,
+    {cs(sys_)} AS sys_cs,
+    {cs(real)} AS real_cs
+  FROM lines
+  WHERE regexp_matches(line, '{_CPU_LEG}') OR {uni}
+)""") + """
+SELECT url, source, count(*) AS n_cpu_lines,
+  CAST(sum(user_cs) AS BIGINT) AS user_cs,
+  CAST(sum(sys_cs) AS BIGINT) AS sys_cs,
+  CAST(sum(real_cs) AS BIGINT) AS real_cs,
+  CASE WHEN sum(real_cs) > 0 THEN CAST(
+    (sum(user_cs) + sum(sys_cs)) * 1000 // sum(real_cs) AS BIGINT)
+  END AS parallelism_millis
+FROM cpu GROUP BY url, source
+"""
+
+
 def skew_stats_sql(top: int = 5) -> str:
     """Oracle for aggregate.skew_stats over the pages hot-hour key
     (70 % of pages land on hour 4 by construction — the skew the

@@ -215,3 +215,54 @@ def test_safepoint_parse_counts(spark):
     assert g1["cleanup_ns"] == 23456
     td = stats["ThreadDump"]
     assert td["n_safepoints"] == 2 and td["cleanup_ns"] == 0
+
+
+def test_cpu_times_both_sources(spark):
+    """cpu_times: legacy [Times:] and unified [gc,cpu] lines in one
+    page, exact centisecond ticks, truncating parallelism ratio, NULL
+    ratio when real==0."""
+    from datetime import datetime
+
+    from gclog_parser_spark.datagen import CLOSE_MARK, OPEN_MARK
+    from gclog_parser_spark.operators.enrich import cpu_times
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    text = "\n".join([
+        "filler words",
+        OPEN_MARK,
+        "2015-05-26T16:23:07.321-0200: 64.425: [GC ...] "
+        "[Times: user=0.47 sys=0.01, real=0.19 secs]",
+        "noise line",
+        "[Times: user=0.00 sys=0.00, real=0.00 secs]",
+        "[2.503s][info][gc,cpu] GC(4) User=0.01s Sys=0.00s Real=0.00s",
+        "[3.000s][info][gc,cpu] GC(5) User=0.06s Sys=0.02s Real=0.03s",
+        CLOSE_MARK,
+        "filler",
+    ])
+    pages = spark.createDataFrame(
+        [("cpu://t/0", datetime(2026, 8, 17, 6, 0), None, text, "en")],
+        PAGES_SCHEMA,
+    )
+    rows = {r["source"]: r for r in cpu_times(pages).collect()}
+    leg = rows["legacy"]
+    assert leg["n_cpu_lines"] == 2
+    assert (leg["user_cs"], leg["sys_cs"], leg["real_cs"]) == (47, 1, 19)
+    # (47+1)*1000 div 19 = 2526 (floor)
+    assert leg["parallelism_millis"] == 2526
+    uni = rows["unified"]
+    assert uni["n_cpu_lines"] == 2
+    assert (uni["user_cs"], uni["sys_cs"], uni["real_cs"]) == (7, 2, 3)
+    assert uni["parallelism_millis"] == 3000
+
+    # real == 0 everywhere -> NULL ratio, not a crash
+    zero = "\n".join([
+        OPEN_MARK,
+        "[Times: user=0.00 sys=0.00, real=0.00 secs]",
+        CLOSE_MARK,
+    ])
+    zp = spark.createDataFrame(
+        [("cpu://t/1", datetime(2026, 8, 17, 6, 0), None, zero, "en")],
+        PAGES_SCHEMA,
+    )
+    z = cpu_times(zp).collect()
+    assert len(z) == 1 and z[0]["parallelism_millis"] is None
