@@ -288,6 +288,16 @@ def q_gc_cpu_times(spark, sf_dir):
     return cpu_times(pages_from_documents(spark, sf_dir))
 
 
+def q_gc_heap_trend(spark, sf_dir):
+    """Heap-leak detector: per-url exact-integer OLS slope of post-GC
+    occupancy over JVM age (operators/rates.heap_trend) — the 'heap
+    floor keeps rising' pre-OOM signal.  All sums BIGINT map-side
+    partials, one url exchange, one IEEE division at the end."""
+    from gclog_parser_spark.operators.rates import heap_trend
+
+    return heap_trend(_events(spark, sf_dir))
+
+
 def q_gc_sessions(spark, sf_dir):
     """Gaps-and-islands sessionization of the event stream (activity
     bursts per JVM, 30 s age gap) — oracled as the identical
@@ -3572,6 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_safepoints": q_gc_safepoints,
         "gc_safepoint_stats": q_gc_safepoint_stats,
         "gc_cpu_times": q_gc_cpu_times,
+        "gc_heap_trend": q_gc_heap_trend,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -3730,6 +3741,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_safepoints"] = oracle.safepoints_sql()
     out["gc_safepoint_stats"] = oracle.safepoint_stats_sql()
     out["gc_cpu_times"] = oracle.cpu_times_sql()
+    out["gc_heap_trend"] = oracle.heap_trend_sql()
 
     out["gc_tsv_export"] = oracle.tsv_export_sql()
     out["gc_graphite_export"] = oracle.graphite_export_sql()

@@ -81,3 +81,47 @@ def with_rates(events: DataFrame) -> DataFrame:
         ).otherwise(F.lit(0)),
     )
     return out
+
+
+def heap_trend(events: DataFrame) -> DataFrame:
+    """Per-JVM heap-leak detector: ordinary-least-squares slope of
+    post-GC occupancy (heap_after) over JVM age, per url.  A positive
+    slope is the 'heap floor keeps rising' signal that precedes an
+    OOM — the first chart an ops investigation draws from a GC log
+    (the reference exports the raw (age, heap_after) series via its
+    TSV output, OutputFormat.scala; the regression is new surface).
+
+    Exact cross-engine math: x = whole JVM seconds (trunc ms div
+    1000), y = heap_after KB (div 1024) — both BIGINT — and the OLS
+    slope is the exact rational (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²):
+    every sum is associative BIGINT (map-side partials collapse before
+    the single url exchange), one IEEE division of identical integers
+    at the end, HALF_UP tick rounding.  BIGINT headroom: x ≤ ~5.3e5 s,
+    y ≤ ~1.2e7 KB → n·Σxy ≲ 1e17 at 100 events/log.  Plan: filter →
+    partial agg → ONE exchange on url; degenerate logs (all events at
+    one x, or <2 points) yield NULL slope, never a crash."""
+    pts = events.where(
+        F.col("heap_after_bytes").isNotNull()
+        & F.col("jvm_age_seconds").isNotNull()
+    ).select(
+        "url",
+        F.expr(
+            "div(cast(jvm_age_seconds * 1000 as long), 1000)"
+        ).alias("x_s"),
+        F.expr("div(heap_after_bytes, 1024)").alias("y_kb"),
+    )
+    agg = pts.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("x_s").alias("sx"),
+        F.sum("y_kb").alias("sy"),
+        F.sum(F.col("x_s") * F.col("y_kb")).alias("sxy"),
+        F.sum(F.col("x_s") * F.col("x_s")).alias("sxx"),
+    )
+    num = F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "url",
+        "n_points",
+        F.when(den > 0, F.round(num / den, 6)).alias("slope_kb_per_s"),
+        F.round(F.col("sy") / F.col("n_points"), 3).alias("mean_heap_kb"),
+    )

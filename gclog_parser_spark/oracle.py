@@ -887,6 +887,34 @@ FROM cpu GROUP BY url, source
 """
 
 
+def heap_trend_sql() -> str:
+    """Oracle for rates.heap_trend: exact-integer OLS slope of
+    heap_after KB over whole JVM seconds, per url, re-derived through
+    the independent DuckDB parser CTEs."""
+    return gcline_prefix("""pts AS (
+  SELECT url,
+    CAST(trunc(jvm_age_seconds * 1000) AS BIGINT) // 1000 AS x_s,
+    heap_after_bytes // 1024 AS y_kb
+  FROM gc_events
+  WHERE heap_after_bytes IS NOT NULL AND jvm_age_seconds IS NOT NULL
+)""", """sums AS (
+  SELECT url, count(*) AS n_points,
+    CAST(sum(x_s) AS BIGINT) AS sx,
+    CAST(sum(y_kb) AS BIGINT) AS sy,
+    CAST(sum(x_s * y_kb) AS BIGINT) AS sxy,
+    CAST(sum(x_s * x_s) AS BIGINT) AS sxx
+  FROM pts GROUP BY url
+)""") + """
+SELECT url, n_points,
+  CASE WHEN n_points * sxx - sx * sx > 0 THEN
+    round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+          / (n_points * sxx - sx * sx), 6)
+  END AS slope_kb_per_s,
+  round(CAST(sy AS DOUBLE) / n_points, 3) AS mean_heap_kb
+FROM sums
+"""
+
+
 def skew_stats_sql(top: int = 5) -> str:
     """Oracle for aggregate.skew_stats over the pages hot-hour key
     (70 % of pages land on hour 4 by construction — the skew the

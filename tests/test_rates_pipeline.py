@@ -139,3 +139,32 @@ def test_session_stats_gaps_and_islands(spark):
     assert out[0]["n_events"] == 3 and out[0]["total_pause"] == 0.6
     assert out[1]["n_events"] == 2 and out[1]["start_age"] == 100.0
     assert out[2]["n_events"] == 1 and out[2]["end_age"] == 500.0
+
+
+def test_heap_trend_exact_ols(spark):
+    """heap_trend: hand-computed OLS on a tiny synthetic event set,
+    NULL slope for degenerate inputs (single point / constant x)."""
+    from gclog_parser_spark.operators.rates import heap_trend
+
+    rows = [
+        # url A: y_kb = 100 + 2*x over x = 10, 20, 30 s -> slope 2.0
+        ("a", 10.4, (100 + 20) * 1024),
+        ("a", 20.9, (100 + 40) * 1024),
+        ("a", 30.1, (100 + 60) * 1024),
+        # url B: one point -> den == 0 -> NULL slope
+        ("b", 5.0, 512 * 1024),
+        # url C: two events in the same whole second -> den == 0
+        ("c", 7.2, 100 * 1024),
+        ("c", 7.9, 300 * 1024),
+    ]
+    ev = spark.createDataFrame(
+        rows, "url string, jvm_age_seconds double, heap_after_bytes long"
+    )
+    out = {r["url"]: r for r in heap_trend(ev).collect()}
+    a = out["a"]
+    assert a["n_points"] == 3
+    assert a["slope_kb_per_s"] == 2.0
+    assert a["mean_heap_kb"] == 140.0
+    assert out["b"]["slope_kb_per_s"] is None
+    assert out["c"]["slope_kb_per_s"] is None
+    assert out["c"]["mean_heap_kb"] == 200.0
