@@ -298,6 +298,16 @@ def q_gc_heap_trend(spark, sf_dir):
     return heap_trend(_events(spark, sf_dir))
 
 
+def q_gc_cms_spans(spark, sf_dir):
+    """Concurrent-phase spans: pair CMS-concurrent-X-start with the
+    next X completion per (url, phase) — the generic point-events →
+    intervals assembly (operators/aggregate.cms_spans); exact BIGINT
+    ms durations, one (url, phase) window exchange."""
+    from gclog_parser_spark.operators.aggregate import cms_spans
+
+    return cms_spans(_events(spark, sf_dir))
+
+
 def q_gc_sessions(spark, sf_dir):
     """Gaps-and-islands sessionization of the event stream (activity
     bursts per JVM, 30 s age gap) — oracled as the identical
@@ -3583,6 +3593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_safepoint_stats": q_gc_safepoint_stats,
         "gc_cpu_times": q_gc_cpu_times,
         "gc_heap_trend": q_gc_heap_trend,
+        "gc_cms_spans": q_gc_cms_spans,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -3742,6 +3753,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_safepoint_stats"] = oracle.safepoint_stats_sql()
     out["gc_cpu_times"] = oracle.cpu_times_sql()
     out["gc_heap_trend"] = oracle.heap_trend_sql()
+    out["gc_cms_spans"] = oracle.cms_spans_sql()
 
     out["gc_tsv_export"] = oracle.tsv_export_sql()
     out["gc_graphite_export"] = oracle.graphite_export_sql()

@@ -1019,3 +1019,54 @@ def decayed_counts(
             6,
         ).alias("trend_score"),
     )
+
+
+def cms_spans(events: DataFrame) -> DataFrame:
+    """Point-events → intervals: pair each ``CMS-concurrent-X-start``
+    event with the next ``CMS-concurrent-X`` completion in the same
+    log (the reference parses both as separate events,
+    Parser.scala CmsEvent — the pairing is new surface; it is the
+    generic 'assemble request start/end lines into spans' operator
+    every log pipeline needs).
+
+    Rule: within (url, phase) in line order, a start whose NEXT event
+    is a completion forms a span; consecutive starts (abandoned
+    cycle) and trailing unmatched starts yield nothing — exact,
+    deterministic, no self-join.  Duration is BIGINT JVM-age
+    milliseconds (trunc, same tick rule as gc_rates).  Plan: filter →
+    ONE exchange on (url, phase) for the lead() window; span volume ∝
+    concurrent phases, never ∝ events."""
+    from pyspark.sql import Window
+
+    cms = events.where(
+        (F.col("gc_class") == "cms")
+        & F.col("gc_type").startswith("CMS-concurrent-")
+    ).select(
+        "url",
+        "line_no",
+        F.regexp_replace("gc_type", "-start$", "").alias("phase"),
+        F.col("gc_type").endswith("-start").alias("is_start"),
+        (F.col("jvm_age_seconds") * 1000).cast("long").alias("age_ms"),
+    )
+    w = Window.partitionBy("url", "phase").orderBy("line_no")
+    paired = cms.select(
+        "url",
+        "phase",
+        "line_no",
+        "is_start",
+        "age_ms",
+        F.lead("is_start").over(w).alias("next_is_start"),
+        F.lead("age_ms").over(w).alias("next_age_ms"),
+    ).where(
+        F.col("is_start")
+        & (F.col("next_is_start") == F.lit(False))
+    )
+    w2 = Window.partitionBy("url", "phase").orderBy("line_no")
+    return paired.select(
+        "url",
+        "phase",
+        (F.row_number().over(w2) - 1).cast("int").alias("span_idx"),
+        F.col("age_ms").alias("start_age_ms"),
+        F.col("next_age_ms").alias("end_age_ms"),
+        (F.col("next_age_ms") - F.col("age_ms")).alias("duration_ms"),
+    )

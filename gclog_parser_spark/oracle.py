@@ -915,6 +915,34 @@ FROM sums
 """
 
 
+def cms_spans_sql() -> str:
+    """Oracle for aggregate.cms_spans: start/completion pairing via
+    lead() over (url, phase) in line order, BIGINT ms durations."""
+    return gcline_prefix("""cmsx AS (
+  SELECT url, line_no,
+    regexp_replace(gc_type, '-start$', '') AS phase,
+    gc_type LIKE '%-start' AS is_start,
+    CAST(trunc(jvm_age_seconds * 1000) AS BIGINT) AS age_ms
+  FROM gc_events
+  WHERE gc_class = 'cms' AND gc_type LIKE 'CMS-concurrent-%'
+)""", """paired AS (
+  SELECT url, phase, line_no, is_start, age_ms,
+    lead(is_start) OVER w AS next_is_start,
+    lead(age_ms) OVER w AS next_age_ms
+  FROM cmsx
+  WINDOW w AS (PARTITION BY url, phase ORDER BY line_no)
+)""") + """
+SELECT url, phase,
+  CAST(row_number() OVER (PARTITION BY url, phase ORDER BY line_no) - 1
+    AS INT) AS span_idx,
+  age_ms AS start_age_ms,
+  next_age_ms AS end_age_ms,
+  next_age_ms - age_ms AS duration_ms
+FROM paired
+WHERE is_start AND next_is_start = false
+"""
+
+
 def skew_stats_sql(top: int = 5) -> str:
     """Oracle for aggregate.skew_stats over the pages hot-hour key
     (70 % of pages land on hour 4 by construction — the skew the

@@ -636,3 +636,41 @@ def test_decayed_counts_exact_powers_of_two(spark):
     assert rows["a"].n == 3
     assert rows["a"].trend_score == 1.5  # 1 + 0.5 + ~0 rounds to 1.5
     assert rows["b"].decayed_ticks == 1 << 40
+
+
+def test_cms_spans_pairing_edges(spark):
+    """cms_spans: abandoned cycle (two starts in a row) pairs only the
+    second start; trailing unmatched start emits nothing; durations
+    are exact trunc-ms."""
+    from gclog_parser_spark.operators.aggregate import cms_spans
+
+    def ev(url, line_no, gc_type, age):
+        return (url, line_no, "cms", gc_type, age)
+
+    rows = [
+        # normal pair
+        ev("a", 1, "CMS-concurrent-mark-start", 10.0),
+        ev("a", 2, "CMS-concurrent-mark", 10.5),
+        # abandoned: start, start, end -> only (3,4) skipped, (4,5) pairs
+        ev("a", 3, "CMS-concurrent-sweep-start", 11.0),
+        ev("a", 4, "CMS-concurrent-sweep-start", 12.0),
+        ev("a", 5, "CMS-concurrent-sweep", 12.25),
+        # trailing unmatched start
+        ev("a", 6, "CMS-concurrent-reset-start", 13.0),
+        # non-concurrent cms event is ignored
+        ev("a", 7, "GC", 14.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "url string, line_no int, gc_class string, gc_type string,"
+        " jvm_age_seconds double",
+    )
+    spans = {
+        (r["phase"], r["span_idx"]): r for r in cms_spans(events).collect()
+    }
+    assert len(spans) == 2
+    mark = spans[("CMS-concurrent-mark", 0)]
+    assert (mark["start_age_ms"], mark["end_age_ms"],
+            mark["duration_ms"]) == (10000, 10500, 500)
+    sweep = spans[("CMS-concurrent-sweep", 0)]
+    assert (sweep["start_age_ms"], sweep["duration_ms"]) == (12000, 250)
