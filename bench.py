@@ -298,6 +298,21 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     # generic grok template extraction: one compiled codegen regex
     t("grok_sf", lambda: entry.q_gc_grok_access(spark, sf_dir).count())
 
+    # newest parse-derived analytics: safepoint rollup, CPU-time
+    # accounting, per-JVM heap-leak OLS trend, CMS span assembly, and
+    # the multimodal embedding-neighbor top-k — all ride the same
+    # sf-dir corpus the driver compares against
+    t("gc_safepoints_sf",
+      lambda: entry.q_gc_safepoint_stats(spark, sf_dir).count())
+    t("gc_cpu_times_sf",
+      lambda: entry.q_gc_cpu_times(spark, sf_dir).count())
+    t("gc_heap_trend_sf",
+      lambda: entry.q_gc_heap_trend(spark, sf_dir).count())
+    t("gc_cms_spans_sf",
+      lambda: entry.q_gc_cms_spans(spark, sf_dir).count())
+    t("media_neighbors_sf",
+      lambda: entry.q_media_neighbors(spark, sf_dir).count())
+
     # HOF (oracle-parity) vs Arrow/numpy scorer on a corpus large
     # enough that scan cost dominates — the production ANN scan shape
     n_embs = int(os.environ.get("SPARK_GRAFT_BENCH_EMBS", "50000"))
