@@ -308,6 +308,16 @@ def q_gc_cms_spans(spark, sf_dir):
     return cms_spans(_events(spark, sf_dir))
 
 
+def q_gc_fullgc_pressure(spark, sf_dir):
+    """Full-GC interarrival thrash detector: per-url min/max/mean gap
+    between consecutive Full GCs plus Full-GCs-per-minute of JVM span
+    (operators/rates.fullgc_pressure) — exact BIGINT ms ticks, one
+    url exchange shared by the lag window and the rollup."""
+    from gclog_parser_spark.operators.rates import fullgc_pressure
+
+    return fullgc_pressure(_events(spark, sf_dir))
+
+
 def q_gc_sessions(spark, sf_dir):
     """Gaps-and-islands sessionization of the event stream (activity
     bursts per JVM, 30 s age gap) — oracled as the identical
@@ -3594,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_cpu_times": q_gc_cpu_times,
         "gc_heap_trend": q_gc_heap_trend,
         "gc_cms_spans": q_gc_cms_spans,
+        "gc_fullgc_pressure": q_gc_fullgc_pressure,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -3754,6 +3765,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_cpu_times"] = oracle.cpu_times_sql()
     out["gc_heap_trend"] = oracle.heap_trend_sql()
     out["gc_cms_spans"] = oracle.cms_spans_sql()
+    out["gc_fullgc_pressure"] = oracle.fullgc_pressure_sql()
 
     out["gc_tsv_export"] = oracle.tsv_export_sql()
     out["gc_graphite_export"] = oracle.graphite_export_sql()

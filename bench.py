@@ -310,6 +310,8 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
       lambda: entry.q_gc_heap_trend(spark, sf_dir).count())
     t("gc_cms_spans_sf",
       lambda: entry.q_gc_cms_spans(spark, sf_dir).count())
+    t("gc_fullgc_pressure_sf",
+      lambda: entry.q_gc_fullgc_pressure(spark, sf_dir).count())
     t("media_neighbors_sf",
       lambda: entry.q_media_neighbors(spark, sf_dir).count())
 

@@ -83,6 +83,69 @@ def with_rates(events: DataFrame) -> DataFrame:
     return out
 
 
+def fullgc_pressure(events: DataFrame) -> DataFrame:
+    """Full-GC interarrival ('GC thrash') detector: per url, the gaps
+    between consecutive ``Full GC`` events in JVM-age milliseconds —
+    a collapsing gap is the classic death-spiral signal (the heap is
+    full again moments after a full collection), the page an on-call
+    runbook checks right after :func:`heap_trend`'s leak slope.  The
+    reference parses Full GC events individually (Parser.scala
+    BasicEvent); the interarrival analysis is new surface from the
+    north rule's aggregate charter.
+
+    Exact cross-engine math: age ticks are BIGINT truncated
+    milliseconds (same rule as gc_rates); min/max/sum of gaps are
+    associative BIGINT so map-side partials collapse before the ONE
+    url exchange the lag() window already needs; the two derived
+    doubles (mean gap, Full GCs per minute of JVM span) are each one
+    IEEE division of identical integers, HALF_UP-rounded to 6 dp.
+    Logs with a single Full GC have no gaps (NULL mean), zero-span
+    logs yield NULL rate — never a divide-by-zero.
+
+    Plan: filter scan-side → ONE exchange on url shared by the lag()
+    window and the final groupBy (same partitioning, no second
+    shuffle); output volume ∝ JVMs, never ∝ events."""
+    full = events.where(
+        (F.col("gc_type") == "Full GC")
+        & F.col("jvm_age_seconds").isNotNull()
+    ).select(
+        "url",
+        "line_no",
+        (F.col("jvm_age_seconds") * 1000).cast("long").alias("age_ms"),
+    )
+    w = Window.partitionBy("url").orderBy("line_no")
+    gaps = full.select(
+        "url",
+        "age_ms",
+        (F.col("age_ms") - F.lag("age_ms").over(w)).alias("gap_ms"),
+    )
+    agg = gaps.groupBy("url").agg(
+        F.count("*").alias("n_full"),
+        F.count("gap_ms").alias("n_gaps"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.sum("gap_ms").alias("_sum_gap"),
+        F.min("age_ms").alias("_first"),
+        F.max("age_ms").alias("_last"),
+    )
+    span = F.col("_last") - F.col("_first")
+    return agg.select(
+        "url",
+        "n_full",
+        "n_gaps",
+        "min_gap_ms",
+        "max_gap_ms",
+        F.when(
+            F.col("n_gaps") > 0,
+            F.round(F.col("_sum_gap") / F.col("n_gaps"), 6),
+        ).alias("mean_gap_ms"),
+        F.when(
+            span > 0,
+            F.round((F.col("n_full") * F.lit(60000)).cast("double") / span, 6),
+        ).alias("full_per_min"),
+    )
+
+
 def heap_trend(events: DataFrame) -> DataFrame:
     """Per-JVM heap-leak detector: ordinary-least-squares slope of
     post-GC occupancy (heap_after) over JVM age, per url.  A positive

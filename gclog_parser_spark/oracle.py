@@ -915,6 +915,37 @@ FROM sums
 """
 
 
+def fullgc_pressure_sql() -> str:
+    """Oracle for rates.fullgc_pressure: lag() interarrival gaps of
+    Full GC events per url in BIGINT truncated-ms ticks, min/max/mean
+    gap plus Full-GCs-per-minute of JVM span."""
+    return gcline_prefix("""fullx AS (
+  SELECT url, line_no,
+    CAST(trunc(jvm_age_seconds * 1000) AS BIGINT) AS age_ms
+  FROM gc_events
+  WHERE gc_type = 'Full GC' AND jvm_age_seconds IS NOT NULL
+)""", """fgaps AS (
+  SELECT url, age_ms,
+    age_ms - lag(age_ms)
+      OVER (PARTITION BY url ORDER BY line_no) AS gap_ms
+  FROM fullx
+)""") + """
+SELECT url,
+  count(*) AS n_full,
+  count(gap_ms) AS n_gaps,
+  min(gap_ms) AS min_gap_ms,
+  max(gap_ms) AS max_gap_ms,
+  CASE WHEN count(gap_ms) > 0 THEN
+    round(CAST(sum(gap_ms) AS DOUBLE) / count(gap_ms), 6)
+  END AS mean_gap_ms,
+  CASE WHEN max(age_ms) - min(age_ms) > 0 THEN
+    round(CAST(count(*) * 60000 AS DOUBLE)
+          / (max(age_ms) - min(age_ms)), 6)
+  END AS full_per_min
+FROM fgaps GROUP BY url
+"""
+
+
 def cms_spans_sql() -> str:
     """Oracle for aggregate.cms_spans: start/completion pairing via
     lead() over (url, phase) in line order, BIGINT ms durations."""

@@ -168,3 +168,38 @@ def test_heap_trend_exact_ols(spark):
     assert out["b"]["slope_kb_per_s"] is None
     assert out["c"]["slope_kb_per_s"] is None
     assert out["c"]["mean_heap_kb"] == 200.0
+
+
+def test_fullgc_pressure_gaps(spark):
+    """fullgc_pressure: hand-computed interarrival gaps, NULL mean for
+    a single Full GC, NULL rate for a zero-span log, non-Full events
+    ignored."""
+    from gclog_parser_spark.operators.rates import fullgc_pressure
+
+    rows = [
+        # url A: Full GCs at 1.0s / 2.5s / 5.5s -> gaps 1500, 3000 ms;
+        # span 4500 ms -> 3 * 60000 / 4500 = 40 per minute
+        ("a", 1, "Full GC", "basic", 1.0),
+        ("a", 2, "GC", "basic", 1.5),       # minor GC: ignored
+        ("a", 3, "Full GC", "basic", 2.5),
+        ("a", 4, "Full GC", "basic", 5.5),
+        # url B: one Full GC -> no gaps, zero span
+        ("b", 1, "Full GC", "basic", 9.0),
+        # url C: null age dropped entirely
+        ("c", 1, "Full GC", "basic", None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "url string, line_no int, gc_type string, gc_class string,"
+        " jvm_age_seconds double",
+    )
+    out = {r["url"]: r for r in fullgc_pressure(ev).collect()}
+    a = out["a"]
+    assert (a["n_full"], a["n_gaps"]) == (3, 2)
+    assert (a["min_gap_ms"], a["max_gap_ms"]) == (1500, 3000)
+    assert a["mean_gap_ms"] == 2250.0
+    assert a["full_per_min"] == 40.0
+    b = out["b"]
+    assert (b["n_full"], b["n_gaps"]) == (1, 0)
+    assert b["mean_gap_ms"] is None and b["full_per_min"] is None
+    assert "c" not in out
