@@ -4198,7 +4198,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
         " SELECT user_id, count(*) AS n_ev FROM events"
         " WHERE user_id >= 1 GROUP BY 1)"
         " SELECT p.depth, count(*) AS n_users,"
-        " sum(e.n_ev) AS n_events"
+        " CAST(sum(e.n_ev) AS BIGINT) AS n_events"
         " FROM per_user p JOIN ev_counts e ON p.user_id = e.user_id"
         " GROUP BY 1"
     )
@@ -4384,8 +4384,8 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
 
     out["rel_json_extract"] = (
         "SELECT event_type, count(*) AS n,"
-        " sum(CAST(json_extract_string(props, '$.k') AS BIGINT))"
-        "   AS sum_k,"
+        " CAST(sum(CAST(json_extract_string(props, '$.k')"
+        "   AS BIGINT)) AS BIGINT) AS sum_k,"
         " max(CAST(json_extract_string(props, '$.k') AS BIGINT))"
         "   AS max_k,"
         " count(DISTINCT CAST(json_extract_string(props, '$.k')"

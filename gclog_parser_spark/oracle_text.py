@@ -846,7 +846,8 @@ SELECT regexp_extract(host, '\\.([a-z]+)$', 1) AS tld, is_https,
   round(avg(len(list_filter(string_split(path, '/'), s -> s <> ''))),
         6) AS avg_depth,
   count(port) AS n_with_port,
-  sum(CASE WHEN has_query THEN 1 ELSE 0 END) AS n_with_query
+  CAST(sum(CASE WHEN has_query THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_with_query
 FROM f GROUP BY 1, 2"""
 
 
@@ -2091,7 +2092,7 @@ probe AS (
 ),
 pe AS (SELECT e.j, e.v FROM emb e JOIN probe p ON e.url = p.url),
 dots AS (
-  SELECT e.url, SUM(e.v * pe.v) AS dot
+  SELECT e.url, CAST(SUM(e.v * pe.v) AS BIGINT) AS dot
   FROM emb e JOIN pe ON e.j = pe.j
   WHERE e.url <> (SELECT url FROM probe)
   GROUP BY e.url
