@@ -218,12 +218,14 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     # time the steady-state ADC search separately — the one-time vs
     # per-query split a serving deployment cares about
     from gclog_parser_spark.operators.similarity import pq_topk, pq_train
+    # default assigner is the Arrow int64 path (bit-identical to the
+    # literal-argmin expression, pinned in tests/test_pq.py)
     t("pq_train_sf", lambda: len(pq_train(embs, iters=2)), reps=1)
-    # Arrow int64 assigner: bit-identical codebooks (pinned in
-    # tests/test_pq.py), ~9x wall — the construction-cost story
-    t("pq_train_np_sf",
-      lambda: len(pq_train(embs, iters=2, assigner="np")), reps=1)
-    _pq_cents = pq_train(embs, iters=2, assigner="np")
+    # expression-assigner twin kept for the construction-cost story:
+    # its wall is py4j/codegen compile, SF-insensitive, ~9x slower
+    t("pq_train_expr_sf",
+      lambda: len(pq_train(embs, iters=2, assigner="expr")), reps=1)
+    _pq_cents = pq_train(embs, iters=2)
     t("pq_adc_topk_sf", lambda: pq_topk(embs, _pq_cents).count())
     t("token_counts_sf", lambda: token_counts(docs)
         .agg(F.sum("tokens")).collect()[0][0])
@@ -380,6 +382,20 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     from gclog_parser_spark.operators.similarity import srp_project
     t("srp_np_512d", lambda: srp_project(
         embs_wide, out_dim=16, in_dim=512, path="np").count())
+
+    # k-NN graph at production width: every candidate PAIR pays the
+    # per-element scoring cost, so the interpreted HOF fold is the
+    # bottleneck exactly where it hurts most; the Arrow pair-dot
+    # scorer (default) moves it to numpy, bit-identical (pinned in
+    # tests/test_similarity.py).  4k vectors keep the HOF witness
+    # affordable (~64k candidate pairs x 512 dims).
+    from gclog_parser_spark.operators.similarity import knn_graph
+    knn_wide = embs_wide.where(F.col("vec_id") < 4000)
+    _timeit(timings, "knn_graph_hof_512d",
+            lambda: knn_graph(knn_wide, k=3, scorer="hof").count(),
+            quiet, reps=1, steals=steals)
+    t("knn_graph_np_512d",
+      lambda: knn_graph(knn_wide, k=3).count())
 
     # runtime Bloom-filter join reduction vs the plain merge join on
     # the same fact⋈filtered-build query — the reduction a 100 TB run

@@ -98,6 +98,35 @@ def _cos_sim_np(q_vec):
     return pandas_udf(_sim, "double")
 
 
+def _pair_dot_np():
+    """Arrow-vectorized per-PAIR dot product over two array columns —
+    the candidate-scoring twin of ``_cos_sim_np`` for joins where both
+    sides vary (knn_graph, neardup_pairs).  Accumulates in the SAME
+    left-fold element order as the ``_dot`` HOF (one vectorized double
+    add per dimension across the batch), so the sum is BIT-IDENTICAL
+    to the interpreted expression: this is a batch-transfer
+    optimization, not a float reordering.  The division and round(6)
+    stay JVM-side at the call site, identical to the HOF path.
+    Measured on the 512-dim corpus (pinned): the HOF per-pair fold is
+    the dominant cost of knn_graph (BENCH_r03 ann_cosine HOF 14.6 s vs
+    np 2.2 s on the same corpus); this moves that work to numpy."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dotf(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+        mb = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros(len(a), dtype=np.float64)
+        for j in range(ma.shape[1]):
+            acc = acc + ma[:, j] * mb[:, j]
+        return pd.Series(acc)
+
+    return pandas_udf(_dotf, "double")
+
+
 def _query_vec(emb: DataFrame, query_vec_id: int):
     """The single query embedding, driver-side (one tiny lookup job —
     the production shape for a small query set is exactly this: pull
@@ -381,6 +410,7 @@ def neardup_pairs(
     threshold: float = 0.9,
     block_col: str | None = None,
     seed: int = 42,
+    scorer: str = "np",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -392,7 +422,14 @@ def neardup_pairs(
     recall union the pairs from a few ``seed`` values (independent
     plane sets), exactly like multi-band MinHash-LSH.  Pass
     ``block_col`` to block on an explicit attribute instead (small,
-    trusted cardinality-per-value only)."""
+    trusted cardinality-per-value only).
+
+    ``scorer="np"`` (default) hoists the norm per VECTOR (bit-identical
+    to per-pair — same fold over the same elements) and computes the
+    per-pair dot with the Arrow batch twin (`_pair_dot_np`); division
+    and round(6) stay JVM-side, so results match the HOF path
+    bit-for-bit.  ``"hof"`` keeps the pure expression as the parity
+    witness the DuckDB oracle mirrors."""
     if block_col is None:
         base = lsh_buckets(emb, seed).select(
             "vec_id", "embedding", F.col("bucket").alias("block")
@@ -401,6 +438,8 @@ def neardup_pairs(
         base = emb.select(
             "vec_id", "embedding", F.col(block_col).alias("block")
         )
+    if scorer == "np":
+        base = base.withColumn("_nrm", _norm(F.col("embedding")))
     a = base.alias("a")
     b = base.alias("b")
     pairs = a.join(
@@ -408,7 +447,12 @@ def neardup_pairs(
         (F.col("a.block") == F.col("b.block"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    sim = _cos_sim(F.col("a.embedding"), F.col("b.embedding"))
+    if scorer == "np":
+        denom = F.col("a._nrm") * F.col("b._nrm")
+        dot = _pair_dot_np()(F.col("a.embedding"), F.col("b.embedding"))
+        sim = F.when(denom != 0, F.round(dot / denom, 6))
+    else:
+        sim = _cos_sim(F.col("a.embedding"), F.col("b.embedding"))
     return (
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),
@@ -1032,7 +1076,7 @@ def pq_train(
     m_sub: int = PQ_M,
     ks: int = PQ_KS,
     dim: int = EMB_DIM,
-    assigner: str = "expr",
+    assigner: str = "np",
 ) -> list[list[list[int]]]:
     """Product-quantization codebooks (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): an
@@ -1050,11 +1094,14 @@ def pq_train(
     O(M·ks·sub) driver state broadcast back as literals.  Empty cells
     keep their previous centroid.
 
-    ``assigner="np"`` swaps the literal-argmin expression for the
-    Arrow int64 twin (`_pq_assign_np`) — bit-identical assignments
-    (pinned), ~9x faster wall because the literal expression tree
-    costs hundreds of py4j round-trips per iteration just to build.
-    The default stays on the pure-codegen path the oracle mirrors.
+    The default assigner is the Arrow int64 twin (`_pq_assign_np`):
+    bit-identical assignments to the literal-argmin expression path
+    (pinned in tests/test_pq.py), ~9x faster wall because the literal
+    expression tree costs hundreds of py4j round-trips per iteration
+    just to build — pure construction cost, SF-insensitive, so it
+    would dominate even on a 1000-executor cluster.  Pass
+    ``assigner="expr"`` for the pure-codegen path the oracle mirrors;
+    it exists as the cross-engine parity witness.
     """
     sub = dim // m_sub
     cents = pq_init(emb, m_sub, ks, dim)
@@ -1172,7 +1219,8 @@ def pq_topk(
 
 
 def knn_graph(
-    emb: DataFrame, k: int = 3, seed: int = 42, seeds=None
+    emb: DataFrame, k: int = 3, seed: int = 42, seeds=None,
+    scorer: str = "np",
 ) -> DataFrame:
     """Approximate k-NN graph: for EVERY vector, its top-k cosine
     neighbors within its LSH bucket — the all-queries generalization of
@@ -1195,8 +1243,17 @@ def knn_graph(
     unlucky hyperplane set is caught by another; cost grows linearly
     in seeds (one bucket join each), recall loss decays exponentially.
 
+    ``scorer``: ``"np"`` (default) computes the per-candidate-pair dot
+    product with the Arrow batch twin (`_pair_dot_np`) — bit-identical
+    left-fold accumulation, division + round(6) still JVM-side, so the
+    oracle parity is unchanged while the interpreted-HOF-per-pair cost
+    (the dominant term at production dimensionality) moves to numpy.
+    ``"hof"`` keeps the pure-codegen expression as the parity witness.
+
     Returns ``(src, dst, sim, rank)``, rank 1-based per src."""
     from pyspark.sql import Window
+
+    pair_dot = _pair_dot_np() if scorer == "np" else None
 
     def _cands(sd):
         # norms hoisted per VECTOR before the join (sqrt(dot(v,v)) is
@@ -1220,18 +1277,20 @@ def knn_graph(
             "bucket",
         )
         denom = F.col("na") * F.col("nb")
+        dot = (
+            pair_dot(F.col("ea"), F.col("eb"))
+            if pair_dot is not None
+            else _dot(F.col("ea"), F.col("eb"))
+        )
         return (
             a.join(c, "bucket")
             .where(F.col("src") != F.col("dst"))
             .select(
                 "src",
                 "dst",
-                F.when(
-                    denom != 0,
-                    F.round(
-                        _dot(F.col("ea"), F.col("eb")) / denom, 6
-                    ),
-                ).alias("sim"),
+                F.when(denom != 0, F.round(dot / denom, 6)).alias(
+                    "sim"
+                ),
             )
             .where(F.col("sim").isNotNull())
         )

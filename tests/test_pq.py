@@ -117,13 +117,14 @@ def test_empty_cells_keep_previous_centroid(spark):
 
 
 def test_pq_np_assigner_trains_identical_codebooks(spark, sf_dir):
-    """The Arrow int64 assigner must reproduce the codegen path's
-    codebooks BIT-FOR-BIT (integer ticks + HALF_UP replication +
-    first-minimum tie rule) — it is a construction-cost optimization,
-    not an approximation."""
+    """The Arrow int64 assigner (the default) must reproduce the
+    codegen literal-argmin path's codebooks BIT-FOR-BIT (integer
+    ticks + HALF_UP replication + first-minimum tie rule) — it is a
+    construction-cost optimization, not an approximation.  The expr
+    path is the cross-engine parity witness the oracle mirrors."""
     from gclog_parser_spark.operators.similarity import pq_train
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    assert pq_train(emb, iters=2) == pq_train(
+    assert pq_train(emb, iters=2, assigner="expr") == pq_train(
         emb, iters=2, assigner="np"
     )

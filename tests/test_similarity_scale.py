@@ -413,3 +413,27 @@ def test_knn_graph_multiband_recall_dominates_single(spark, sf_dir):
     # dedup works: no (src,dst) appears twice
     keys = [(r.src, r.dst) for r in multi_rows]
     assert len(keys) == len(set(keys))
+
+
+def test_pair_dot_np_scorer_bit_identical(spark, sf_dir):
+    """The Arrow pair-dot scorer (default for knn_graph and
+    neardup_pairs) must reproduce the HOF expression path BIT-FOR-BIT:
+    the numpy accumulation replays the same left-fold element order in
+    the same IEEE doubles, and division + round(6) stay JVM-side — a
+    batch-transfer optimization, never a float reordering."""
+    from gclog_parser_spark.operators.similarity import (
+        knn_graph,
+        neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g_np = sorted(map(tuple, knn_graph(emb, k=3, scorer="np").collect()))
+    g_hof = sorted(map(tuple, knn_graph(emb, k=3, scorer="hof").collect()))
+    assert g_np == g_hof and g_np
+    p_np = sorted(
+        map(tuple, neardup_pairs(emb, threshold=0.4, scorer="np").collect())
+    )
+    p_hof = sorted(
+        map(tuple, neardup_pairs(emb, threshold=0.4, scorer="hof").collect())
+    )
+    assert p_np == p_hof
