@@ -113,6 +113,35 @@ ZGC_LOG = "\n".join(
     ]
 )
 
+#: JDK 21+ GENERATIONAL ZGC (-Xlog:gc, OpenJDK zDriver/zGeneration
+#: line shapes): each collection logs a heap-less start line
+#: ('GC(n) Minor|Major Collection (Cause)') and a completion line with
+#: the percent-occupancy transition plus a seconds suffix; minor
+#: collections interleave inside a running major (ids 2/3 below);
+#: [gc,phases] carries the y:/O: generation-tagged sub-phases, which
+#: are per-event metadata (dropped, like [gc,heap]/[gc,cpu]).
+#: SUPERSET — the reference grammar predates ZGC entirely; charter is
+#: the north rule's "every unified shape" superset clause.
+ZGC_GEN_LOG = "\n".join(
+    [
+        "[2026-08-17T03:00:00.250+0000][0.250s][info][gc] GC(0) Minor Collection (Warmup)",
+        "[0.251s][info][gc,phases] GC(0) y: Pause Mark Start 0.030ms",
+        "[0.260s][info][gc,phases] GC(0) y: Concurrent Mark 2.351ms",
+        "[0.262s][info][gc,phases] GC(0) y: Pause Relocate Start 0.011ms",
+        "[0.301s][info][gc] GC(0) Minor Collection (Warmup) 38M(2%)->28M(1%) 0.051s",
+        "[1.000s][info][gc] GC(1) Minor Collection (Allocation Rate)",
+        "[1.521s][info][gc] GC(1) Minor Collection (Allocation Rate) 3462M(28%)->3252M(26%) 0.521s",
+        "[2.000s][info][gc] GC(2) Major Collection (Proactive)",
+        "[2.100s][info][gc,phases] GC(2) O: Pause Mark Start 0.042ms",
+        "[2.200s][info][gc,phases] GC(2) O: Concurrent Mark 180.044ms",
+        "[3.000s][info][gc] GC(3) Minor Collection (High Usage)",
+        "[3.200s][info][gc] GC(3) Minor Collection (High Usage) 5120M(40%)->4096M(32%) 0.200s",
+        "[6.918s][info][gc] GC(2) Major Collection (Proactive) 4930M(60%)->1284M(16%) 4.918s",
+        "[8.000s][info][gc] GC(4) Major Collection (Metadata GC Threshold)",
+        "[8.462s][info][gc] GC(4) Major Collection (Metadata GC Threshold) 134M(8%)->54M(3%) 0.462s",
+    ]
+)
+
 #: JDK 9+ unified-logging G1 log WITH heap-region transition lines
 #: (-Xlog:gc,gc+heap=info): each collection emits one ``[gc,heap]``
 #: line per region kind (`GC(n) Eden regions: B->A(T)`; Old/Humongous/

@@ -97,8 +97,17 @@ def fullgc_pressure(events: DataFrame) -> DataFrame:
     milliseconds (same rule as gc_rates); min/max/sum of gaps are
     associative BIGINT so map-side partials collapse before the ONE
     url exchange the lag() window already needs; the two derived
-    doubles (mean gap, Full GCs per minute of JVM span) are each one
-    IEEE division of identical integers, HALF_UP-rounded to 6 dp.
+    doubles (mean gap, ``full_per_min``) are each one IEEE division
+    of identical integers, HALF_UP-rounded to 6 dp.
+    ``full_per_min`` is Full GCs per minute of the FULL-GC span
+    (first to last Full GC in the log, n_full events over that span)
+    — the thrash-intensity reading an on-call wants, intentionally
+    not the whole-JVM-lifetime average, and slightly above the
+    1/mean-gap rate because the n_full events bound only n_full − 1
+    intervals.  A negative lag difference (jvm_age reset mid-file —
+    a JVM restart appended to the same url) is treated as a restart
+    boundary, not a gap: it is excluded from n_gaps/min/max/mean in
+    BOTH engines rather than poisoning min_gap_ms with a negative.
     Logs with a single Full GC have no gaps (NULL mean), zero-span
     logs yield NULL rate — never a divide-by-zero.
 
@@ -114,10 +123,11 @@ def fullgc_pressure(events: DataFrame) -> DataFrame:
         (F.col("jvm_age_seconds") * 1000).cast("long").alias("age_ms"),
     )
     w = Window.partitionBy("url").orderBy("line_no")
+    diff = F.col("age_ms") - F.lag("age_ms").over(w)
     gaps = full.select(
         "url",
         "age_ms",
-        (F.col("age_ms") - F.lag("age_ms").over(w)).alias("gap_ms"),
+        F.when(diff >= 0, diff).alias("gap_ms"),
     )
     agg = gaps.groupBy("url").agg(
         F.count("*").alias("n_full"),

@@ -176,16 +176,24 @@ def cosine_topk(
     )
 
 
-def lsh_buckets(emb: DataFrame, seed: int = 42) -> DataFrame:
+def lsh_buckets(
+    emb: DataFrame, seed: int = 42, dim: int = EMB_DIM
+) -> DataFrame:
     """(vec_id, bucket) — bucket = sign-bit string of the hyperplane
-    dot products."""
-    planes = plane_components(seed=seed)
+    dot products.  ``dim`` MUST match the embedding width: a mismatch
+    makes ``zip_with`` pad with NULL and the dot go NULL, and the bit
+    rule below propagates that NULL into the bucket so the downstream
+    equi-join drops the row (fail-EMPTY).  The old ``otherwise("0")``
+    rule instead collapsed every mismatched vector into one bucket —
+    a silent O(n²) candidate blow-up, the worst possible failure mode
+    at 10^9 vectors."""
+    planes = plane_components(dim=dim, seed=seed)
     bits = []
     for p in planes:
         lit = F.array(*[F.lit(c) for c in p])
+        d = _dot(F.col("embedding"), lit)
         bits.append(
-            F.when(_dot(F.col("embedding"), lit) >= 0, F.lit("1"))
-            .otherwise(F.lit("0"))
+            F.when(d >= 0, F.lit("1")).when(d < 0, F.lit("0"))
         )
     return emb.select(
         "vec_id", "embedding", F.concat(*bits).alias("bucket")
@@ -411,6 +419,7 @@ def neardup_pairs(
     block_col: str | None = None,
     seed: int = 42,
     scorer: str = "np",
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -431,7 +440,7 @@ def neardup_pairs(
     bit-for-bit.  ``"hof"`` keeps the pure expression as the parity
     witness the DuckDB oracle mirrors."""
     if block_col is None:
-        base = lsh_buckets(emb, seed).select(
+        base = lsh_buckets(emb, seed, dim=dim).select(
             "vec_id", "embedding", F.col("bucket").alias("block")
         )
     else:
@@ -1220,7 +1229,7 @@ def pq_topk(
 
 def knn_graph(
     emb: DataFrame, k: int = 3, seed: int = 42, seeds=None,
-    scorer: str = "np",
+    scorer: str = "np", dim: int = EMB_DIM,
 ) -> DataFrame:
     """Approximate k-NN graph: for EVERY vector, its top-k cosine
     neighbors within its LSH bucket — the all-queries generalization of
@@ -1261,7 +1270,7 @@ def knn_graph(
         # candidate pair, so oracle parity holds) — this removes 2 of
         # the 3 per-pair HOF aggregates and is the difference between
         # O(pairs·dim) and O(3·pairs·dim) interpreted work
-        b = lsh_buckets(emb, sd).withColumn(
+        b = lsh_buckets(emb, sd, dim=dim).withColumn(
             "_nrm", _norm(F.col("embedding"))
         )
         a = b.select(

@@ -918,7 +918,10 @@ FROM sums
 def fullgc_pressure_sql() -> str:
     """Oracle for rates.fullgc_pressure: lag() interarrival gaps of
     Full GC events per url in BIGINT truncated-ms ticks, min/max/mean
-    gap plus Full-GCs-per-minute of JVM span."""
+    gap plus Full-GCs-per-minute of the FULL-GC span (first to last
+    Full GC; see the operator docstring).  Negative lag differences
+    (jvm_age reset = restart boundary) are excluded from the gap
+    stats, same as the operator."""
     return gcline_prefix("""fullx AS (
   SELECT url, line_no,
     CAST(trunc(jvm_age_seconds * 1000) AS BIGINT) AS age_ms
@@ -926,8 +929,11 @@ def fullgc_pressure_sql() -> str:
   WHERE gc_type = 'Full GC' AND jvm_age_seconds IS NOT NULL
 )""", """fgaps AS (
   SELECT url, age_ms,
-    age_ms - lag(age_ms)
-      OVER (PARTITION BY url ORDER BY line_no) AS gap_ms
+    CASE WHEN age_ms - lag(age_ms)
+           OVER (PARTITION BY url ORDER BY line_no) >= 0
+         THEN age_ms - lag(age_ms)
+           OVER (PARTITION BY url ORDER BY line_no)
+    END AS gap_ms
   FROM fullx
 )""") + """
 SELECT url,

@@ -1,6 +1,10 @@
 """Simulates the driver's correctness gate: run every ``queries()`` entry
 on Spark and its ``oracle_sql()`` twin on DuckDB over the same parquet
-tables, compare row multisets (order-insensitive, column-name sorted)."""
+tables, compare row multisets (order-insensitive, column-name sorted).
+
+Runs at TWO scale factors: sf0.001 (the quick lane — iterate with
+``-m "not slow"``) and sf0.01 (the driver's own gate SF, marked
+``slow``); the SF is in every test id so a failure names its scale."""
 
 import math
 
@@ -13,6 +17,23 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+
+@pytest.fixture(
+    scope="module",
+    params=[
+        pytest.param("/root/testdata/sf0.001", id="sf0.001"),
+        pytest.param(
+            "/root/testdata/sf0.01",
+            id="sf0.01",
+            marks=pytest.mark.slow,
+        ),
+    ],
+)
+def sf_dir(request):
+    """Module-local override of the session sf_dir: parity runs at
+    both the quick SF and the driver's gate SF."""
+    return request.param
 
 
 @pytest.fixture(scope="module")

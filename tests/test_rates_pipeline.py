@@ -203,3 +203,55 @@ def test_fullgc_pressure_gaps(spark):
     assert (b["n_full"], b["n_gaps"]) == (1, 0)
     assert b["mean_gap_ms"] is None and b["full_per_min"] is None
     assert "c" not in out
+
+
+def test_fullgc_pressure_age_reset_is_restart_boundary(spark):
+    """A jvm_age reset mid-file (JVM restart appended to the same url)
+    must NOT produce a negative gap: the restart-crossing lag
+    difference is excluded from n_gaps/min/max/mean in both the
+    operator and the oracle (ADVICE r03)."""
+    import duckdb
+
+    from gclog_parser_spark.operators.rates import fullgc_pressure
+
+    rows = [
+        # first JVM: Full GCs at 10.0s / 12.0s -> gap 2000 ms
+        ("a", 1, "Full GC", "basic", 10.0),
+        ("a", 2, "Full GC", "basic", 12.0),
+        # restart: age resets to 1.0s -> lag diff -11000 ms, excluded
+        ("a", 3, "Full GC", "basic", 1.0),
+        # second JVM: next Full GC at 4.0s -> gap 3000 ms
+        ("a", 4, "Full GC", "basic", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "url string, line_no int, gc_type string, gc_class string,"
+        " jvm_age_seconds double",
+    )
+    (r,) = fullgc_pressure(ev).collect()
+    assert (r["n_full"], r["n_gaps"]) == (4, 2)
+    assert (r["min_gap_ms"], r["max_gap_ms"]) == (2000, 3000)
+    assert r["mean_gap_ms"] == 2500.0
+    # span is max-min age = 11000 ms (degenerate across the restart,
+    # documented); rate = 4 * 60000 / 11000
+    assert r["full_per_min"] == round(4 * 60000 / 11000, 6)
+    # oracle lockstep on the same rows: same guard, same outputs
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE fullx AS SELECT * FROM (VALUES"
+        " ('a', 1, 10000), ('a', 2, 12000), ('a', 3, 1000),"
+        " ('a', 4, 4000)) t(url, line_no, age_ms)"
+    )
+    got = con.execute(
+        """WITH fgaps AS (
+             SELECT url, age_ms,
+               CASE WHEN age_ms - lag(age_ms)
+                      OVER (PARTITION BY url ORDER BY line_no) >= 0
+                    THEN age_ms - lag(age_ms)
+                      OVER (PARTITION BY url ORDER BY line_no)
+               END AS gap_ms
+             FROM fullx)
+           SELECT count(*), count(gap_ms), min(gap_ms), max(gap_ms)
+           FROM fgaps GROUP BY url"""
+    ).fetchone()
+    assert got == (4, 2, 2000, 3000)
