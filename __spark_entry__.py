@@ -199,6 +199,22 @@ def q_gc_zgc_parse(spark, sf_dir):
     )
 
 
+def q_gc_zgc_gen_parse(spark, sf_dir):
+    """JDK 21+ GENERATIONAL ZGC (-Xlog:gc): Minor/Major Collection
+    start lines (heap-less phase events) + completion lines
+    (percent-occupancy transition, seconds suffix), with interleaved
+    GC ids and [gc,phases] y:/O: generation sub-phases dropped as
+    metadata — through the SAME unified classifier as gc_zgc_parse
+    (core.parse_unified_line).  Superset: the reference grammar
+    predates ZGC; charter is the north rule's unified-shapes clause."""
+    from gclog_parser_spark.fixtures import ZGC_GEN_LOG
+
+    ev = _fixture_parse(spark, ZGC_GEN_LOG, "zgcgen://fixture/0")
+    return ev.withColumn(
+        "heap_max_bytes", F.col("heap_max_bytes").cast("long")
+    )
+
+
 def q_gc_unified_cms_parse(spark, sf_dir):
     """JDK 9-13 CMS phases under unified logging (initial-mark/remark
     heap triples + concurrent ms phases) — superset breadth, same
@@ -3597,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_unified_parse": q_gc_unified_parse,
         "gc_g1_parse": q_gc_g1_parse,
         "gc_zgc_parse": q_gc_zgc_parse,
+        "gc_zgc_gen_parse": q_gc_zgc_gen_parse,
         "gc_unified_cms_parse": q_gc_unified_cms_parse,
         "gc_unified_regions": q_gc_unified_regions,
         "gc_safepoints": q_gc_safepoints,
@@ -3756,6 +3773,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_unified_parse"] = oracle.unified_sql()
     out["gc_g1_parse"] = oracle.g1_legacy_sql()
     out["gc_zgc_parse"] = oracle.zgc_sql()
+    out["gc_zgc_gen_parse"] = oracle.zgc_gen_sql()
     from gclog_parser_spark.fixtures import CMS_UNIFIED_LOG
 
     out["gc_unified_cms_parse"] = oracle.unified_sql(CMS_UNIFIED_LOG)

@@ -653,6 +653,16 @@ def zgc_sql() -> str:
     return unified_sql(ZGC_LOG)
 
 
+def zgc_gen_sql() -> str:
+    """JDK 21+ generational ZGC fixture (Minor/Major Collection start
+    + percent-transition completion lines, [gc,phases] y:/O: metadata
+    excluded by the tag filter) through the same independent unified
+    oracle."""
+    from gclog_parser_spark.fixtures import ZGC_GEN_LOG
+
+    return unified_sql(ZGC_GEN_LOG)
+
+
 def g1_legacy_sql() -> str:
     """Independent DuckDB reimplementation of the legacy G1 parse
     (core._scan_collection's G1 branches) over the G1LOG fixture

@@ -89,3 +89,55 @@ def test_zgc_tsv_export_skips_heap_max(spark, tmp_path):
     ]
     header = lines[0].split("\t")
     assert "heapBefore" in header and "heapMax" not in header
+
+
+def test_zgc_generational_fixture_pinned(spark):
+    """JDK 21+ generational ZGC (-Xlog:gc): 10 events from the 15
+    fixture lines — 5 heap-less Minor/Major start phases + 5
+    percent-transition completions with seconds pauses; the 5
+    [gc,phases] y:/O: generation sub-phase lines are metadata and
+    dropped.  Interleaved GC ids (minor 3 inside major 2) parse in
+    line order; everything routes to the z_cycle sink."""
+    from gclog_parser_spark.fixtures import ZGC_GEN_LOG
+
+    events = parse_log(ZGC_GEN_LOG)
+    assert len(events) == 10
+    types = [e["gc_type"] for e in events]
+    assert types.count("Minor Collection") == 6
+    assert types.count("Major Collection") == 4
+    # completions: percent heap transition (no max), seconds pause
+    done = [e for e in events if e["heap"] is not None]
+    assert len(done) == 5
+    assert all(e["heap"][2] is None for e in done)
+    assert [e["pause"] for e in done] == [
+        0.051, 0.521, 0.2, 4.918, 0.462
+    ]
+    # the major completion carries its own cause again
+    majors = [
+        e for e in done if e["gc_type"] == "Major Collection"
+    ]
+    assert [e["gc_cause"] for e in majors] == [
+        "Proactive", "Metadata GC Threshold"
+    ]
+    # start phases are heap-less zero-pause events (gc_class g1)
+    starts = [e for e in events if e["heap"] is None]
+    assert all(e["pause"] == 0.0 for e in starts)
+    assert all(e["gc_class"] == "g1" for e in starts)
+    # Spark route: every generational event lands in the z_cycle sink
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+    from datetime import datetime
+
+    pages = spark.createDataFrame(
+        [("zgcgen://t/0", datetime(2026, 8, 17), None, ZGC_GEN_LOG,
+          "en")],
+        PAGES_SCHEMA,
+    )
+    ev = parse_events(pages, require_marker=False)
+    sinks = {
+        r["sink"]: r["n"]
+        for r in with_sink(ev)
+        .groupBy("sink")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sinks == {"z_cycle": 10}
