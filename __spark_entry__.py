@@ -3149,6 +3149,19 @@ def q_text_bm25(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), BM25_TERMS)
 
 
+def q_text_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking and the embedding-cosine ranking (RAG first-stage
+    retriever; operators/textstats.py::hybrid_rrf_topk).  Integer-tick
+    lexical sums, two fixed-order IEEE reciprocals, doc_id
+    tie-breaks — bit-comparable across engines."""
+    from gclog_parser_spark.operators.textstats import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        _docs(spark, sf_dir), _embs(spark, sf_dir), BM25_TERMS
+    )
+
+
 def q_rel_anomaly_hours(spark, sf_dir):
     """Rate-anomaly detection: per event_type, flag hours whose count
     exceeds mean + 2·σ (population σ from integer sums — the float
@@ -3698,6 +3711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_eq_delete": q_snap_eq_delete,
         "text_postings": q_text_postings,
         "text_bm25": q_text_bm25,
+        "text_hybrid_rrf": q_text_hybrid_rrf,
         "rel_anomaly_hours": q_rel_anomaly_hours,
         "rel_outer_join": q_rel_outer_join,
         "rel_correlated_subq": q_rel_correlated_subq,
@@ -4740,6 +4754,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
     out["rel_correlated_subq"] = CORRELATED_SQL
     out["text_postings"] = ot.postings_sql()
     out["text_bm25"] = ot.bm25_sql(BM25_TERMS)
+    out["text_hybrid_rrf"] = ot.hybrid_rrf_sql(BM25_TERMS)
     out["rel_anomaly_hours"] = (
         "WITH hourly AS (SELECT event_type,"
         " CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,"

@@ -1179,3 +1179,76 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
             ).alias("lm_surprisal"),
         )
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    depth: int = 20,
+    k0: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): fuse the LEXICAL ranking (per-doc sum of
+    BM25 scores over the per-term top-``depth`` pools from
+    :func:`bm25_topk`) with the SEMANTIC ranking (embedding-cosine
+    top-``depth`` from ``similarity.cosine_topk``, ``vec_id`` aligned
+    to ``doc_id``) — the standard first stage of a RAG retriever.
+    ``rrf = 1/(k0 + lex_rank) + 1/(k0 + sem_rank)`` with an absent
+    list contributing 0.
+
+    Cross-engine exactness: the 6-dp BM25 scores become integer ticks
+    (``round(score * 1e6)`` BIGINT) so the per-doc sum is associative;
+    each reciprocal is ONE IEEE division, the fusion adds exactly two
+    doubles in a fixed order, rounded to 9 dp; every ranking
+    tie-breaks by doc_id.
+
+    Scale shape: both input systems are already bounded (per-term
+    window top-k; TakeOrdered corpus scan), so the fusion operates on
+    ≤ ``len(terms)·depth + depth`` rows — the single-partition rank
+    windows and the outer join are driver-trivial by construction, NOT
+    a corpus-sized global sort."""
+    from pyspark.sql import Window
+
+    from gclog_parser_spark.operators.similarity import cosine_topk
+
+    lex_pool = bm25_topk(docs, terms, k=depth).select(
+        "doc_id",
+        F.round(F.col("score") * 1e6).cast("long").alias("ticks"),
+    )
+    wl = Window.orderBy(F.desc("lex_ticks"), F.asc("doc_id"))
+    lex = (
+        lex_pool.groupBy("doc_id")
+        .agg(F.sum("ticks").alias("lex_ticks"))
+        .select(
+            "doc_id", F.row_number().over(wl).alias("lex_rank")
+        )
+        .where(F.col("lex_rank") <= depth)
+    )
+    ws = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    sem = (
+        cosine_topk(emb, query_vec_id=query_vec_id, k=depth)
+        .select(F.col("vec_id").alias("doc_id"), "sim")
+        .select(
+            "doc_id", F.row_number().over(ws).alias("sem_rank")
+        )
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k0) + F.col("lex_rank")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k0) + F.col("sem_rank")),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)

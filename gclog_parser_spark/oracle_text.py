@@ -2147,3 +2147,53 @@ SELECT doc_id, split, count(*) AS n_bigrams,
   round(CAST(sum(tick) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         / 1000000.0, 6) AS lm_surprisal
 FROM scored GROUP BY 1, 2"""
+
+
+def hybrid_rrf_sql(
+    terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    depth: int = 20,
+    k0: int = 60,
+) -> str:
+    """Oracle for textstats.hybrid_rrf_topk: the bm25_sql per-term
+    top-``depth`` pools summed as integer ticks for the lexical
+    ranking, the ann_cosine ranking for the semantic side, RRF fused
+    with the same two fixed-order IEEE divisions and 9-dp round."""
+    bm25 = bm25_sql(terms, k=depth)
+    cos = _cos_guarded("e.embedding", "q.q")
+    return f"""WITH lexpool AS ({bm25}),
+lexsum AS (
+  SELECT doc_id,
+    CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT)
+      AS lex_ticks
+  FROM lexpool GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY lex_ticks DESC, doc_id ASC) AS INT) AS lex_rank
+    FROM lexsum
+  ) WHERE lex_rank <= {depth}
+),
+q AS (
+  SELECT embedding AS q FROM embeddings WHERE vec_id = {query_vec_id}
+),
+cospool AS (
+  SELECT e.vec_id AS doc_id, {cos} AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> {query_vec_id}
+  ORDER BY sim DESC, e.vec_id ASC LIMIT {depth}
+),
+sem AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY sim DESC, doc_id ASC) AS INT) AS sem_rank
+  FROM cospool
+)
+SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+  l.lex_rank AS lex_rank,
+  s.sem_rank AS sem_rank,
+  round(coalesce(1.0 / ({k0} + l.lex_rank), 0.0)
+        + coalesce(1.0 / ({k0} + s.sem_rank), 0.0), 9) AS rrf
+FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT {k}"""
