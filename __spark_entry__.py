@@ -1267,6 +1267,17 @@ def q_rel_variant_extract(spark, sf_dir):
     )
 
 
+def q_emb_dq_checks(spark, sf_dir):
+    """Embedding-corpus validation gate (NULL vectors, width drift,
+    NULL / non-finite components, zero vectors) as uniform
+    (rule, metric, passed) rows from ONE fused conditional-aggregate
+    scan — the check a pipeline runs before LSH bucketing or ANN
+    indexing (operators/quality.py::embedding_checks)."""
+    from gclog_parser_spark.operators.quality import embedding_checks
+
+    return embedding_checks(_embs(spark, sf_dir), dim=64)
+
+
 def q_rel_dq_checks(spark, sf_dir):
     """Data-quality constraint report (the Deequ/dbt-test shape):
     uniqueness, null ratio, value range, accepted values, and
@@ -3671,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_resample": q_rel_resample,
         "rel_dq_audit": q_rel_dq_audit,
         "rel_dq_checks": q_rel_dq_checks,
+        "emb_dq_checks": q_emb_dq_checks,
         "rel_session_window": q_rel_session_window,
         "rel_recursive_cte": q_rel_recursive_cte,
         "rel_variant_extract": q_rel_variant_extract,
@@ -4256,6 +4268,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
     # the streaming session-state merge must equal the batch result
     out["rel_stream_sessions"] = out["rel_session_window"]
 
+    out["emb_dq_checks"] = ot.embedding_checks_sql(dim=64)
     out["rel_dq_checks"] = (
         "SELECT 'orders_pk_unique' AS rule,"
         " round((count(*) - count(DISTINCT o_orderkey))"

@@ -300,3 +300,61 @@ def table_diff(
         )
         .where(F.col("diff_kind").isNotNull())
     )
+
+
+def embedding_checks(
+    emb: DataFrame, dim: int = 64, col: str = "embedding"
+) -> DataFrame:
+    """Embedding-corpus validation — the gate a pipeline runs BEFORE
+    LSH bucketing / ANN indexing (``lsh_buckets`` fails EMPTY on a
+    width mismatch by design; this check is where the mismatch gets
+    NAMED).  Five (rule, metric, passed) rows from ONE conditional-
+    aggregate scan (the fused same-table pattern from
+    :func:`dq_report`'s docstring), metric = violating fraction:
+
+    * ``emb_vector_not_null`` — NULL embedding cells
+    * ``emb_dim_consistent``  — non-NULL vectors with ``size != dim``
+    * ``emb_no_null_components`` — vectors containing a NULL element
+    * ``emb_components_finite`` — vectors containing NaN or ±Inf
+    * ``emb_no_zero_vectors`` — all-zero vectors (cosine-undefined;
+      scored NULL downstream, but a corpus full of them is a broken
+      encoder)
+    """
+    e = F.col(col)
+    inf = F.lit(float("inf"))
+    n = F.count("*")
+
+    def frac(cond):
+        return F.round(
+            F.coalesce(
+                F.sum(F.coalesce(cond, F.lit(False)).cast("long")),
+                F.lit(0),
+            )
+            / n,
+            6,
+        )
+
+    agg = emb.agg(
+        frac(e.isNull()).alias("m_null_vec"),
+        frac(e.isNotNull() & (F.size(e) != dim)).alias("m_wrong_dim"),
+        frac(F.exists(e, lambda x: x.isNull())).alias("m_null_comp"),
+        frac(
+            F.exists(e, lambda x: F.isnan(x) | (F.abs(x) == inf))
+        ).alias("m_nonfinite"),
+        frac(
+            F.forall(e, lambda x: x == 0)
+        ).alias("m_zero_norm"),
+    )
+    stacked = agg.select(
+        F.stack(
+            F.lit(5),
+            F.lit("emb_vector_not_null"), F.col("m_null_vec"),
+            F.lit("emb_dim_consistent"), F.col("m_wrong_dim"),
+            F.lit("emb_no_null_components"), F.col("m_null_comp"),
+            F.lit("emb_components_finite"), F.col("m_nonfinite"),
+            F.lit("emb_no_zero_vectors"), F.col("m_zero_norm"),
+        ).alias("rule", "metric")
+    )
+    return stacked.select(
+        "rule", "metric", (F.col("metric") <= 0.0).alias("passed")
+    )

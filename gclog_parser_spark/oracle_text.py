@@ -2197,3 +2197,43 @@ SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
         + coalesce(1.0 / ({k0} + s.sem_rank), 0.0), 9) AS rrf
 FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
 ORDER BY rrf DESC, doc_id ASC LIMIT {k}"""
+
+
+def embedding_checks_sql(dim: int = 64) -> str:
+    """Oracle for quality.embedding_checks: the same five violating
+    fractions re-derived with DuckDB list functions (fused into one
+    aggregate, then unpivoted as five literal rows).  NULL-component
+    semantics mirror the Spark HOFs: a vector with any NULL element is
+    a null_components violation and is NOT a zero-vector (the guard
+    list_filter(x IS NULL) below)."""
+    return f"""WITH a AS (
+  SELECT
+    round(CAST(sum(CASE WHEN embedding IS NULL
+      THEN 1 ELSE 0 END) AS BIGINT) / count(*), 6) AS m_null_vec,
+    round(CAST(sum(CASE WHEN embedding IS NOT NULL
+      AND len(embedding) <> {dim}
+      THEN 1 ELSE 0 END) AS BIGINT) / count(*), 6) AS m_wrong_dim,
+    round(CAST(sum(CASE WHEN embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) > 0
+      THEN 1 ELSE 0 END) AS BIGINT) / count(*), 6) AS m_null_comp,
+    round(CAST(sum(CASE WHEN embedding IS NOT NULL
+      AND len(list_filter(embedding,
+        x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE))) > 0
+      THEN 1 ELSE 0 END) AS BIGINT) / count(*), 6) AS m_nonfinite,
+    round(CAST(sum(CASE WHEN embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      AND len(list_filter(embedding, x -> NOT (x = 0))) = 0
+      THEN 1 ELSE 0 END) AS BIGINT) / count(*), 6) AS m_zero_norm
+  FROM embeddings
+)
+SELECT rule, metric, metric <= 0.0 AS passed FROM (
+  SELECT 'emb_vector_not_null' AS rule, m_null_vec AS metric FROM a
+  UNION ALL
+  SELECT 'emb_dim_consistent', m_wrong_dim FROM a
+  UNION ALL
+  SELECT 'emb_no_null_components', m_null_comp FROM a
+  UNION ALL
+  SELECT 'emb_components_finite', m_nonfinite FROM a
+  UNION ALL
+  SELECT 'emb_no_zero_vectors', m_zero_norm FROM a
+)"""

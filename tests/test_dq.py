@@ -47,3 +47,60 @@ def test_clean_data_reports_zero(spark):
     df = spark.createDataFrame([(1,), (2,)], "id long")
     [r] = dq_audit([unique_check(df, ["id"])]).collect()
     assert (r.check, r.violations) == ("id_unique", 0)
+
+
+def test_embedding_checks_dirty_corpus(spark):
+    """Each violation class fires on a hand-built dirty corpus, and
+    the fused one-scan report agrees with DuckDB on the same rows."""
+    import duckdb
+
+    from gclog_parser_spark.operators.quality import embedding_checks
+
+    rows = [
+        (0, [1.0, 2.0]),            # clean
+        (1, None),                  # null vector
+        (2, [1.0, 2.0, 3.0]),       # wrong width
+        (3, [None, 2.0]),           # null component
+        (4, [float("nan"), 1.0]),   # non-finite
+        (5, [float("inf"), 1.0]),   # non-finite
+        (6, [0.0, 0.0]),            # zero vector
+        (7, [None, 0.0]),           # null comp, NOT a zero vector
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["rule"]: (r["metric"], r["passed"])
+        for r in embedding_checks(emb, dim=2).collect()
+    }
+    assert got == {
+        "emb_vector_not_null": (0.125, False),
+        "emb_dim_consistent": (0.125, False),
+        "emb_no_null_components": (0.25, False),
+        "emb_components_finite": (0.25, False),
+        "emb_no_zero_vectors": (0.125, False),
+    }
+    # oracle lockstep on the same dirty rows
+    from gclog_parser_spark.oracle_text import embedding_checks_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES"
+        " (0, [1.0, 2.0]), (1, NULL), (2, [1.0, 2.0, 3.0]),"
+        " (3, [NULL, 2.0]), (4, ['nan'::DOUBLE, 1.0]),"
+        " (5, ['inf'::DOUBLE, 1.0]), (6, [0.0, 0.0]),"
+        " (7, [NULL, 0.0])) t(vec_id, embedding)"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(embedding_checks_sql(dim=2)).fetchall()
+    }
+    assert want == got
+
+
+def test_embedding_checks_clean_corpus_passes(spark, sf_dir):
+    from gclog_parser_spark.operators.quality import embedding_checks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = embedding_checks(emb, dim=64).collect()
+    assert len(rows) == 5 and all(r["passed"] for r in rows)
