@@ -1468,6 +1468,53 @@ def q_rel_stream_upsert(spark, sf_dir):
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_dedup_stream_incremental(spark, sf_dir):
+    """Streaming corpus maintenance: the documents table replays as
+    three chronological crawl batches (doc_id % 3); each micro-batch
+    dedups against the ACCUMULATED survivor corpus and appends only
+    its keepers (streaming/stream.py::run_incremental_dedup_stream).
+    Output = every doc's (batch_idx, keep) verdict; the oracle
+    re-derives the same greedy sequential semantics from the full
+    banded pair set in staged SQL."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.streaming.stream import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="gps_dedupstream_")
+    inp = f"{base}/batches"
+    os.makedirs(inp)
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{inp}/batch-{i}"
+        )
+    q = run_incremental_dedup_stream(
+        spark, f"{inp}/batch-*", docs.schema,
+        f"{base}/survivors", f"{base}/ckpt",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "dedup_stream_incremental: stream timed out (600 s)"
+        )
+    surv = spark.read.parquet(f"{base}/survivors").select("doc_id")
+    out = docs.select(
+        "doc_id", (F.col("doc_id") % 3).cast("int").alias("batch_idx")
+    ).join(
+        surv.withColumn("_k", F.lit(True)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "batch_idx",
+        F.coalesce(F.col("_k"), F.lit(False)).alias("keep"),
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_rel_interval_join(spark, sf_dir):
     """Batch interval join (view -> purchase attribution within 30
     minutes per user) — the relational twin of the stream-stream join;
@@ -3600,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": q_text_bpe_merges,
         "corpus_pack": q_corpus_pack,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_stream_incremental": q_dedup_stream_incremental,
         "corpus_drift": q_corpus_drift,
         "rel_scd2": q_rel_scd2,
         "lang_id": q_lang_id,
@@ -3953,6 +4001,7 @@ sessions AS (
     out["text_bpe_merges"] = ot.bpe_merges_sql()
     out["corpus_pack"] = ot.pack_sequences_sql()
     out["dedup_incremental"] = ot.incremental_dedup_sql()
+    out["dedup_stream_incremental"] = ot.stream_incremental_dedup_sql()
     out["corpus_drift"] = ot.word_drift_sql()
     out["lang_id"] = ot.lang_id_sql()
     out["token_counts"] = ot.token_counts_sql()

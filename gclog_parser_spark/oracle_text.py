@@ -2237,3 +2237,56 @@ SELECT rule, metric, metric <= 0.0 AS passed FROM (
   UNION ALL
   SELECT 'emb_no_zero_vectors', m_zero_norm FROM a
 )"""
+
+
+def stream_incremental_dedup_sql() -> str:
+    """Oracle for the STREAMING corpus-maintenance loop
+    (streaming.run_incremental_dedup_stream over the doc_id % 3
+    batch replay): the greedy sequential semantics re-derived in
+    staged SQL from the full banded pair set — batch b's doc is a
+    duplicate iff it exact-matches an ACCUMULATED survivor, shares a
+    band key with an accumulated survivor, or has a banded pair with
+    an earlier doc of its own batch (the greedy chain-collapse rule);
+    keepers accumulate into the next stage's survivor set.  This is
+    survivor-only probing, NOT full-pair classification — the
+    distinction the streaming loop's append-only index implies."""
+    return f"""WITH {_minhash_ctes()},
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM ({_MINHASH_PAIRS_SELECT})),
+d AS (SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS batch_idx
+      FROM documents),
+k0 AS (
+  SELECT doc_id FROM d x WHERE batch_idx = 0 AND NOT EXISTS (
+    SELECT 1 FROM pairs p JOIN d a ON a.doc_id = p.doc_a
+    WHERE p.doc_b = x.doc_id AND a.batch_idx = 0)
+),
+k1 AS (
+  SELECT doc_id FROM d x WHERE batch_idx = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM k0 s JOIN d t ON t.doc_id = s.doc_id
+    WHERE md5(t.text) = md5(x.text))
+  AND NOT EXISTS (
+    SELECT 1 FROM pairs p
+    WHERE (p.doc_a = x.doc_id AND p.doc_b IN (SELECT doc_id FROM k0))
+       OR (p.doc_b = x.doc_id AND p.doc_a IN (SELECT doc_id FROM k0)))
+  AND NOT EXISTS (
+    SELECT 1 FROM pairs p JOIN d a ON a.doc_id = p.doc_a
+    WHERE p.doc_b = x.doc_id AND a.batch_idx = 1)
+),
+s1 AS (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1),
+k2 AS (
+  SELECT doc_id FROM d x WHERE batch_idx = 2
+  AND NOT EXISTS (
+    SELECT 1 FROM s1 s JOIN d t ON t.doc_id = s.doc_id
+    WHERE md5(t.text) = md5(x.text))
+  AND NOT EXISTS (
+    SELECT 1 FROM pairs p
+    WHERE (p.doc_a = x.doc_id AND p.doc_b IN (SELECT doc_id FROM s1))
+       OR (p.doc_b = x.doc_id AND p.doc_a IN (SELECT doc_id FROM s1)))
+  AND NOT EXISTS (
+    SELECT 1 FROM pairs p JOIN d a ON a.doc_id = p.doc_a
+    WHERE p.doc_b = x.doc_id AND a.batch_idx = 2)
+),
+surv AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM k2)
+SELECT d.doc_id, d.batch_idx,
+  (d.doc_id IN (SELECT doc_id FROM surv)) AS keep
+FROM d"""

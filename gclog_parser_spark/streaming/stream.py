@@ -507,3 +507,63 @@ def run_late_audit_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    survivors_dir: str,
+    checkpoint: str,
+):
+    """Streaming corpus maintenance: each arriving crawl batch is
+    deduplicated against the ACCUMULATED survivor corpus
+    (``operators.dedup.incremental_dedup`` — exact hash probe, LSH
+    band probe vs the survivors' band index, greedy within-batch
+    rule) and only its keepers are appended to the survivor table.
+    This is the never-re-cluster-the-corpus loop run continuously:
+    state grows by keepers only, every batch costs
+    O(batch × bands + matching postings), and the corpus is never
+    rescanned.
+
+    Replay is idempotent BY CONSTRUCTION, no fencing needed: if a
+    micro-batch re-runs after a crash, its former keepers are already
+    in the survivor corpus, so every document in the replayed batch
+    exact-matches a survivor (its own first copy) and the batch
+    appends nothing (proven by
+    ``test_streaming.py::test_incremental_dedup_stream_replay``).
+
+    ``maxFilesPerTrigger=1`` pins one file per micro-batch so the
+    greedy order is the chronological file order, exactly like
+    :func:`run_cdc_apply_stream`."""
+    from gclog_parser_spark.operators.dedup import incremental_dedup
+
+    def _apply(batch, batch_id):
+        if not batch.take(1):
+            return
+        s = batch.sparkSession
+        try:
+            corpus = s.read.parquet(survivors_dir).select(
+                "doc_id", "text"
+            )
+        except Exception:  # first batch: no survivors yet
+            corpus = s.createDataFrame(
+                [], "doc_id long, text string"
+            )
+        verdict = incremental_dedup(corpus, batch)
+        keepers = batch.join(
+            verdict.where(F.col("keep")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        keepers.write.mode("append").parquet(survivors_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -403,3 +403,21 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_knn_bucket_scorer_single_corpus_exchange(spark, sf_dir):
+    """The default knn_graph scorer ships each vector across ONE
+    hash exchange (the bucket groupBy feeding the Arrow group map);
+    candidate pairs never cross an exchange as array rows, and the
+    per-src top-k is a WindowGroupLimit (map-side partial top-k)."""
+    from gclog_parser_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(knn_graph(emb, k=3))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "WindowGroupLimit" in plan
+    # exactly two hash exchanges: bucket groupBy + the rank window's
+    # partitionBy(src) over the scalar pair rows
+    assert n_shuffles(plan) == 2
+    # no pair-join of embedding arrays anywhere in the default plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -429,3 +429,68 @@ def test_stream_late_audit_drops_and_bounds_state(spark, sf_dir):
     # most hours have only on-time rows and must be exact
     exact_hours = sum(1 for r in rows if r["n_late_dropped"] == 0)
     assert exact_hours > len(rows) // 2
+
+
+def test_incremental_dedup_stream_replay(spark, sf_dir, tmp_path):
+    """The streaming corpus-maintenance loop: (1) the three-batch
+    replay reproduces the greedy sequential verdicts of running
+    incremental_dedup by hand batch-by-batch; (2) an at-least-once
+    replay of the LAST micro-batch (offset commit deleted) appends
+    NOTHING — its former keepers now exact-match their own survivor
+    copies, so idempotence holds by construction, no fencing."""
+    import os
+
+    from gclog_parser_spark.operators.dedup import incremental_dedup
+    from gclog_parser_spark.streaming.stream import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    inp = str(tmp_path / "batches")
+    surv = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+    batches = [
+        docs.where(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{inp}/batch-{i}")
+
+    q = run_incremental_dedup_stream(
+        spark, f"{inp}/batch-*", docs.schema, surv, ckpt
+    )
+    assert q.awaitTermination(300)
+    got = {r["doc_id"] for r in spark.read.parquet(surv).collect()}
+
+    # hand-rolled sequential twin
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    want = set()
+    for b in batches:
+        v = incremental_dedup(corpus, b)
+        keep = b.join(
+            v.where(F.col("keep")).select("doc_id"), "doc_id",
+            "left_semi",
+        )
+        want |= {r["doc_id"] for r in keep.collect()}
+        corpus = corpus.unionByName(keep)
+    assert got == want and got
+
+    # crash window: replay the last micro-batch
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits")
+        if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = run_incremental_dedup_stream(
+        spark, f"{inp}/batch-*", docs.schema, surv, ckpt
+    )
+    assert q2.awaitTermination(300)
+    after = spark.read.parquet(surv)
+    assert {r["doc_id"] for r in after.collect()} == want
+    assert after.count() == len(want)  # no duplicate appends
