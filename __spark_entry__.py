@@ -282,6 +282,49 @@ def q_gc_safepoints(spark, sf_dir):
     return parse_safepoints(_safepoint_pages(spark))
 
 
+def _stall_pages(spark):
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import ZGC_STALL_LOG
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (
+                "zstall://fixture/0",
+                datetime(2026, 8, 17, 6, 0, 0),
+                None,
+                ZGC_STALL_LOG,
+                "en",
+            )
+        ],
+        PAGES_SCHEMA,
+    )
+
+
+def q_gc_zgc_stalls(spark, sf_dir):
+    """ZGC allocation/relocation stall lines (-Xlog:gc, single-gen
+    and JDK 21+ generational): per-stalled-thread rows with the
+    duration as exact DECIMAL-cast microsecond BIGINTs; truncated
+    stall lines dropped by the regex anchor.  SUPERSET — the
+    reference grammar predates ZGC; parsed by a zero-exchange
+    codegen regexp path and independently re-derived in DuckDB
+    (operators/enrich.parse_gc_stalls)."""
+    from gclog_parser_spark.operators.enrich import parse_gc_stalls
+
+    return parse_gc_stalls(_stall_pages(spark))
+
+
+def q_gc_zgc_stall_stats(spark, sf_dir):
+    """Per-(url, stall-kind) ZGC stall rollup: count, distinct
+    stalled threads, total and worst stall microseconds — exact
+    BIGINT sums/maxes, scan -> partial agg -> one exchange
+    (operators/enrich.gc_stall_stats)."""
+    from gclog_parser_spark.operators.enrich import gc_stall_stats
+
+    return gc_stall_stats(_stall_pages(spark))
+
+
 def q_gc_safepoint_stats(spark, sf_dir):
     """Per-VM-op safepoint rollup: count, stopped ns, worst
     time-to-safepoint (TTSP tail), cleanup, wall — exact BIGINT
@@ -3690,6 +3733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_unified_regions": q_gc_unified_regions,
         "gc_safepoints": q_gc_safepoints,
         "gc_safepoint_stats": q_gc_safepoint_stats,
+        "gc_zgc_stalls": q_gc_zgc_stalls,
+        "gc_zgc_stall_stats": q_gc_zgc_stall_stats,
         "gc_cpu_times": q_gc_cpu_times,
         "gc_heap_trend": q_gc_heap_trend,
         "gc_cms_spans": q_gc_cms_spans,
@@ -3854,6 +3899,8 @@ def oracle_sql() -> dict[str, str]:
     out["gc_unified_regions"] = oracle.unified_regions_sql()
     out["gc_safepoints"] = oracle.safepoints_sql()
     out["gc_safepoint_stats"] = oracle.safepoint_stats_sql()
+    out["gc_zgc_stalls"] = oracle.gc_stalls_sql()
+    out["gc_zgc_stall_stats"] = oracle.gc_stall_stats_sql()
     out["gc_cpu_times"] = oracle.cpu_times_sql()
     out["gc_heap_trend"] = oracle.heap_trend_sql()
     out["gc_cms_spans"] = oracle.cms_spans_sql()

@@ -219,6 +219,29 @@ SAFEPOINT_LOG = "\n".join(
     ]
 )
 
+#: ZGC allocation/relocation stalls (-Xlog:gc, single-gen and JDK 21+
+#: generational alike): when the mutator outruns the collector, each
+#: stalled thread logs ``(Allocation|Relocation) Stall (<thread>)
+#: <ms>ms`` — the latency signal a ZGC tuning investigation reads
+#: first.  SUPERSET (the reference grammar predates ZGC); interleaved
+#: collection lines and a truncated stall line prove the filter.
+ZGC_STALL_LOG = "\n".join(
+    [
+        "[2026-08-17T06:00:00.000+0000][5.000s][info][gc] GC(7) Major Collection (Allocation Stall)",
+        "[5.123s][info][gc] Allocation Stall (main) 12.040ms",
+        "[5.130s][info][gc] Allocation Stall (HttpWorker-3) 3.512ms",
+        "[5.131s][info][gc] Relocation Stall (HttpWorker-3) 0.204ms",
+        "[5.200s][info][gc] Allocation Stall (HttpWorker-7) 25.001ms",
+        "[6.000s][info][gc] GC(8) Minor Collection (Allocation Rate)",
+        "[6.100s][info][gc] Allocation Stall (main) 1.250ms",
+        "[6.200s][info][gc] GC(8) Minor Collection (Allocation Rate) 3462M(28%)->3252M(26%) 0.100s",
+        "[6.300s][info][gc] Relocation Stall (queue-worker-1) 7.777ms",
+        "[6.301s][info][gc] Allocation Stall (queue-worker-1)",
+        "[9.321s][info][gc] GC(7) Major Collection (Allocation Stall) 8012M(94%)->2048M(24%) 4.321s",
+        "[9.400s][info][gc] Allocation Stall (main) 0.033ms",
+    ]
+)
+
 #: heap-stats counts: ParserTest.scala:261-321,539-547.
 CLASSES = [
     (0, "basic7", "basic-java7-gc.log", 7, 0),

@@ -316,3 +316,61 @@ def explode_region_deltas(events: DataFrame) -> DataFrame:
     return flat.join(F.broadcast(dim), "region_name", "left").withColumn(
         "kind", F.coalesce("kind", F.lit("other"))
     )
+
+
+_STALL_LINE = (
+    r"\[gc\] (Allocation|Relocation) Stall"
+    r" \(([^)]+)\) (\d+\.\d{3})ms\s*$"
+)
+
+
+def parse_gc_stalls(pages: DataFrame) -> DataFrame:
+    """ZGC allocation/relocation stall lines (-Xlog:gc, single-gen and
+    JDK 21+ generational alike): ``(Allocation|Relocation) Stall
+    (<thread>) <ms>ms`` — emitted per stalled mutator thread when
+    allocation outruns the collector, the first latency signal a ZGC
+    tuning investigation reads.  SUPERSET: the reference grammar
+    (Parser.scala) predates ZGC entirely; charter is the north rule's
+    unified-shapes clause.
+
+    One row per stall with the duration as exact microsecond BIGINT
+    ticks (the 3-dp ms string is cast through DECIMAL(12,3), never
+    IEEE-parsed, so the DuckDB oracle matches bit-for-bit).  Plan:
+    scan → posexplode → codegen rlike/regexp_extract, ZERO exchanges
+    — at 100 TB the rlike prunes to the tiny stall subset scan-side.
+    Truncated stall lines (no duration) fail the anchor and drop."""
+    lines = pages.select(
+        "url",
+        F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
+    )
+    line = F.col("line")
+    return lines.where(line.rlike(_STALL_LINE)).select(
+        "url",
+        "line_no",
+        F.lower(F.regexp_extract(line, _STALL_LINE, 1)).alias(
+            "stall_kind"
+        ),
+        F.regexp_extract(line, _STALL_LINE, 2).alias("thread"),
+        (
+            F.regexp_extract(line, _STALL_LINE, 3).cast("decimal(12,3)")
+            * 1000
+        ).cast("long").alias("stall_us"),
+    )
+
+
+def gc_stall_stats(pages: DataFrame) -> DataFrame:
+    """Per-(url, stall kind) rollup over :func:`parse_gc_stalls`:
+    stall count, distinct stalled threads, total and worst stall
+    microseconds — all exact BIGINT sums/maxes, trivially
+    hash-stable cross-engine.  Plan: the zero-exchange matched
+    relation → partial agg → ONE exchange on (url, stall_kind);
+    map-side partials collapse per-stall rows before the shuffle
+    (count-distinct over thread adds the usual two-phase expand,
+    still keyed by the same group — no extra wide exchange)."""
+    st = parse_gc_stalls(pages)
+    return st.groupBy("url", "stall_kind").agg(
+        F.count("*").cast("long").alias("n_stalls"),
+        F.countDistinct("thread").alias("n_threads"),
+        F.sum("stall_us").alias("stalled_us"),
+        F.max("stall_us").alias("max_stall_us"),
+    )

@@ -1388,3 +1388,61 @@ SELECT t.hour,
   CAST(t.n_true - coalesce(s.n_stream, 0) AS BIGINT) AS n_late_dropped
 FROM t LEFT JOIN s USING (hour), fin
 WHERE epoch_ms(t.hour) + 3600000 <= fin.final_wm"""
+
+
+_STALL_PAT = (
+    r"\[gc\] (Allocation|Relocation) Stall"
+    r" \(([^)]+)\) (\d+\.\d{3})ms\s*$"
+)
+
+
+def _stalls_cte(log_text: str | None, url: str) -> str:
+    """Shared matched-line CTE for the ZGC stall oracles: fixture
+    lines as VALUES, fields re-derived with DuckDB (RE2) regexps and
+    an exact DECIMAL(12,3) microsecond cast — an independent second
+    implementation of operators/enrich.parse_gc_stalls."""
+    from gclog_parser_spark.fixtures import ZGC_STALL_LOG
+
+    values = _fixture_values(
+        log_text if log_text is not None else ZGC_STALL_LOG
+    )
+    return f"""
+WITH raw(line_no, line) AS (VALUES
+    {values}
+),
+st AS (
+  SELECT line_no,
+    lower(regexp_extract(line, '{_STALL_PAT}', 1)) AS stall_kind,
+    regexp_extract(line, '{_STALL_PAT}', 2) AS thread,
+    CAST(CAST(regexp_extract(line, '{_STALL_PAT}', 3)
+      AS DECIMAL(12,3)) * 1000 AS BIGINT) AS stall_us
+  FROM raw
+  WHERE regexp_matches(line, '{_STALL_PAT}')
+)
+"""
+
+
+def gc_stalls_sql(
+    log_text: str | None = None, url: str = "zstall://fixture/0"
+) -> str:
+    """Oracle for enrich.parse_gc_stalls (ZGC allocation/relocation
+    stall lines; truncated stall lines dropped by the anchor)."""
+    return _stalls_cte(log_text, url) + f"""
+SELECT '{url}' AS url, line_no, stall_kind, thread, stall_us
+FROM st
+"""
+
+
+def gc_stall_stats_sql(
+    log_text: str | None = None, url: str = "zstall://fixture/0"
+) -> str:
+    """Oracle for enrich.gc_stall_stats (per-(url, kind) rollup,
+    exact BIGINT sums/maxes)."""
+    return _stalls_cte(log_text, url) + f"""
+SELECT '{url}' AS url, stall_kind,
+  count(*) AS n_stalls,
+  CAST(count(DISTINCT thread) AS BIGINT) AS n_threads,
+  CAST(sum(stall_us) AS BIGINT) AS stalled_us,
+  max(stall_us) AS max_stall_us
+FROM st GROUP BY stall_kind
+"""

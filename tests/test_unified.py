@@ -266,3 +266,65 @@ def test_cpu_times_both_sources(spark):
     )
     z = cpu_times(zp).collect()
     assert len(z) == 1 and z[0]["parallelism_millis"] is None
+
+
+def test_zgc_stall_parse_counts(spark):
+    """ZGC_STALL_LOG: 7 well-formed stall lines (one truncated stall
+    and five collection lines must be dropped); exact microsecond
+    ticks; per-kind rollup sums/maxes pinned."""
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import ZGC_STALL_LOG
+    from gclog_parser_spark.operators.enrich import (
+        gc_stall_stats,
+        parse_gc_stalls,
+    )
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [("zstall://t/0", datetime(2026, 8, 17, 6, 0), None,
+          ZGC_STALL_LOG, "en")],
+        PAGES_SCHEMA,
+    )
+    st = parse_gc_stalls(pages).collect()
+    assert len(st) == 7
+    kinds = {r["stall_kind"] for r in st}
+    assert kinds == {"allocation", "relocation"}
+    first = sorted(st, key=lambda r: r["line_no"])[0]
+    assert first["thread"] == "main"
+    assert first["stall_us"] == 12040  # 12.040ms, DECIMAL-exact
+    assert {r["thread"] for r in st} == {
+        "main", "HttpWorker-3", "HttpWorker-7", "queue-worker-1"
+    }
+
+    stats = {r["stall_kind"]: r for r in gc_stall_stats(pages).collect()}
+    alloc = stats["allocation"]
+    assert alloc["n_stalls"] == 5
+    assert alloc["n_threads"] == 3
+    assert alloc["stalled_us"] == 12040 + 3512 + 25001 + 1250 + 33
+    assert alloc["max_stall_us"] == 25001
+    rel = stats["relocation"]
+    assert rel["n_stalls"] == 2 and rel["n_threads"] == 2
+    assert rel["stalled_us"] == 204 + 7777
+    assert rel["max_stall_us"] == 7777
+
+
+def test_zgc_stall_plan_zero_exchange(spark):
+    """parse_gc_stalls is scan->posexplode->codegen filter/project:
+    no exchange, no Python."""
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import ZGC_STALL_LOG
+    from gclog_parser_spark.operators.enrich import parse_gc_stalls
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [("zstall://t/0", datetime(2026, 8, 17, 6, 0), None,
+          ZGC_STALL_LOG, "en")],
+        PAGES_SCHEMA,
+    )
+    from gclog_parser_spark.plans.lint import plan_string
+
+    plan = plan_string(parse_gc_stalls(pages))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
