@@ -2901,6 +2901,66 @@ def q_web_triangles(spark, sf_dir):
     return triangle_counts(events_link_graph(ev))
 
 
+def q_web_hits(spark, sf_dir):
+    """Kleinberg HITS hub/authority ticks on the deterministic events
+    link graph — 3 mutual-reinforcement iterations, L1 integer-tick
+    normalization (DECIMAL-widened floor division), one edges-join +
+    one reduce per half-step (operators/graph.hits).  Oracle is an
+    independently unrolled DuckDB CTE over HUGEINT."""
+    from gclog_parser_spark.operators.graph import (
+        events_link_graph,
+        hits,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hits(events_link_graph(ev))
+
+
+def _hits_oracle_sql(n_iter: int = 3, scale: int = 10**12) -> str:
+    """Unrolled-CTE DuckDB HITS twin of operators/graph.hits — same
+    integer-tick gather + L1 floor normalization, HUGEINT-widened."""
+    nv = "(SELECT count(DISTINCT user_id) FROM events)"
+    ctes = [
+        "edges AS (SELECT DISTINCT user_id AS src,"
+        f" event_id % {nv} AS dst FROM events)",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"h0 AS (SELECT node, CAST((SELECT {scale} // n FROM nn)"
+        " AS BIGINT) AS t FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"ar{i} AS (SELECT nd.node, CAST(coalesce(s.s, 0)"
+            " AS BIGINT) AS raw FROM nodes nd LEFT JOIN"
+            " (SELECT e.dst AS node, sum(h.t) AS s FROM edges e"
+            f" JOIN h{i-1} h ON h.node = e.src GROUP BY 1) s"
+            " ON s.node = nd.node)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT node, CAST(CAST(raw AS HUGEINT)"
+            f" * {scale} // (SELECT sum(raw) FROM ar{i})"
+            f" AS BIGINT) AS t FROM ar{i})"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT nd.node, CAST(coalesce(s.s, 0)"
+            " AS BIGINT) AS raw FROM nodes nd LEFT JOIN"
+            " (SELECT e.src AS node, sum(a.t) AS s FROM edges e"
+            f" JOIN a{i} a ON a.node = e.dst GROUP BY 1) s"
+            " ON s.node = nd.node)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT node, CAST(CAST(raw AS HUGEINT)"
+            f" * {scale} // (SELECT sum(raw) FROM hr{i})"
+            f" AS BIGINT) AS t FROM hr{i})"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT a.node, a.t AS auth_ticks, h.t AS hub_ticks"
+        f" FROM a{n_iter} a JOIN h{n_iter} h ON a.node = h.node"
+    )
+
+
 def _pagerank_oracle_sql(n_iter: int = 5, d: int = 85, scale: int = 10**12) -> str:
     """Unrolled-CTE DuckDB PageRank twin of operators/graph.pagerank —
     same integer-tick formulas, independently expressed."""
@@ -3803,6 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_table_stats": q_rel_table_stats,
         "rel_zorder_scan": q_rel_zorder_scan,
         "web_pagerank": q_web_pagerank,
+        "web_hits": q_web_hits,
         "web_triangles": q_web_triangles,
         "snap_time_travel": q_snap_time_travel,
         "rel_dpp_scan": q_rel_dpp_scan,
@@ -4732,6 +4793,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
         " WHERE user_id BETWEEN 0 AND 3"
     )
     out["web_pagerank"] = _pagerank_oracle_sql()
+    out["web_hits"] = _hits_oracle_sql()
     out["web_triangles"] = ot.triangle_counts_sql()
     out["snap_wap_publish"] = (
         "SELECT event_id, ts, user_id, event_type, props FROM events"

@@ -213,3 +213,92 @@ def triangle_counts(
         .na.fill({"n_triangles": 0})
         .select("node", F.col("n_triangles").cast("long").alias("n_triangles"))
     )
+
+
+def _l1_normalize(
+    scores: DataFrame, col: str, scale: int
+) -> DataFrame:
+    """Rescale nonneg integer ticks so they sum to ≤ ``scale``:
+    t' = t·scale DIV Σt, floor division computed in DECIMAL(38,0) so
+    the t·scale product can't overflow BIGINT (the DuckDB twin uses
+    HUGEINT — identical floors for nonnegative operands).  The total
+    is a one-row broadcast cross join (house scalar pattern), so the
+    step adds one partial-aggregated reduce, no wide exchange."""
+    tot = scores.agg(F.sum(col).alias("__tot"))
+    return (
+        scores.crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.expr(
+                f"CAST(CAST({col} AS DECIMAL(38,0)) * {scale}"
+                f" DIV __tot AS BIGINT)"
+            ).alias(col),
+        )
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Kleinberg HITS hub/authority scores — the link-quality pair web
+    pipelines read next to PageRank (authorities ≈ canonical content
+    pages, hubs ≈ link directories; spam detection reads the gap
+    between them).  The reference repo has no graph surface; charter
+    is the north rule's web-corpus superset, like :func:`pagerank`.
+
+    Exact cross-engine parity: all state is integer ticks.  Each
+    half-iteration is the mutual-reinforcement sum (auth(v) = Σ hub(u)
+    over in-edges, hub(u) = Σ auth(v) over out-edges) followed by L1
+    tick normalization (``_l1_normalize`` — floor division, DECIMAL
+    widened), so the DuckDB oracle's unrolled CTE matches bit-for-bit
+    with no float-summation-order tolerance.  L1 replaces the
+    textbook L2 norm — same fixpoint direction, integer-exact.
+
+    Scale: per half-iteration one shuffle join edges⋈scores plus one
+    partial-aggregated exchange on the opposite endpoint — shuffle ∝
+    edges, state ∝ nodes, the same discipline as ``pagerank``.
+    Lineage truncated per iteration with ``localCheckpoint``.
+
+    Returns ``(node, auth_ticks, hub_ticks)`` for every node."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("hits over an empty edge set")
+    init = scale // n
+
+    def _gather(scores: DataFrame, col: str, frm: str, to: str,
+                out: str) -> DataFrame:
+        raw = (
+            e.join(scores.withColumnRenamed("node", frm), frm)
+            .groupBy(F.col(to).alias("node"))
+            .agg(F.sum(col).alias(out))
+        )
+        return nodes.join(raw, "node", "left").select(
+            "node",
+            F.coalesce(out, F.lit(0).cast("long")).alias(out),
+        )
+
+    hub = nodes.withColumn("hub_ticks", F.lit(init).cast("long"))
+    auth = None
+    for _ in range(n_iter):
+        auth = _l1_normalize(
+            _gather(hub, "hub_ticks", "src", "dst", "auth_ticks"),
+            "auth_ticks", scale,
+        ).localCheckpoint(eager=False)
+        hub = _l1_normalize(
+            _gather(auth, "auth_ticks", "dst", "src", "hub_ticks"),
+            "hub_ticks", scale,
+        ).localCheckpoint(eager=False)
+    return auth.join(hub, "node")

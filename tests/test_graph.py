@@ -100,3 +100,40 @@ def test_triangles_ignore_direction_loops_and_dups(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_hits_star_graph_pinned(spark):
+    """Hub 0 -> authorities 1,2,3: node 0 takes the whole hub mass
+    (10^12 ticks), each authority gets floor(scale/3), and the
+    opposite scores are zero — exact integer expectations."""
+    from gclog_parser_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r for r in hits(e).collect()}
+    scale = 10**12
+    assert got[0]["hub_ticks"] == scale
+    assert got[0]["auth_ticks"] == 0
+    for v in (1, 2, 3):
+        assert got[v]["auth_ticks"] == scale // 3
+        assert got[v]["hub_ticks"] == 0
+
+
+def test_hits_l1_mass_bounded_and_deterministic(spark):
+    """On a small mixed graph the L1 tick totals stay within scale
+    (floor loss only) and a re-run is bit-identical."""
+    from gclog_parser_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3), (4, 1)],
+        "src bigint, dst bigint",
+    )
+    r1 = sorted(map(tuple, hits(e).collect()))
+    r2 = sorted(map(tuple, hits(e).collect()))
+    assert r1 == r2
+    scale = 10**12
+    auth = sum(t[1] for t in r1)
+    hub = sum(t[2] for t in r1)
+    assert scale - 10 <= auth <= scale
+    assert scale - 10 <= hub <= scale
