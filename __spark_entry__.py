@@ -825,6 +825,23 @@ def q_text_decontam(spark, sf_dir):
     return ngram_decontaminate(corpus, bench, k=5, min_hits=3)
 
 
+def q_text_decontam_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination twin of text_decontam, for
+    eval sets too big to broadcast: corpus shingles pass a codegen
+    Bloom sketch of the benchmark shingles scan-side (before the
+    only corpus exchange), then a shuffle-hash equi-join strips the
+    false positives — identical results, same oracle
+    (operators/textstats.ngram_decontaminate_bloom)."""
+    from gclog_parser_spark.operators.textstats import (
+        ngram_decontaminate_bloom,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return ngram_decontaminate_bloom(corpus, bench, k=5, min_hits=3)
+
+
 def q_rel_sliding_window(spark, sf_dir):
     """Sliding event-time windows (10 min / 5 min slide) — the
     overlapping-window aggregation the tumbling hourly rollups can't
@@ -3850,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_global_topn": q_rel_global_topn,
         "gc_pause_histogram": q_gc_pause_histogram,
         "text_decontam": q_text_decontam,
+        "text_decontam_bloom": q_text_decontam_bloom,
         "text_tfidf": q_text_tfidf,
         "text_chunks": q_text_chunks,
         "rel_semi_join": q_rel_semi_join,
@@ -4308,6 +4326,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
     )
 
     out["text_decontam"] = ot.decontam_sql()
+    out["text_decontam_bloom"] = ot.decontam_sql()
     out["text_ngrams"] = ot.corpus_ngrams_sql(k=2, top=50)
     out["text_heavy_hitters"] = ot.heavy_hitters_sql(k=HH_K)
 

@@ -360,6 +360,64 @@ def ngram_decontaminate(
     )
 
 
+def ngram_decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    min_hits: int = 3,
+    m_bits: int | None = None,
+    n_hashes: int | None = None,
+) -> DataFrame:
+    """:func:`ngram_decontaminate` for benchmark sets too large to
+    broadcast as an exact hash relation (a full eval-suite union at
+    production scale is tens of GB of distinct shingles): the corpus
+    shingle stream is prefiltered by a Bloom sketch of the benchmark
+    shingles (``bloomjoin.bloom_build``/``bloom_test`` — bitmap is an
+    8 KiB-default literal, never a broadcast table), then the
+    survivors take an explicit shuffle-hash equi-join against the
+    exact benchmark set to strip the Bloom false positives.  Results
+    are IDENTICAL to the broadcast variant (no false negatives by
+    construction, FPs removed by the join) — same oracle.
+
+    Scale shape: the Bloom predicate is pure codegen (xxhash64 →
+    shift/AND) applied scan-side BEFORE the only corpus shuffle, so
+    exchange volume drops from all corpus shingles to ~(true hits +
+    FP rate · shingles); the benchmark side shuffles once on shingle.
+    The join is hinted shuffle-hash — with the bench side no longer
+    broadcastable there is no reason to pay a sort."""
+    from gclog_parser_spark.operators.bloomjoin import (
+        M_BITS,
+        N_HASHES,
+        bloom_build,
+        bloom_test,
+    )
+
+    m_bits = M_BITS if m_bits is None else m_bits
+    n_hashes = N_HASHES if n_hashes is None else n_hashes
+
+    def _sh(df: DataFrame) -> DataFrame:
+        sh = F.array_distinct(_shingle_expr(F.col("w"), k))
+        return df.select(
+            "doc_id", _words(F.col("text")).alias("w")
+        ).select("doc_id", F.explode(sh).alias("shingle"))
+
+    bench = _sh(benchmark).select("shingle").distinct()
+    words = bloom_build(bench, "shingle", m_bits, n_hashes)
+    bm, pred = bloom_test("shingle", words, m_bits, n_hashes)
+    survivors = (
+        _sh(corpus)
+        .withColumn("__bloom_bm", bm)
+        .where(pred)
+        .drop("__bloom_bm")
+    )
+    return (
+        survivors.join(bench.hint("shuffle_hash"), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .withColumn("flagged", F.col("n_hits") >= F.lit(min_hits))
+    )
+
+
 def tfidf_topk(
     docs: DataFrame, k: int = 3, broadcast_vocab: bool = True
 ) -> DataFrame:

@@ -232,3 +232,50 @@ class TestResampleFfill:
         ev = self._ev(spark, [(1, 1, dt(2024, 1, 1), 1.0)])
         with _pt.raises(ValueError, match="step"):
             resample_ffill(ev, step="2 hours")
+
+
+def test_decontam_bloom_matches_broadcast_variant(spark, sf_dir):
+    """ngram_decontaminate_bloom is value-identical to the broadcast
+    variant even with a deliberately tiny bitmap (high FP rate — the
+    exact join must strip every false positive)."""
+    from gclog_parser_spark.operators.textstats import (
+        ngram_decontaminate,
+        ngram_decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    want = sorted(
+        map(tuple, ngram_decontaminate(corpus, bench).collect())
+    )
+    got = sorted(
+        map(tuple, ngram_decontaminate_bloom(corpus, bench).collect())
+    )
+    tiny = sorted(
+        map(
+            tuple,
+            ngram_decontaminate_bloom(
+                corpus, bench, m_bits=256, n_hashes=2
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert tiny == want
+
+
+def test_decontam_bloom_plan_filters_before_join(spark, sf_dir):
+    """The Bloom predicate (xxhash64 lanes) sits in the corpus scan
+    stage as a codegen Filter; the exact join is shuffle-hash, not
+    broadcast — the bench-too-big-to-broadcast shape."""
+    from gclog_parser_spark.operators.textstats import (
+        ngram_decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    plan = _plan(ngram_decontaminate_bloom(corpus, bench))
+    assert "xxhash64" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "EvalPython" not in plan
