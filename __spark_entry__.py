@@ -842,6 +842,16 @@ def q_text_decontam_bloom(spark, sf_dir):
     return ngram_decontaminate_bloom(corpus, bench, k=5, min_hits=3)
 
 
+def q_corpus_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch corpus permutation (epoch 2): portable
+    md5-keyed order, shard by modulus, per-shard rank — no global
+    sort, one shard exchange + per-partition window sort; retries and
+    re-runs are bit-identical (operators/sampling.epoch_shuffle)."""
+    from gclog_parser_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(_docs(spark, sf_dir), epoch=2)
+
+
 def q_rel_sliding_window(spark, sf_dir):
     """Sliding event-time windows (10 min / 5 min slide) — the
     overlapping-window aggregation the tumbling hourly rollups can't
@@ -3868,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_pause_histogram": q_gc_pause_histogram,
         "text_decontam": q_text_decontam,
         "text_decontam_bloom": q_text_decontam_bloom,
+        "corpus_epoch_shuffle": q_corpus_epoch_shuffle,
         "text_tfidf": q_text_tfidf,
         "text_chunks": q_text_chunks,
         "rel_semi_join": q_rel_semi_join,
@@ -4327,6 +4338,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
 
     out["text_decontam"] = ot.decontam_sql()
     out["text_decontam_bloom"] = ot.decontam_sql()
+    out["corpus_epoch_shuffle"] = ot.epoch_shuffle_sql()
     out["text_ngrams"] = ot.corpus_ngrams_sql(k=2, top=50)
     out["text_heavy_hitters"] = ot.heavy_hitters_sql(k=HH_K)
 

@@ -441,3 +441,55 @@ def pack_sequences(
             F.col("doc_tokens"),
         ).cast("long").alias("tok_end"),
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    n_shards: int = 64,
+    key: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic per-epoch global permutation of the corpus — the
+    'reshuffle the training data every epoch' step of an LLM data
+    loader, as a pure function of (corpus, epoch, salt): re-running
+    it (or retrying a failed stage) reproduces the identical order,
+    and different epochs draw independent permutations.
+
+    The permutation is content-keyed, never RNG-state-keyed: each
+    row's order key is the portable 60-bit md5 of
+    ``salt:epoch:key`` (``dedup.md5_long`` — identical in DuckDB),
+    its shard is ``order_key % n_shards``, and its position is the
+    rank of the order key within the shard (key ties broken by
+    ``key``, so the order is total and bit-stable).  Global read
+    order = (shard, pos) — a loader streams shard 0..n-1.
+
+    Scale: NO global sort.  One exchange on shard, then a
+    per-partition window sort — each shard sorts independently, so
+    skew is impossible by construction (md5 spreads uniformly) and
+    the sort never exceeds corpus/n_shards rows per task.  At 100 TB
+    pick n_shards ≈ corpus_bytes / target_file_size, write
+    partitioned by shard, and the epoch is materialized without any
+    driver-side state."""
+    k = md5_long(
+        F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.lit(int(epoch)).cast("string"),
+            F.col(key).cast("string"),
+        )
+    )
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        F.col(key),
+        k.alias("order_key"),
+        (k % F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("order_key", key)
+    return keyed.select(
+        key,
+        F.lit(int(epoch)).cast("int").alias("epoch"),
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

@@ -2290,3 +2290,22 @@ surv AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM k2)
 SELECT d.doc_id, d.batch_idx,
   (d.doc_id IN (SELECT doc_id FROM surv)) AS keep
 FROM d"""
+
+
+def epoch_shuffle_sql(
+    epoch: int = 2, n_shards: int = 64, salt: str = "shuffle"
+) -> str:
+    """Independent oracle for sampling.epoch_shuffle: the same
+    portable md5-60bit order key over ``salt:epoch:doc_id``, shard by
+    modulus, and the per-shard rank re-derived with a DuckDB window
+    (ties broken by doc_id, so the order is total in both engines)."""
+    k = _hex60(f"'{salt}:{epoch}:' || CAST(doc_id AS VARCHAR)")
+    return f"""WITH k AS (
+  SELECT doc_id, {k} AS order_key FROM documents
+)
+SELECT doc_id, CAST({epoch} AS INT) AS epoch,
+  CAST(order_key % {n_shards} AS INT) AS shard,
+  CAST(row_number() OVER (
+    PARTITION BY order_key % {n_shards}
+    ORDER BY order_key, doc_id) - 1 AS BIGINT) AS pos
+FROM k"""

@@ -475,3 +475,48 @@ class TestPackSequences:
             .collect()
         }
         assert max(got) < spark.sparkContext.defaultParallelism
+
+
+def test_epoch_shuffle_is_a_permutation(spark, sf_dir):
+    """Every doc appears exactly once; positions are 0..n-1 contiguous
+    within each shard."""
+    from gclog_parser_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = epoch_shuffle(docs, epoch=1, n_shards=8).collect()
+    assert len(out) == docs.count()
+    assert len({r["doc_id"] for r in out}) == len(out)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_epoch_shuffle_deterministic_and_epoch_independent(spark, sf_dir):
+    """Re-running an epoch is bit-identical; different epochs draw
+    different permutations."""
+    from gclog_parser_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e1a = sorted(map(tuple, epoch_shuffle(docs, epoch=1).collect()))
+    e1b = sorted(map(tuple, epoch_shuffle(docs, epoch=1).collect()))
+    e2 = sorted(map(tuple, epoch_shuffle(docs, epoch=2).collect()))
+    assert e1a == e1b
+    order1 = {t[0]: (t[2], t[3]) for t in e1a}
+    order2 = {t[0]: (t[2], t[3]) for t in e2}
+    assert order1 != order2
+
+
+def test_epoch_shuffle_no_global_sort(spark, sf_dir):
+    """The plan shards then window-sorts per partition: one hash
+    exchange on shard, NO range partitioning (global sort) and no
+    Python."""
+    from gclog_parser_spark.operators.sampling import epoch_shuffle
+    from gclog_parser_spark.plans.lint import plan_string
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_string(epoch_shuffle(docs, epoch=1))
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
