@@ -377,6 +377,15 @@ def q_gc_fullgc_pressure(spark, sf_dir):
     return fullgc_pressure(_events(spark, sf_dir))
 
 
+def q_gc_overhead(spark, sf_dir):
+    """Per-JVM GC overhead pct: 0.1 µs pause ticks over the whole
+    aged-event span, one IEEE division, scan -> partial agg -> one
+    url exchange (operators/rates.gc_overhead)."""
+    from gclog_parser_spark.operators.rates import gc_overhead
+
+    return gc_overhead(_events(spark, sf_dir))
+
+
 def q_gc_sessions(spark, sf_dir):
     """Gaps-and-islands sessionization of the event stream (activity
     bursts per JVM, 30 s age gap) — oracled as the identical
@@ -3826,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_heap_trend": q_gc_heap_trend,
         "gc_cms_spans": q_gc_cms_spans,
         "gc_fullgc_pressure": q_gc_fullgc_pressure,
+        "gc_overhead": q_gc_overhead,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -3995,6 +4005,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_heap_trend"] = oracle.heap_trend_sql()
     out["gc_cms_spans"] = oracle.cms_spans_sql()
     out["gc_fullgc_pressure"] = oracle.fullgc_pressure_sql()
+    out["gc_overhead"] = oracle.gc_overhead_sql()
 
     out["gc_tsv_export"] = oracle.tsv_export_sql()
     out["gc_graphite_export"] = oracle.graphite_export_sql()

@@ -198,3 +198,52 @@ def heap_trend(events: DataFrame) -> DataFrame:
         F.when(den > 0, F.round(num / den, 6)).alias("slope_kb_per_s"),
         F.round(F.col("sy") / F.col("n_points"), 3).alias("mean_heap_kb"),
     )
+
+
+def gc_overhead(events: DataFrame) -> DataFrame:
+    """Per-JVM GC overhead — the single number a capacity review asks
+    for first: what fraction of the JVM's run was spent paused in GC.
+    (The reference exports raw pause series via its TSV/graphite
+    formats, OutputFormat.scala; the rollup is new surface under the
+    north rule's aggregate charter.)
+
+    Exact cross-engine arithmetic (house style): pause seconds become
+    0.1 µs BIGINT ticks (``round(p · 10^7)``), the JVM span is the
+    max−min of truncated-ms age over ALL aged events (the whole event
+    stream, not just paused rows — a CMS log's concurrent lines
+    extend the span), and ``overhead_pct`` is ONE IEEE division
+    ``ticks / (span_ms · 100)`` rounded HALF_UP to 6 dp.  Logs with
+    zero span or no timed pauses yield NULL pct, never a
+    divide-by-zero.
+
+    Plan: scan-side projection → partial agg → ONE exchange on url;
+    output ∝ JVMs.  At 100 TB this is the cheapest possible rollup
+    shape — no window, no second shuffle."""
+    ev = events.where(F.col("jvm_age_seconds").isNotNull()).select(
+        "url",
+        (F.col("jvm_age_seconds") * 1000).cast("long").alias("age_ms"),
+        F.round(F.col("pause_seconds") * 10_000_000)
+        .cast("long")
+        .alias("pause_ticks"),
+    )
+    agg = ev.groupBy("url").agg(
+        F.count("pause_ticks").alias("n_pauses"),
+        F.sum("pause_ticks").alias("_ticks"),
+        (F.max("age_ms") - F.min("age_ms")).alias("span_ms"),
+    )
+    return agg.select(
+        "url",
+        "n_pauses",
+        F.coalesce("_ticks", F.lit(0).cast("long")).alias(
+            "pause_ticks_sum"
+        ),
+        "span_ms",
+        F.when(
+            (F.col("span_ms") > 0) & (F.col("n_pauses") > 0),
+            F.round(
+                F.col("_ticks").cast("double")
+                / (F.col("span_ms") * 100),
+                6,
+            ),
+        ).alias("overhead_pct"),
+    )

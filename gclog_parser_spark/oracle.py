@@ -1446,3 +1446,25 @@ SELECT '{url}' AS url, stall_kind,
   max(stall_us) AS max_stall_us
 FROM st GROUP BY stall_kind
 """
+
+
+def gc_overhead_sql() -> str:
+    """Oracle for rates.gc_overhead: 0.1 µs pause ticks + truncated-ms
+    span over all aged events, one IEEE division for the pct."""
+    return gcline_prefix("""ovx AS (
+  SELECT url,
+    CAST(trunc(jvm_age_seconds * 1000) AS BIGINT) AS age_ms,
+    CAST(round(pause_seconds * 10000000) AS BIGINT) AS pause_ticks
+  FROM gc_events
+  WHERE jvm_age_seconds IS NOT NULL
+)""") + """
+SELECT url,
+  count(pause_ticks) AS n_pauses,
+  CAST(coalesce(sum(pause_ticks), 0) AS BIGINT) AS pause_ticks_sum,
+  max(age_ms) - min(age_ms) AS span_ms,
+  CASE WHEN max(age_ms) - min(age_ms) > 0 AND count(pause_ticks) > 0
+  THEN round(CAST(sum(pause_ticks) AS DOUBLE)
+             / ((max(age_ms) - min(age_ms)) * 100), 6)
+  END AS overhead_pct
+FROM ovx GROUP BY url
+"""

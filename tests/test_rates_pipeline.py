@@ -255,3 +255,34 @@ def test_fullgc_pressure_age_reset_is_restart_boundary(spark):
            FROM fgaps GROUP BY url"""
     ).fetchone()
     assert got == (4, 2, 2000, 3000)
+
+
+def test_gc_overhead_pinned(spark):
+    """Hand-built events: 2 timed pauses over a 20 s span = exactly
+    10 % overhead; single-event span and pause-less logs yield NULL
+    pct (no divide-by-zero)."""
+    from gclog_parser_spark.operators.rates import gc_overhead
+
+    ev = spark.createDataFrame(
+        [
+            ("a", 10.0, 0.5),
+            ("a", 20.0, None),
+            ("a", 30.0, 1.5),
+            ("b", 5.0, 0.1),
+            ("c", 1.0, None),
+            ("c", 2.0, None),
+        ],
+        "url string, jvm_age_seconds double, pause_seconds double",
+    )
+    got = {r["url"]: r for r in gc_overhead(ev).collect()}
+    a = got["a"]
+    assert a["n_pauses"] == 2
+    assert a["pause_ticks_sum"] == 20_000_000  # (0.5+1.5)s in 0.1µs
+    assert a["span_ms"] == 20_000
+    assert a["overhead_pct"] == 10.0
+    assert got["b"]["span_ms"] == 0
+    assert got["b"]["overhead_pct"] is None
+    c = got["c"]
+    assert c["n_pauses"] == 0
+    assert c["pause_ticks_sum"] == 0
+    assert c["overhead_pct"] is None
