@@ -2287,6 +2287,23 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(emb, cents, k=10)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (no-residual IVFADC): seed-centroid IVF cells prune the
+    corpus to the query's 2 probe cells, then trained PQ codebooks
+    rank only those candidates by exact integer ADC ticks — the
+    10^12-vector index layout (codes ~170x smaller than fp32, scan
+    touches n_probe/n_cells of them).  Both halves reuse the pinned
+    exact pieces (operators/similarity.ivfpq_topk)."""
+    from gclog_parser_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = _embs(spark, sf_dir)
+    cents_pq = pq_train(emb, iters=2)
+    return ivfpq_topk(emb, cents_pq, k=10, n_probe=2)
+
+
 def q_emb_rproj(spark, sf_dir):
     """Signed random projection (JL transform, SRP-LSH front end):
     proj[j] = Σ_i sign(i,j)·emb[i] with the ±1 matrix a pure md5
@@ -3948,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_stats": q_emb_label_stats,
         "emb_rproj": q_emb_rproj,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }
 
 
@@ -4204,6 +4222,7 @@ sessions AS (
     out["emb_label_stats"] = ot.label_centroids_sql()
     out["emb_rproj"] = ot.srp_project_sql(in_dim=64, out_dim=16)
     out["ann_pq_topk"] = ot.ann_pq_sql(k=10, iters=2)
+    out["ann_ivfpq_topk"] = ot.ann_ivfpq_sql(k=10, iters=2, n_probe=2)
     # the SAME SQL GC parser, pointed at the raw files via read_text —
     # verifies the streaming source's transport AND the parse together
     out["gc_stream_source_counts"] = oracle.gcline_prefix(

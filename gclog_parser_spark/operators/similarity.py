@@ -447,6 +447,41 @@ def ivf_train(
     return cents
 
 
+def _query_probes(
+    emb: DataFrame, query_vec_id: int, cents, n_probe: int
+) -> DataFrame:
+    """The query's top-``n_probe`` IVF cells as a one-row-per-cell
+    relation ``(q, cell)`` (q = the query embedding, threaded through
+    for the HOF scorer).  Computed on the single query row.  Sort key
+    is (-score, cell) ASCENDING so tied scores break to the LOWEST
+    cell — identical to the oracle's ORDER BY s DESC, cell ASC
+    (reverse(array_sort) would pick the highest cell on ties)."""
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    qscores = q.select(
+        "q",
+        *[
+            _dot(F.col("q"), F.array(*[F.lit(c) for c in cent])).alias(
+                f"qs{j}"
+            )
+            for j, cent in enumerate(cents)
+        ],
+    )
+    score_arr = F.array(
+        *[
+            F.struct(
+                (-F.col(f"qs{j}")).alias("neg_s"), F.lit(j).alias("cell")
+            )
+            for j in range(len(cents))
+        ]
+    )
+    return qscores.select(
+        "q",
+        F.slice(F.array_sort(score_arr), 1, n_probe).alias("top"),
+    ).select("q", F.explode("top.cell").alias("cell"))
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int = 0,
@@ -466,35 +501,7 @@ def ivf_topk(
     (``ivf_train``)."""
     cents = cents if cents is not None else centroid_components(seed=seed)
     assigned = ivf_assign(emb, cents=cents)
-    q = emb.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q")
-    )
-    qscores = q.select(
-        "q",
-        *[
-            _dot(F.col("q"), F.array(*[F.lit(c) for c in cent])).alias(
-                f"qs{j}"
-            )
-            for j, cent in enumerate(cents)
-        ],
-    )
-    # top-n_probe query cells, computed on the single query row.
-    # Sort key is (-score, cell) ASCENDING so tied scores break to the
-    # LOWEST cell — identical to the oracle's ORDER BY s DESC, cell ASC
-    # (reverse(array_sort) would pick the highest cell on ties).
-    score_arr = F.array(
-        *[
-            F.struct(
-                (-F.col(f"qs{j}")).alias("neg_s"), F.lit(j).alias("cell")
-            )
-            for j in range(len(cents))
-        ]
-    )
-    probes = qscores.select(
-        "q",
-        F.slice(F.array_sort(score_arr), 1, n_probe).alias("top"),
-    ).select("q", F.explode("top.cell").alias("cell"))
-
+    probes = _query_probes(emb, query_vec_id, cents, n_probe)
     cand = assigned.join(F.broadcast(probes), "cell").where(
         F.col("vec_id") != query_vec_id
     )
@@ -1327,6 +1334,24 @@ def pq_topk(
     q = emb.where(F.col("vec_id") == query_vec_id).collect()[0][
         "embedding"
     ]
+    return _adc_topk(emb, cents, q, query_vec_id, k, dim)
+
+
+def _adc_topk(
+    df: DataFrame,
+    cents,
+    q,
+    query_vec_id: int,
+    k: int,
+    dim: int,
+) -> DataFrame:
+    """Shared ADC ranking tail of ``pq_topk``/``ivfpq_topk``: build
+    the O(M·ks·sub) driver-side lookup table of exact integer tick
+    distances query→centroid, encode ``df`` scan-side, and sum M
+    table lookups per vector — no per-vector arithmetic in the hot
+    loop.  Returns top-k ``(vec_id, pq_dist_ticks)``."""
+    m_sub = len(cents)
+    sub = dim // m_sub
     qt = [_pq_tick(float(x) * PQ_TICKS) for x in q]
     lut = [
         [
@@ -1338,7 +1363,7 @@ def pq_topk(
         ]
         for m in range(m_sub)
     ]
-    codes = pq_encode(emb, cents, dim)
+    codes = pq_encode(df, cents, dim)
     dist = None
     for m in range(m_sub):
         term = F.element_at(F.lit(lut[m]), F.col(f"code_{m}") + 1)
@@ -1349,6 +1374,49 @@ def pq_topk(
         .orderBy("pq_dist_ticks", "vec_id")
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    cents_pq,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    seed: int = 7,
+    cents_ivf=None,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVF-PQ: the billion-vector composition (Jégou et al. 2011's
+    IVFADC shape, here the no-residual variant faiss calls
+    ``by_residual=False``) — a coarse IVF quantizer prunes the corpus
+    to the query's ``n_probe`` cells, then PQ asymmetric-distance
+    ranking scores ONLY those candidates from 12-bit codes.  This is
+    the index layout that makes 10^12-vector search feasible: the
+    codes table is ~170× smaller than fp32, the scan touches
+    n_probe/n_cells of it, and both halves reuse the pinned exact
+    pieces (``ivf_assign``/``_query_probes`` + ``_adc_topk``), so
+    cross-engine parity is inherited, not re-proven.
+
+    Plan: cell assignment and PQ encoding are scan-side codegen; the
+    probe filter is a broadcast join on cell (at production scale:
+    partition pruning on the cell key); ADC is M table lookups per
+    candidate; the only exchange is the final TakeOrdered(k).
+    Recall follows n_probe exactly as in ``ivf_topk`` — PQ changes
+    the metric precision, never the candidate set."""
+    cents_ivf = (
+        cents_ivf
+        if cents_ivf is not None
+        else centroid_components(seed=seed)
+    )
+    assigned = ivf_assign(emb, cents=cents_ivf)
+    probes = _query_probes(emb, query_vec_id, cents_ivf, n_probe)
+    cand = assigned.join(
+        F.broadcast(probes.select("cell")), "cell"
+    )
+    q = emb.where(F.col("vec_id") == query_vec_id).collect()[0][
+        "embedding"
+    ]
+    return _adc_topk(cand, cents_pq, q, query_vec_id, k, dim)
 
 
 def knn_graph(

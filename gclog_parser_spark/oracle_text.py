@@ -1618,6 +1618,25 @@ def ann_pq_sql(
     ADC: a (m, cell) lookup table of exact query→centroid tick
     distances summed per vector.  Every cross-row quantity is an exact
     integer, so the two engines cannot drift."""
+    parts = _pq_parts(query_vec_id, iters, m_sub, ks, dim)
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT a.vec_id, CAST(sum(l.d) AS BIGINT) AS pq_dist_ticks
+FROM af a JOIN lut l ON l.m = a.m AND l.cell = a.cell
+WHERE a.vec_id <> {query_vec_id}
+GROUP BY 1
+ORDER BY pq_dist_ticks, vec_id
+LIMIT {k}"""
+    )
+
+
+def _pq_parts(
+    query_vec_id: int, iters: int, m_sub: int, ks: int, dim: int
+) -> list[str]:
+    """The PQ training + encoding + query-LUT CTE chain shared by
+    ``ann_pq_sql`` and ``ann_ivfpq_sql`` — ends with ``af``
+    (per-vector per-subspace assigned cell) and ``lut`` (exact tick
+    distance query→centroid per (m, cell))."""
     sub = dim // m_sub
     parts = [
         "e0 AS (SELECT vec_id,"
@@ -1666,13 +1685,59 @@ def ann_pq_sql(
         f" FROM {prev} c JOIN q ON q.m = c.m AND q.i = c.i"
         f" GROUP BY 1, 2)",
     ]
+    return parts
+
+
+def ann_ivfpq_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    iters: int = 2,
+    m_sub: int = 4,
+    ks: int = 8,
+    dim: int = 64,
+    n_probe: int = 2,
+) -> str:
+    """Independent IVF-PQ re-derivation (similarity.ivfpq_topk,
+    no-residual IVFADC): the seed-centroid IVF cell assignment +
+    query probe cells of ``ann_ivf_sql`` prune the candidate set; the
+    PQ codebook/LUT chain of ``ann_pq_sql`` ranks only those
+    candidates by exact integer ADC ticks."""
+    from gclog_parser_spark.operators.similarity import (
+        centroid_components,
+    )
+
+    cents = centroid_components()
+    dots = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(str(c) for c in cent)
+        + "]::DOUBLE[]) AS s" + str(j)
+        for j, cent in enumerate(cents)
+    )
+    n = len(cents)
+    best = "greatest(" + ", ".join(f"s{j}" for j in range(n)) + ")"
+    cell = (
+        f"CASE {' '.join(f'WHEN s{j} = {best} THEN {j}' for j in range(n))}"
+        " END"
+    )
+    parts = _pq_parts(query_vec_id, iters, m_sub, ks, dim) + [
+        f"scored AS (SELECT vec_id, embedding, {dots} FROM embeddings)",
+        f"assigned AS (SELECT vec_id, {cell} AS cell FROM scored)",
+        "qcells AS (SELECT cell FROM ("
+        f"SELECT unnest([{', '.join(f's{j}' for j in range(n))}]) AS s,"
+        f" unnest([{', '.join(str(j) for j in range(n))}]) AS cell"
+        f" FROM scored WHERE vec_id = {query_vec_id})"
+        f" ORDER BY s DESC, cell ASC LIMIT {n_probe})",
+    ]
     return (
         "WITH " + ",\n".join(parts) + f"""
 SELECT a.vec_id, CAST(sum(l.d) AS BIGINT) AS pq_dist_ticks
-FROM af a JOIN lut l ON l.m = a.m AND l.cell = a.cell
+FROM af a
+JOIN lut l ON l.m = a.m AND l.cell = a.cell
+JOIN assigned v ON v.vec_id = a.vec_id
+JOIN qcells qc ON qc.cell = v.cell
 WHERE a.vec_id <> {query_vec_id}
 GROUP BY 1
-ORDER BY pq_dist_ticks, vec_id
+ORDER BY pq_dist_ticks, a.vec_id
 LIMIT {k}"""
     )
 

@@ -128,3 +128,41 @@ def test_pq_np_assigner_trains_identical_codebooks(spark, sf_dir):
     assert pq_train(emb, iters=2, assigner="expr") == pq_train(
         emb, iters=2, assigner="np"
     )
+
+
+def test_ivfpq_candidates_come_from_probe_cells(spark, sf_dir):
+    """Every IVF-PQ result sits in one of the query's n_probe coarse
+    cells, and its ADC distance equals the full-corpus PQ distance
+    for the same vec_id (the cell filter prunes candidates, never
+    changes the metric)."""
+    from gclog_parser_spark.operators.similarity import (
+        _query_probes,
+        centroid_components,
+        ivf_assign,
+        ivfpq_topk,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents_pq = pq_train(emb, iters=2)
+    got = ivfpq_topk(emb, cents_pq, k=10, n_probe=2).collect()
+    assert len(got) == 10
+
+    cents_ivf = centroid_components()
+    cells = {
+        r["cell"]
+        for r in _query_probes(emb, 0, cents_ivf, 2).collect()
+    }
+    assigned = {
+        r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents=cents_ivf).collect()
+    }
+    for r in got:
+        assert assigned[r["vec_id"]] in cells
+
+    full = {
+        r["vec_id"]: r["pq_dist_ticks"]
+        for r in pq_topk(emb, cents_pq, k=10**9 // 2).collect()
+    }
+    for r in got:
+        assert full[r["vec_id"]] == r["pq_dist_ticks"]
