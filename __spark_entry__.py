@@ -861,6 +861,17 @@ def q_corpus_epoch_shuffle(spark, sf_dir):
     return epoch_shuffle(_docs(spark, sf_dir), epoch=2)
 
 
+def q_text_c4_lines(spark, sf_dir):
+    """C4 line-level cleaning verdicts (Raffel et al. 2020 rules:
+    terminal punctuation, >=5 words, no code-ish lines; doc dropped
+    under 3 surviving lines or on 'lorem ipsum') — pure scan-side
+    lambda pipeline, zero exchanges
+    (operators/textstats.c4_line_filter)."""
+    from gclog_parser_spark.operators.textstats import c4_line_filter
+
+    return c4_line_filter(_docs(spark, sf_dir))
+
+
 def q_rel_sliding_window(spark, sf_dir):
     """Sliding event-time windows (10 min / 5 min slide) — the
     overlapping-window aggregation the tumbling hourly rollups can't
@@ -3905,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_pause_histogram": q_gc_pause_histogram,
         "text_decontam": q_text_decontam,
         "text_decontam_bloom": q_text_decontam_bloom,
+        "text_c4_lines": q_text_c4_lines,
         "corpus_epoch_shuffle": q_corpus_epoch_shuffle,
         "text_tfidf": q_text_tfidf,
         "text_chunks": q_text_chunks,
@@ -4368,6 +4380,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
 
     out["text_decontam"] = ot.decontam_sql()
     out["text_decontam_bloom"] = ot.decontam_sql()
+    out["text_c4_lines"] = ot.c4_line_filter_sql()
     out["corpus_epoch_shuffle"] = ot.epoch_shuffle_sql()
     out["text_ngrams"] = ot.corpus_ngrams_sql(k=2, top=50)
     out["text_heavy_hitters"] = ot.heavy_hitters_sql(k=HH_K)

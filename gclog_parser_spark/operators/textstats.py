@@ -1310,3 +1310,56 @@ def hybrid_rrf_topk(
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    return_text: bool = False,
+) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning", §2.2) — the step BETWEEN raw
+    extraction and the document-level Gopher gate
+    (:func:`corpus_filter`): keep only lines that end in terminal
+    punctuation (``. ! ? "``) and have ≥ ``min_words`` words, drop
+    code-ish lines (``{`` or the word ``javascript``), then drop the
+    whole document when fewer than ``min_kept_lines`` lines survive
+    or it contains the ``lorem ipsum`` placeholder.
+
+    Pure scan-side lambda pipeline (split → ``F.filter`` HOF →
+    ``array_join``): no shuffle, no Python — at 100 TB this runs at
+    scan speed exactly like ``corpus_filter``, and a downstream
+    ``WHERE kept`` pushes into the scan.  The line predicates are
+    Spark lambda exprs re-derived in DuckDB as ``list_filter`` —
+    engines agree on every line verdict, not just the counts.
+
+    Returns ``(doc_id, n_lines, n_kept, kept)`` (+ ``clean_text``,
+    the surviving lines re-joined, when ``return_text``)."""
+    lines = F.split(F.col("text"), "\n")
+
+    def _keep(line):
+        words = F.split(F.trim(line), r"\s+")
+        return (
+            line.rlike(r'[.!?"]\s*$')
+            & (F.size(words) >= F.lit(min_words))
+            & ~line.contains("{")
+            & ~F.lower(line).contains("javascript")
+        )
+
+    kept_lines = F.filter(lines, _keep)
+    out = docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept_lines).alias("n_kept"),
+        (
+            (F.size(kept_lines) >= F.lit(min_kept_lines))
+            & ~F.lower(F.col("text")).contains("lorem ipsum")
+        ).alias("kept"),
+        *(
+            [F.array_join(kept_lines, "\n").alias("clean_text")]
+            if return_text
+            else []
+        ),
+    )
+    return out

@@ -2374,3 +2374,28 @@ SELECT doc_id, CAST({epoch} AS INT) AS epoch,
     PARTITION BY order_key % {n_shards}
     ORDER BY order_key, doc_id) - 1 AS BIGINT) AS pos
 FROM k"""
+
+
+def c4_line_filter_sql(
+    min_words: int = 5, min_kept_lines: int = 3
+) -> str:
+    """Independent oracle for textstats.c4_line_filter: the same C4
+    line rules as DuckDB ``list_filter`` over chr(10)-split lines."""
+    keep = (
+        f"regexp_matches(l, '[.!?\"]\\s*$')"
+        f" AND len(string_split_regex(trim(l), '\\s+')) >= {min_words}"
+        " AND NOT contains(l, '{')"
+        " AND NOT contains(lower(l), 'javascript')"
+    )
+    return f"""WITH lf AS (
+  SELECT doc_id,
+    string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)), l -> {keep}) AS kl,
+    contains(lower(text), 'lorem ipsum') AS lorem
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(lines) AS INT) AS n_lines,
+  CAST(len(kl) AS INT) AS n_kept,
+  (len(kl) >= {min_kept_lines} AND NOT lorem) AS kept
+FROM lf"""

@@ -369,3 +369,52 @@ def test_bigram_lm_fits_train_better_than_heldout(spark, sf_dir):
         F.size(F.split(F.trim("text"), r"\s+")) >= 2
     ).count()
     assert len(rows) == n_multiword
+
+
+def test_c4_line_filter_rules_pinned(spark):
+    """Each C4 rule exercised: terminal punctuation, min words,
+    code-ish '{' and 'javascript' drops, <3-kept-lines doc drop,
+    lorem-ipsum doc drop; clean_text re-joins survivors."""
+    from gclog_parser_spark.operators.textstats import c4_line_filter
+
+    good = "this is a perfectly fine sentence."
+    docs = _docs(
+        spark,
+        [
+            (1, "\n".join([good, "short one.", good,
+                           "no terminal punctuation here at all",
+                           'a quoted ending with five words."', good])),
+            (2, "\n".join([good, "enable javascript to view this.",
+                           "function() { return 1; }", good, good])),
+            (3, "\n".join([good, good, "only two good lines here"])),
+            (4, "\n".join([good, good, good,
+                           "Lorem Ipsum dolor sit amet."])),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in c4_line_filter(docs, return_text=True).collect()
+    }
+    d1 = out[1]
+    assert d1["n_lines"] == 6
+    assert d1["n_kept"] == 4  # 3x good + the quoted line
+    assert d1["kept"]
+    assert d1["clean_text"].split("\n") == [
+        good, good, 'a quoted ending with five words."', good
+    ]
+    d2 = out[2]
+    assert d2["n_kept"] == 3 and d2["kept"]
+    d3 = out[3]
+    assert d3["n_kept"] == 2 and not d3["kept"]
+    d4 = out[4]
+    assert d4["n_kept"] == 4 and not d4["kept"]  # lorem ipsum
+
+
+def test_c4_line_filter_plan_zero_exchange(spark):
+    from gclog_parser_spark.operators.textstats import c4_line_filter
+    from gclog_parser_spark.plans.lint import plan_string
+
+    docs = _docs(spark, [(1, "a line."), (2, "b line.")])
+    plan = plan_string(c4_line_filter(docs))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
