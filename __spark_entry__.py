@@ -872,6 +872,16 @@ def q_text_c4_lines(spark, sf_dir):
     return c4_line_filter(_docs(spark, sf_dir))
 
 
+def q_text_encoding(spark, sf_dir):
+    """Encoding-health stats per doc (U+FFFD replacement chars, raw C0
+    controls, Latin-1 double-encoding signature) — codegen length
+    deltas, integer-exact bad flag, zero exchanges
+    (operators/textstats.encoding_stats)."""
+    from gclog_parser_spark.operators.textstats import encoding_stats
+
+    return encoding_stats(_docs(spark, sf_dir))
+
+
 def q_rel_sliding_window(spark, sf_dir):
     """Sliding event-time windows (10 min / 5 min slide) — the
     overlapping-window aggregation the tumbling hourly rollups can't
@@ -3917,6 +3927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontam": q_text_decontam,
         "text_decontam_bloom": q_text_decontam_bloom,
         "text_c4_lines": q_text_c4_lines,
+        "text_encoding": q_text_encoding,
         "corpus_epoch_shuffle": q_corpus_epoch_shuffle,
         "text_tfidf": q_text_tfidf,
         "text_chunks": q_text_chunks,
@@ -4381,6 +4392,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
     out["text_decontam"] = ot.decontam_sql()
     out["text_decontam_bloom"] = ot.decontam_sql()
     out["text_c4_lines"] = ot.c4_line_filter_sql()
+    out["text_encoding"] = ot.encoding_stats_sql()
     out["corpus_epoch_shuffle"] = ot.epoch_shuffle_sql()
     out["text_ngrams"] = ot.corpus_ngrams_sql(k=2, top=50)
     out["text_heavy_hitters"] = ot.heavy_hitters_sql(k=HH_K)

@@ -1363,3 +1363,41 @@ def c4_line_filter(
         ),
     )
     return out
+
+
+def encoding_stats(docs: DataFrame) -> DataFrame:
+    """Encoding-health verdict per document — the crawl-side cousin of
+    :func:`corpus_filter`: web extraction pipelines leak U+FFFD
+    replacement characters (bad byte sequences), raw C0 control bytes
+    (binary sniffed as text), and the ``Ã``-style double-encoding
+    signature (UTF-8 read as Latin-1) into the corpus, and a trained
+    model memorizes all three.
+
+    Counts are length deltas of codegen ``regexp_replace``/
+    ``replace`` — no per-char loop, no Python, zero exchanges; the
+    ``bad`` flag is pure integer arithmetic (control chars > 0.1 % of
+    chars, any replacement char, or ≥ 3 double-encoding hits) so both
+    engines agree without a float threshold."""
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_repl = n_chars - F.length(F.regexp_replace(text, "�", ""))
+    n_ctrl = n_chars - F.length(
+        F.regexp_replace(
+            text, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", ""
+        )
+    )
+    # 'Ã' = 0xC3 read as Latin-1: every UTF-8 2-byte sequence for
+    # U+00C0-U+00FF mis-decoded leaves one — a count, not a regex
+    n_sig = n_chars - F.length(F.replace(text, F.lit("Ã")))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_sig.alias("n_mojibake_sig"),
+        (
+            (n_repl > 0)
+            | (n_ctrl * 1000 > n_chars)
+            | (n_sig >= 3)
+        ).alias("bad"),
+    )

@@ -2399,3 +2399,25 @@ SELECT doc_id,
   CAST(len(kl) AS INT) AS n_kept,
   (len(kl) >= {min_kept_lines} AND NOT lorem) AS kept
 FROM lf"""
+
+
+def encoding_stats_sql() -> str:
+    """Independent oracle for textstats.encoding_stats: the same
+    length-delta counts with DuckDB regexp_replace(g)/replace and the
+    same integer-arithmetic bad flag."""
+    return """SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(length(text) - length(regexp_replace(text, chr(65533), '', 'g'))
+    AS INT) AS n_replacement,
+  CAST(length(text) - length(regexp_replace(text,
+    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS INT)
+    AS n_control,
+  CAST(length(text) - length(replace(text, chr(195), '')) AS INT)
+    AS n_mojibake_sig,
+  ((length(text) - length(regexp_replace(text, chr(65533), '', 'g'))) > 0
+   OR (length(text) - length(regexp_replace(text,
+       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))) * 1000
+      > length(text)
+   OR (length(text) - length(replace(text, chr(195), ''))) >= 3)
+    AS bad
+FROM documents"""

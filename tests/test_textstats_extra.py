@@ -418,3 +418,48 @@ def test_c4_line_filter_plan_zero_exchange(spark):
     plan = plan_string(c4_line_filter(docs))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_encoding_stats_pinned_and_cross_engine(spark):
+    """Crafted docs with real U+FFFD / C0 controls / Latin-1
+    double-encoding: pinned counts, integer bad-flag arithmetic, and
+    a direct DuckDB re-derivation over the same rows (character, not
+    byte, semantics on both engines)."""
+    import duckdb
+
+    from gclog_parser_spark.operators.textstats import encoding_stats
+    from gclog_parser_spark.oracle_text import encoding_stats_sql
+
+    rows = [
+        (1, "clean ascii text here"),
+        (2, "bad � byte � pair"),
+        (3, "ctl\x01\x02\x03 but long enough " + "x" * 3000),
+        (4, "mojibake cafÃ© naÃ¯ve blÃ©"),
+        (5, "tab\tand\nnewline are fine."),
+    ]
+    docs = _docs(spark, rows)
+    got = {r["doc_id"]: r for r in encoding_stats(docs).collect()}
+    assert got[1]["bad"] is False and got[1]["n_replacement"] == 0
+    assert got[2]["n_replacement"] == 2 and got[2]["bad"]
+    assert got[3]["n_control"] == 3
+    assert not got[3]["bad"]  # 3 controls in >3000 chars: under 0.1 %
+    assert got[4]["n_mojibake_sig"] == 3 and got[4]["bad"]
+    assert got[5]["n_control"] == 0 and got[5]["bad"] is False
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", [(i, t) for i, t in rows]
+    )
+    want = {
+        r[0]: r
+        for r in con.execute(encoding_stats_sql()).fetchall()
+    }
+    for i, _ in rows:
+        g = got[i]
+        assert (
+            g["n_chars"], g["n_replacement"], g["n_control"],
+            g["n_mojibake_sig"], g["bad"],
+        ) == tuple(want[i][1:])
