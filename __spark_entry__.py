@@ -325,6 +325,32 @@ def q_gc_zgc_stall_stats(spark, sf_dir):
     return gc_stall_stats(_stall_pages(spark))
 
 
+def q_gc_g1_evac_failures(spark, sf_dir):
+    """G1 "to-space exhausted" evacuation failures, both dialects
+    (legacy inline tag, unified standalone GC(n) line) — per-failure
+    rows with trunc-ms ages, zero-exchange codegen parse
+    (operators/enrich.g1_evac_failures)."""
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import G1_EVAC_LOG
+    from gclog_parser_spark.operators.enrich import g1_evac_failures
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "g1evac://fixture/0",
+                datetime(2026, 8, 17, 7, 0, 0),
+                None,
+                G1_EVAC_LOG,
+                "en",
+            )
+        ],
+        PAGES_SCHEMA,
+    )
+    return g1_evac_failures(pages)
+
+
 def q_gc_safepoint_stats(spark, sf_dir):
     """Per-VM-op safepoint rollup: count, stopped ns, worst
     time-to-safepoint (TTSP tail), cleanup, wall — exact BIGINT
@@ -3868,6 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_safepoints": q_gc_safepoints,
         "gc_safepoint_stats": q_gc_safepoint_stats,
         "gc_zgc_stalls": q_gc_zgc_stalls,
+        "gc_g1_evac_failures": q_gc_g1_evac_failures,
         "gc_zgc_stall_stats": q_gc_zgc_stall_stats,
         "gc_cpu_times": q_gc_cpu_times,
         "gc_heap_trend": q_gc_heap_trend,
@@ -4041,6 +4068,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_safepoints"] = oracle.safepoints_sql()
     out["gc_safepoint_stats"] = oracle.safepoint_stats_sql()
     out["gc_zgc_stalls"] = oracle.gc_stalls_sql()
+    out["gc_g1_evac_failures"] = oracle.g1_evac_failures_sql()
     out["gc_zgc_stall_stats"] = oracle.gc_stall_stats_sql()
     out["gc_cpu_times"] = oracle.cpu_times_sql()
     out["gc_heap_trend"] = oracle.heap_trend_sql()

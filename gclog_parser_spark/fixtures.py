@@ -242,6 +242,26 @@ ZGC_STALL_LOG = "\n".join(
     ]
 )
 
+#: G1 evacuation failure ("to-space exhausted") in BOTH log dialects:
+#: legacy Java 8 puts the tag inline in the pause line; unified (JDK
+#: 9+) logs a separate ``GC(n) To-space exhausted`` line before the
+#: pause summary.  The heap-exhaustion signal that precedes G1 Full
+#: GCs — SUPERSET (the reference grammar has no G1 at all); noise
+#: lines and a truncated tag prove the filters.
+G1_EVAC_LOG = "\n".join(
+    [
+        "2015-05-26T16:23:09.120-0200: 66.222: [GC pause (G1 Evacuation Pause) (young) (to-space exhausted) 1694M->689M(2048M), 0.1158856 secs]",
+        "2015-05-26T16:23:10.000-0200: 67.102: [GC pause (G1 Evacuation Pause) (mixed) 3791M->3100M(4096M), 0.0675559 secs]",
+        "2015-05-26T16:23:11.500-0200: 68.602: [GC pause (G1 Evacuation Pause) (mixed) (to-space exhausted) 4000M->3900M(4096M), 0.2158856 secs]",
+        "[2026-08-17T07:00:00.100+0000][1.250s][info][gc] GC(7) To-space exhausted",
+        "[1.251s][info][gc] GC(7) Pause Young (Normal) (G1 Evacuation Pause) 4090M->4096M(4096M) 102.341ms",
+        "[2.000s][info][gc] GC(8) Pause Young (Concurrent Start) (Metadata GC Threshold) 150M->40M(256M) 4.200ms",
+        "[3.475s][info][gc] GC(9) To-space exhausted",
+        "[3.500s][info][gc] GC(10) Pause Full (G1 Compaction Pause) 4096M->1024M(4096M) 812.000ms",
+        "[4.000s][info][gc] GC(11) To-space",
+    ]
+)
+
 #: heap-stats counts: ParserTest.scala:261-321,539-547.
 CLASSES = [
     (0, "basic7", "basic-java7-gc.log", 7, 0),

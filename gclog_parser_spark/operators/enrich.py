@@ -374,3 +374,51 @@ def gc_stall_stats(pages: DataFrame) -> DataFrame:
         F.sum("stall_us").alias("stalled_us"),
         F.max("stall_us").alias("max_stall_us"),
     )
+
+
+_EVAC_LEGACY = (
+    r"(\d+\.\d+): \[GC pause \([^)]*\)"
+    r" \((?:young|mixed)\) \(to-space exhausted\)"
+)
+_EVAC_UNIFIED = (
+    r"\[(\d+\.\d+)s\]\[info\]\[gc\]"
+    r" GC\((\d+)\) To-space exhausted\s*$"
+)
+
+
+def g1_evac_failures(pages: DataFrame) -> DataFrame:
+    """G1 evacuation failures ("to-space exhausted") in BOTH log
+    dialects — the heap-exhaustion signal that precedes G1 Full GCs
+    and the first thing a G1 sizing investigation greps for.  Legacy
+    Java 8 puts the tag inline in the pause line; unified (JDK 9+)
+    logs a separate ``GC(n) To-space exhausted`` line.  SUPERSET:
+    the reference grammar (Parser.scala) has no G1 at all; charter is
+    the north rule's G1-phases clause.
+
+    One row per failure: dialect, the unified GC id (NULL for
+    legacy), and the JVM age as exact truncated-ms BIGINT ticks.
+    Plan: scan → posexplode → codegen rlike/regexp_extract, ZERO
+    exchanges — the rlike prunes to the failure subset scan-side.
+    Truncated tags (no id / no pause body) fail the anchors and
+    drop."""
+    lines = pages.select(
+        "url",
+        F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
+    )
+    line = F.col("line")
+    is_uni = line.rlike(_EVAC_UNIFIED)
+    return lines.where(line.rlike(_EVAC_LEGACY) | is_uni).select(
+        "url",
+        "line_no",
+        F.when(is_uni, F.lit("unified")).otherwise("legacy")
+        .alias("source"),
+        F.when(
+            is_uni, F.regexp_extract(line, _EVAC_UNIFIED, 2).cast("int")
+        ).alias("gc_id"),
+        (
+            F.when(is_uni, F.regexp_extract(line, _EVAC_UNIFIED, 1))
+            .otherwise(F.regexp_extract(line, _EVAC_LEGACY, 1))
+            .cast("double")
+            * 1000
+        ).cast("long").alias("age_ms"),
+    )

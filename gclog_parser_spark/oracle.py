@@ -1468,3 +1468,48 @@ SELECT url,
   END AS overhead_pct
 FROM ovx GROUP BY url
 """
+
+
+_EVAC_LEG_PAT = (
+    r"(\d+\.\d+): \[GC pause \([^)]*\)"
+    r" \((?:young|mixed)\) \(to-space exhausted\)"
+)
+_EVAC_UNI_PAT = (
+    r"\[(\d+\.\d+)s\]\[info\]\[gc\]"
+    r" GC\((\d+)\) To-space exhausted\s*$"
+)
+
+
+def g1_evac_failures_sql(
+    log_text: str | None = None, url: str = "g1evac://fixture/0"
+) -> str:
+    """Oracle for enrich.g1_evac_failures: both dialects re-derived
+    with DuckDB regexps over the fixture VALUES, trunc-ms age."""
+    from gclog_parser_spark.fixtures import G1_EVAC_LOG
+
+    values = _fixture_values(
+        log_text if log_text is not None else G1_EVAC_LOG
+    )
+    return f"""
+WITH raw(line_no, line) AS (VALUES
+    {values}
+),
+ev AS (
+  SELECT line_no,
+    regexp_matches(line, '{_EVAC_UNI_PAT}') AS is_uni,
+    line
+  FROM raw
+  WHERE regexp_matches(line, '{_EVAC_LEG_PAT}')
+     OR regexp_matches(line, '{_EVAC_UNI_PAT}')
+)
+SELECT '{url}' AS url, line_no,
+  CASE WHEN is_uni THEN 'unified' ELSE 'legacy' END AS source,
+  CASE WHEN is_uni
+    THEN CAST(regexp_extract(line, '{_EVAC_UNI_PAT}', 2) AS INT)
+  END AS gc_id,
+  CAST(trunc(CAST(CASE WHEN is_uni
+      THEN regexp_extract(line, '{_EVAC_UNI_PAT}', 1)
+      ELSE regexp_extract(line, '{_EVAC_LEG_PAT}', 1) END
+    AS DOUBLE) * 1000) AS BIGINT) AS age_ms
+FROM ev
+"""

@@ -328,3 +328,31 @@ def test_zgc_stall_plan_zero_exchange(spark):
     plan = plan_string(parse_gc_stalls(pages))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_g1_evac_failures_both_dialects(spark):
+    """G1_EVAC_LOG: 2 legacy inline tags + 2 unified standalone lines
+    (5 normal pauses and a truncated 'To-space' line dropped); pinned
+    ids/ages."""
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import G1_EVAC_LOG
+    from gclog_parser_spark.operators.enrich import g1_evac_failures
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [("g1evac://t/0", datetime(2026, 8, 17, 7, 0), None,
+          G1_EVAC_LOG, "en")],
+        PAGES_SCHEMA,
+    )
+    got = sorted(
+        g1_evac_failures(pages).collect(), key=lambda r: r["line_no"]
+    )
+    assert len(got) == 4
+    assert [r["source"] for r in got] == [
+        "legacy", "legacy", "unified", "unified"
+    ]
+    assert [r["gc_id"] for r in got] == [None, None, 7, 9]
+    assert got[0]["age_ms"] == 66222
+    assert got[2]["age_ms"] == 1250
+    assert got[3]["age_ms"] == 3475
