@@ -908,6 +908,25 @@ def q_text_encoding(spark, sf_dir):
     return encoding_stats(_docs(spark, sf_dir))
 
 
+def q_text_lang_agreement(spark, sf_dir):
+    """Declared-vs-predicted language confusion matrix (crawl lang
+    metadata audit): lang_id argmax scan-side, one pair-key exchange,
+    window row totals, single IEEE division
+    (operators/textstats.lang_agreement)."""
+    from gclog_parser_spark.operators.textstats import lang_agreement
+
+    return lang_agreement(_docs(spark, sf_dir))
+
+
+def q_corpus_ngram_diversity(spark, sf_dir):
+    """Per-source distinct-over-total bigram ratio (self-BLEU cousin;
+    template-farm detector) — exact BIGINT counts, one division
+    (operators/textstats.ngram_diversity)."""
+    from gclog_parser_spark.operators.textstats import ngram_diversity
+
+    return ngram_diversity(_docs(spark, sf_dir), k=2)
+
+
 def q_rel_sliding_window(spark, sf_dir):
     """Sliding event-time windows (10 min / 5 min slide) — the
     overlapping-window aggregation the tumbling hourly rollups can't
@@ -3955,6 +3974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontam_bloom": q_text_decontam_bloom,
         "text_c4_lines": q_text_c4_lines,
         "text_encoding": q_text_encoding,
+        "text_lang_agreement": q_text_lang_agreement,
+        "corpus_ngram_diversity": q_corpus_ngram_diversity,
         "corpus_epoch_shuffle": q_corpus_epoch_shuffle,
         "text_tfidf": q_text_tfidf,
         "text_chunks": q_text_chunks,
@@ -4421,6 +4442,8 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
     out["text_decontam_bloom"] = ot.decontam_sql()
     out["text_c4_lines"] = ot.c4_line_filter_sql()
     out["text_encoding"] = ot.encoding_stats_sql()
+    out["text_lang_agreement"] = ot.lang_agreement_sql()
+    out["corpus_ngram_diversity"] = ot.ngram_diversity_sql()
     out["corpus_epoch_shuffle"] = ot.epoch_shuffle_sql()
     out["text_ngrams"] = ot.corpus_ngrams_sql(k=2, top=50)
     out["text_heavy_hitters"] = ot.heavy_hitters_sql(k=HH_K)

@@ -1401,3 +1401,61 @@ def encoding_stats(docs: DataFrame) -> DataFrame:
             | (n_sig >= 3)
         ).alias("bad"),
     )
+
+
+def lang_agreement(docs: DataFrame) -> DataFrame:
+    """Language-metadata audit: the (declared lang × predicted lang)
+    confusion matrix over :func:`lang_id`, with per-cell doc counts
+    and the declared-language row share — crawl metadata lies often
+    enough (mislabeled hreflang, server defaults) that corpus
+    pipelines gate on exactly this disagreement table before trusting
+    the `lang` column for mixture weighting.
+
+    Exact arithmetic: counts are BIGINT; `row_share` is the single
+    IEEE division cell/row-total, HALF_UP 6 dp.  Plan: the scan-side
+    lang_id projection → partial agg → ONE exchange on the pair key;
+    the row totals reuse the same aggregate through a window over the
+    declared key (no second scan, no second wide exchange at the
+    declared-lang grain)."""
+    from pyspark.sql import Window
+
+    cells = (
+        lang_id(docs)
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    tot = F.sum("n_docs").over(Window.partitionBy("declared_lang"))
+    return cells.select(
+        "declared_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / tot, 6).alias("row_share"),
+        (F.col("declared_lang") == F.col("pred_lang")).alias("agree"),
+    )
+
+
+def ngram_diversity(docs: DataFrame, k: int = 2) -> DataFrame:
+    """Per-source n-gram diversity — the distinct-over-total ``k``-gram
+    ratio (the corpus-level cousin of self-BLEU): template farms and
+    spun content collapse the ratio, genuine prose keeps it high;
+    corpus audits read it next to :func:`repetition_stats` before
+    mixing a new source in.
+
+    Exact counts (BIGINT total and distinct), ONE IEEE division.
+    Plan: shingles explode scan-side (materialized words array, see
+    ``dedup._shingle_expr``), then one partial-agged exchange on
+    (source, gram) for the distinct count and one on source for the
+    rollup — shuffle ∝ distinct grams, never ∝ corpus text."""
+    grams = docs.select(
+        "source", _words(F.col("text")).alias("w")
+    ).select(
+        "source", F.explode(_shingle_expr(F.col("w"), k)).alias("g")
+    )
+    per_gram = grams.groupBy("source", "g").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return per_gram.groupBy("source").agg(
+        F.sum("n").alias("n_grams"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.round(F.count("*") / F.sum("n"), 6).alias("diversity"),
+    )

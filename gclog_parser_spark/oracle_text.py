@@ -2421,3 +2421,57 @@ def encoding_stats_sql() -> str:
    OR (length(text) - length(replace(text, chr(195), ''))) >= 3)
     AS bad
 FROM documents"""
+
+
+def lang_agreement_sql() -> str:
+    """Independent oracle for textstats.lang_agreement: the lang_id
+    prediction re-derived (same marker argmax), then the confusion
+    matrix with a window row total."""
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(
+        f"{_marker('text', LANG_MARKERS[lg])} AS s_{lg}" for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred = "'und'"
+    for lg in reversed(langs):
+        pred = (
+            f"CASE WHEN s_{lg} = {best} AND {best} > 0 "
+            f"THEN '{lg}' ELSE {pred} END"
+        )
+    return f"""WITH scored AS (
+  SELECT doc_id, lang, {scores} FROM documents
+),
+pred AS (
+  SELECT lang AS declared_lang, {pred} AS pred_lang FROM scored
+),
+cells AS (
+  SELECT declared_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT declared_lang, pred_lang, n_docs,
+  round(CAST(n_docs AS DOUBLE)
+        / sum(n_docs) OVER (PARTITION BY declared_lang), 6)
+    AS row_share,
+  declared_lang = pred_lang AS agree
+FROM cells"""
+
+
+def ngram_diversity_sql(k: int = 2) -> str:
+    """Independent oracle for textstats.ngram_diversity: DuckDB list
+    k-grams over the same whitespace tokenization, distinct/total per
+    source."""
+    return f"""WITH w AS (
+  SELECT source, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT source, unnest(list_transform(
+    generate_series(1, greatest(len(w) - {k - 1}, 0)),
+    i -> array_to_string(list_slice(w, i, i + {k - 1}), ' ')
+  )) AS g FROM w
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+  round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS diversity
+FROM g GROUP BY 1"""

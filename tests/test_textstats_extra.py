@@ -463,3 +463,57 @@ def test_encoding_stats_pinned_and_cross_engine(spark):
             g["n_chars"], g["n_replacement"], g["n_control"],
             g["n_mojibake_sig"], g["bad"],
         ) == tuple(want[i][1:])
+
+
+def test_lang_agreement_matrix_pinned(spark):
+    """Crafted docs: en markers declared en (agree), en markers
+    declared fr (disagree), no markers → 'und'; row shares sum to 1
+    per declared language."""
+    from gclog_parser_spark.operators.textstats import lang_agreement
+
+    en = "the and is of to in that it with the"
+    docs = spark.createDataFrame(
+        [
+            (1, en, "en", "s", 10),
+            (2, en, "en", "s", 10),
+            (3, en, "fr", "s", 10),
+            (4, "zzz qqq xxx", "en", "s", 3),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = lang_agreement(docs).collect()
+    got = {(r["declared_lang"], r["pred_lang"]): r for r in rows}
+    assert got[("en", "en")]["n_docs"] == 2
+    assert got[("en", "en")]["agree"] is True
+    assert got[("fr", "en")]["agree"] is False
+    assert got[("en", "und")]["n_docs"] == 1
+    import collections
+
+    shares = collections.defaultdict(float)
+    for r in rows:
+        shares[r["declared_lang"]] += r["row_share"]
+    for v in shares.values():
+        assert abs(v - 1.0) < 1e-6
+
+
+def test_ngram_diversity_templates_vs_prose(spark):
+    """A source of identical template docs scores far lower diversity
+    than distinct prose; counts are exact."""
+    from gclog_parser_spark.operators.textstats import ngram_diversity
+
+    tmpl = "buy cheap widgets online today"
+    docs = spark.createDataFrame(
+        [(i, tmpl, "en", "farm", 30) for i in range(10)]
+        + [
+            (100, "alpha beta gamma delta", "en", "prose", 22),
+            (101, "epsilon zeta eta theta", "en", "prose", 22),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r["source"]: r for r in ngram_diversity(docs, k=2).collect()}
+    farm = got["farm"]
+    assert farm["n_grams"] == 40 and farm["n_distinct"] == 4
+    assert farm["diversity"] == 0.1
+    prose = got["prose"]
+    assert prose["n_grams"] == 6 and prose["n_distinct"] == 6
+    assert prose["diversity"] == 1.0
