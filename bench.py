@@ -470,6 +470,17 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
         )
     except (OSError, ValueError):
         pass
+    # rolling-best retry, UNBIASED (round-4 advice): the published
+    # headline `docs_per_sec` is ALWAYS the first min-of-3 reading —
+    # a reading far below the historical best triggers one
+    # cooldown-and-re-measure, but the retry is published as a
+    # SEPARATE field, never swapped into the headline.  The one-sided
+    # swap-in variant systematically biased the headline upward (a
+    # slow reading always got a second chance; a lucky fast one never
+    # got re-verified) and could mask genuine regressions.  Noise
+    # attribution stays with the steal fields: a low headline with
+    # nonzero docs_per_sec_steal_pct and a clean fast retry is
+    # co-tenant noise, provable from the artifact alone.
     if rolling_best and extras["docs_per_sec"] < 0.75 * rolling_best:
         time.sleep(10)  # let a co-tenant burst pass
         retry_reps: list = []
@@ -477,19 +488,24 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
         _timeit(retry_t, "parse_narrow_retry", lambda: parse_events(
             pages_bench, stitch="narrow").count(),
             quiet, steals=steals, rep_log=retry_reps)
-        extras["docs_per_sec_first"] = extras["docs_per_sec"]
+        extras["docs_per_sec_retry"] = round(
+            pages_n / retry_t["parse_narrow_retry"], 1)
+        extras["docs_per_sec_retry_steal_pct"] = steals.get(
+            "parse_narrow_retry")
         extras["docs_per_sec_retry_reps"] = retry_reps
-        retry_rate = round(pages_n / retry_t["parse_narrow_retry"], 1)
-        if retry_rate > extras["docs_per_sec"]:
-            extras["docs_per_sec"] = retry_rate
-            extras["events_per_sec"] = round(
-                n_events / retry_t["parse_narrow_retry"], 1)
-            extras["docs_per_sec_steal_pct"] = steals.get(
-                "parse_narrow_retry")
+        extras["docs_per_sec_note"] = (
+            "headline is the FIRST reading; retry after 10s cooldown"
+            " published alongside, never swapped in"
+        )
     extras["docs_per_sec_rolling_best"] = rolling_best
     try:
+        # the rolling best is a best-ever-OBSERVED tracker (it only
+        # gates the retry trigger, never the headline), so the retry
+        # reading counts toward it too
         rolling_doc[best_key] = max(
-            rolling_best or 0, extras["docs_per_sec"]
+            rolling_best or 0,
+            extras["docs_per_sec"],
+            extras.get("docs_per_sec_retry") or 0,
         )
         with open(best_path, "w") as fh:
             json.dump(rolling_doc, fh)
@@ -588,7 +604,8 @@ def measure_scaling(spark_gone_result: dict, cpus_small: int | None = None,
                     cpus_big: int | None = None,
                     pages_n: int | None = None,
                     n_rounds: int | None = None,
-                    budget_s: float | None = None) -> dict:
+                    budget_s: float | None = None,
+                    target_eff: float = 0.85) -> dict:
     """Same job, same input, two parallelism levels (BASELINE.json's
     N vs 4N executors criterion, evidenced in-sandbox as N vs 4N
     *pinned CPUs*).  Both levels run as identical fresh-JVM subprocess
@@ -718,7 +735,7 @@ def measure_scaling(spark_gone_result: dict, cpus_small: int | None = None,
             (r["steal_pct_n"] or 0) <= 0.5
             and (r["steal_pct_4n"] or 0) <= 0.5
         )
-        if r["clean"] and r["efficiency"] >= 0.85:
+        if r["clean"] and r["efficiency"] >= target_eff:
             break  # found a quiet window; later rounds only add time
     if not rounds:
         return {
@@ -744,6 +761,16 @@ def measure_scaling(spark_gone_result: dict, cpus_small: int | None = None,
         **best,
         "efficiency_best_pair": round((best_n / best_4n) / ratio, 3),
         "rounds": rounds,
+        # selection rule, stated in-artifact: headline = the best-
+        # efficiency round among CLEAN rounds (steal <= 0.5% at both
+        # levels); falls back to best overall only if no round was
+        # clean.  Rounds repeat until one clean round meets target_eff
+        # or rounds/budget exhaust; every round is published above.
+        "selection_rule": (
+            f"best clean round (target_eff={target_eff},"
+            f" max_rounds={n_rounds}, budget_s={budget_s:g})"
+        ),
+        "n_clean_rounds": len(clean),
     }
     if failed:
         out["failed_rounds"] = failed
@@ -822,20 +849,101 @@ def main(argv=None):
         eff = result["scaling"].get("efficiency")
         if eff is not None and eff >= 0.8:
             try:
-                # 3 rounds / 240 s on a 240k corpus (~75-90 s/round in
-                # quiet windows): a single co-tenant burst spans about
-                # one round, so the extra chances are what turns "one
-                # unclean 0.65 reading" into a fair quiet-window sample
-                # (early-exits on the first clean >=0.85 round)
+                # the folded-in multi-round re-probe (round-4 ask #2):
+                # 16-core probes absorb co-tenant bursts that never
+                # show at <=8 cores, so the 4v16 reading needs round-
+                # level repetition — up to 10 rounds / 480 s on a 240k
+                # corpus, early-exiting on the first CLEAN round with
+                # efficiency >= 0.8, selection rule published in-
+                # artifact (this replaces the round-4 side file
+                # BENCH/scaling_4v16_reprobe_r4.json)
                 result["scaling"]["secondary_4v16"] = measure_scaling(
                     result, cpus_small=4, cpus_big=16,
-                    pages_n=240000, n_rounds=3, budget_s=240,
+                    pages_n=240000, n_rounds=10, budget_s=480,
+                    target_eff=0.8,
                 )
             except Exception as e:  # aux block must never kill the run
                 result["scaling"]["secondary_4v16"] = {
                     "err": str(e)[:300]
                 }
-    print(json.dumps(result))
+    _emit(result)
+
+
+def _compact_summary(result: dict) -> dict:
+    """Driver-parseable one-line digest of the full result blob.
+
+    The driver records only the LAST ~2000 stdout characters
+    (BENCH_r0{2,3,4}.json all carried ``"parsed": null`` with a
+    truncated tail because the full blob is one ~15 kB line), so the
+    last stdout line must be self-contained AND short.  This digest
+    keeps the contract schema (metric/value/unit/queries/sf) with the
+    headline-query subset, plus the throughput + scaling evidence a
+    reviewer needs, and points at the committed full blob."""
+    q = result.get("queries", {})
+    head_keys = [
+        "parse_narrow", "parse_window", "parse_heap", "flagship_agg",
+        "rates", "dedup_minhash_sf", "dedup_clusters_sf",
+        "prefix_jaccard_sf", "pq_train_sf", "pq_adc_topk_sf",
+        "knn_graph_bucket_512d", "ann_cosine_np_512d", "pagerank_sf",
+    ]
+    sc = result.get("scaling") or {}
+    sec = sc.get("secondary_4v16") or {}
+    out = {
+        "metric": result.get("metric"),
+        "value": result.get("value"),
+        "unit": result.get("unit"),
+        "sf": result.get("sf"),
+        "cpus": result.get("cpus"),
+        "pinned": result.get("pinned"),
+        "queries": {k: q[k] for k in head_keys if k in q},
+        "n_queries_timed": len(q),
+        "docs_per_sec": result.get("docs_per_sec"),
+        "docs_per_sec_steal_pct": result.get("docs_per_sec_steal_pct"),
+        "docs_per_sec_reps": [
+            r.get("sec") for r in result.get("docs_per_sec_reps", [])
+        ],
+        "events_per_sec": result.get("events_per_sec"),
+        "scaling_2v8": {
+            k: sc.get(k)
+            for k in ("efficiency", "clean", "steal_pct_n",
+                      "steal_pct_4n", "n_clean_rounds")
+        } if sc else None,
+        "scaling_4v16": {
+            k: sec.get(k)
+            for k in ("efficiency", "clean", "steal_pct_n",
+                      "steal_pct_4n", "n_clean_rounds")
+        } if sec else None,
+        "full_results": "BENCH/bench_tip.json",
+    }
+    try:
+        import __spark_entry__ as _entry
+        out["registry_queries"] = len(_entry.queries())
+    except Exception:
+        out["registry_queries"] = None
+    if result.get("docs_per_sec_retry") is not None:
+        out["docs_per_sec_retry"] = result["docs_per_sec_retry"]
+    return out
+
+
+def _emit(result: dict) -> None:
+    """Full blob → BENCH/bench_tip.json (committed) + stderr;
+    compact driver-parseable summary → the LAST stdout line."""
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "bench_tip.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:
+        print(f"bench_tip.json write failed: {e}", file=sys.stderr)
+    print(json.dumps(result), file=sys.stderr)
+    line = json.dumps(_compact_summary(result))
+    if len(line) > 1900:  # stay inside the driver's 2000-char tail
+        slim = _compact_summary(result)
+        slim["queries"] = {}
+        line = json.dumps(slim)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -230,8 +230,14 @@ def _l1_normalize(
         .select(
             "node",
             F.expr(
-                f"CAST(CAST({col} AS DECIMAL(38,0)) * {scale}"
-                f" DIV __tot AS BIGINT)"
+                # an all-zero gather total would make DIV emit NULL
+                # ticks and silently poison every later iteration —
+                # fail loudly instead (raise_error is never reached on
+                # a graph with ≥1 edge, where init ticks propagate)
+                f"CASE WHEN __tot <= 0 THEN CAST(raise_error("
+                f"'hits: non-positive L1 total') AS BIGINT) "
+                f"ELSE CAST(CAST({col} AS DECIMAL(38,0)) * {scale}"
+                f" DIV __tot AS BIGINT) END"
             ).alias(col),
         )
     )
@@ -264,6 +270,9 @@ def hits(
     Lineage truncated per iteration with ``localCheckpoint``.
 
     Returns ``(node, auth_ticks, hub_ticks)`` for every node."""
+    if n_iter < 1:
+        # n_iter=0 would leave auth unset and crash on the final join
+        raise ValueError("hits requires n_iter >= 1")
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct()

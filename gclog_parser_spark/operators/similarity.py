@@ -562,9 +562,20 @@ def neardup_pairs(
             "vec_id", "embedding", F.col(block_col).alias("block")
         )
     if scorer == "bucket":
-        pairs = base.groupBy("block").applyInPandas(
-            _bucket_pairs_pd(),
-            "src long, dst long, dot double, na double, nb double",
+        # NULL blocks (dim-mismatched / NaN-bearing vectors under the
+        # fail-EMPTY lsh_buckets rule) must be dropped BEFORE the group
+        # map: groupBy keeps NULL as one group, so every degenerate
+        # vector would collapse into a single O(n²) candidate group —
+        # exactly the blow-up fail-EMPTY exists to prevent.  The
+        # equi-join scorers drop NULL keys implicitly; this restores
+        # fail-empty parity for the Arrow path.
+        pairs = (
+            base.where(F.col("block").isNotNull())
+            .groupBy("block")
+            .applyInPandas(
+                _bucket_pairs_pd(),
+                "src long, dst long, dot double, na double, nb double",
+            )
         )
         denom = F.col("na") * F.col("nb")
         return (
@@ -1467,9 +1478,17 @@ def knn_graph(
         b = lsh_buckets(emb, sd, dim=dim, hasher=hasher).select(
             "vec_id", "embedding", "bucket"
         )
-        pairs = b.groupBy("bucket").applyInPandas(
-            _bucket_pairs_pd(),
-            "src long, dst long, dot double, na double, nb double",
+        # drop NULL buckets BEFORE grouping: groupBy keeps NULL as one
+        # group, so degenerate (dim-mismatched / NaN) vectors would
+        # collapse into a single O(n²) group — the equi-join scorers
+        # drop them implicitly; keep all three scorers fail-empty
+        pairs = (
+            b.where(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .applyInPandas(
+                _bucket_pairs_pd(),
+                "src long, dst long, dot double, na double, nb double",
+            )
         )
         denom = F.col("na") * F.col("nb")
         return (

@@ -542,11 +542,20 @@ def run_incremental_dedup_stream(
         if not batch.take(1):
             return
         s = batch.sparkSession
-        try:
+        # Only a genuinely-missing survivor table means "first batch".
+        # A transient read failure (IO error, corrupt footer) on a
+        # LATER batch must fail the micro-batch so the checkpoint
+        # retries it — silently deduping against an empty corpus would
+        # permanently append duplicates, violating the loop invariant.
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path(survivors_dir)
+        fs = jvm_path.getFileSystem(
+            s._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path):
             corpus = s.read.parquet(survivors_dir).select(
                 "doc_id", "text"
             )
-        except Exception:  # first batch: no survivors yet
+        else:  # first batch: no survivors yet
             corpus = s.createDataFrame(
                 [], "doc_id long, text string"
             )

@@ -137,3 +137,16 @@ def test_hits_l1_mass_bounded_and_deterministic(spark):
     hub = sum(t[2] for t in r1)
     assert scale - 10 <= auth <= scale
     assert scale - 10 <= hub <= scale
+
+
+def test_hits_rejects_zero_iterations(spark):
+    """Round-4 advice regression: n_iter=0 used to leave auth unset
+    and crash with AttributeError on the final join — now a loud
+    ValueError, like the empty-edge-set guard."""
+    import pytest
+
+    from gclog_parser_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(e, n_iter=0)

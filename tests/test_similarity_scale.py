@@ -448,3 +448,49 @@ def test_pair_dot_np_scorer_bit_identical(spark, sf_dir):
         map(tuple, knn_graph(emb, k=3, hasher="np").collect())
     )
     assert g_nphash == g_hof
+
+
+def test_bucket_scorer_fail_empty_on_degenerate_vectors(spark):
+    """Round-4 advice regression: under the fail-EMPTY lsh_buckets
+    rule, dim-mismatched vectors hash to a NULL bucket.  The equi-join
+    scorers drop NULL keys implicitly, but groupBy keeps NULL as ONE
+    group — without the explicit isNotNull filter every degenerate
+    vector would collapse into a single O(n²) candidate group (or
+    crash the Arrow group map on a ragged np.stack).  All three
+    scorers must agree (and exclude the degenerate rows) on a corpus
+    that mixes valid and short vectors."""
+    from gclog_parser_spark.operators.similarity import (
+        knn_graph,
+        neardup_pairs,
+    )
+
+    g = _lcg(7)
+    rows = []
+    for i in range(12):
+        rows.append((i, [round(next(g), 6) for _ in range(8)], "ok"))
+    for i in range(12, 18):  # six degenerate short vectors
+        rows.append((i, [1.0, 2.0], "bad"))
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, label string"
+    )
+
+    p_hof = sorted(map(tuple, neardup_pairs(
+        emb, threshold=0.0, scorer="hof", dim=8).collect()))
+    p_np = sorted(map(tuple, neardup_pairs(
+        emb, threshold=0.0, scorer="np", dim=8).collect()))
+    p_bkt = sorted(map(tuple, neardup_pairs(
+        emb, threshold=0.0, scorer="bucket", dim=8).collect()))
+    assert p_bkt == p_np == p_hof
+    bad_ids = set(range(12, 18))
+    assert all(
+        a not in bad_ids and b not in bad_ids for a, b, _ in p_bkt
+    )
+
+    g_hof = sorted(map(tuple, knn_graph(
+        emb, k=2, scorer="hof", dim=8).collect()))
+    g_bkt = sorted(map(tuple, knn_graph(
+        emb, k=2, scorer="bucket", dim=8).collect()))
+    assert g_bkt == g_hof and g_bkt
+    assert all(
+        r[0] not in bad_ids and r[1] not in bad_ids for r in g_bkt
+    )

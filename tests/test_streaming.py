@@ -494,3 +494,59 @@ def test_incremental_dedup_stream_replay(spark, sf_dir, tmp_path):
     after = spark.read.parquet(surv)
     assert {r["doc_id"] for r in after.collect()} == want
     assert after.count() == len(want)  # no duplicate appends
+
+
+def test_incremental_dedup_stream_corrupt_survivors_fails_batch(
+    spark, sf_dir, tmp_path
+):
+    """Round-4 advice regression: only a genuinely-MISSING survivor
+    table means "first batch".  A corrupt/unreadable survivor table on
+    a later batch must FAIL the micro-batch (so the checkpoint retries
+    it) — the old bare-except treated any read failure as first-batch
+    and silently deduped against an empty corpus, permanently
+    appending duplicates."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    from gclog_parser_spark.streaming.stream import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    inp = str(tmp_path / "batches")
+    surv = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+    docs.where(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(
+        f"{inp}/batch-0"
+    )
+    q = run_incremental_dedup_stream(
+        spark, f"{inp}/batch-*", docs.schema, surv, ckpt
+    )
+    assert q.awaitTermination(300)
+    n_before = spark.read.parquet(surv).count()
+    assert n_before > 0
+
+    # corrupt the survivor table, then deliver a new batch: the read
+    # must raise inside foreachBatch and fail the query, not append
+    with open(f"{surv}/part-corrupt.snappy.parquet", "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    docs.where(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(
+        f"{inp}/batch-1"
+    )
+    q2 = run_incremental_dedup_stream(
+        spark, f"{inp}/batch-*", docs.schema, surv, ckpt
+    )
+    try:
+        q2.awaitTermination(300)
+        raised = False
+    except StreamingQueryException:
+        raised = True
+    assert raised
+    # nothing was committed to the survivor table by the failed batch
+    os.remove(f"{surv}/part-corrupt.snappy.parquet")
+    assert spark.read.parquet(surv).count() == n_before
