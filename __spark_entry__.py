@@ -2961,6 +2961,50 @@ def q_media_phash_pairs(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL stdlib media decode (round-5): PNG via zlib inflate +
+    per-scanline unfilter (all five PNG filter types appear in the
+    corpus), WAV via the ``wave`` module — dims/channels/rates plus a
+    full-fidelity digest of every decoded pixel/sample.  The DuckDB
+    oracle recomputes the expected values from the generator's closed
+    form (it cannot inflate zlib), so a green row proves the whole
+    encode→decode round trip against ground truth
+    (operators/mediacodec.py; datagen.media_pages)."""
+    from gclog_parser_spark.datagen import media_pages
+    from gclog_parser_spark.operators.multimodal import (
+        decode_media_features,
+    )
+
+    return decode_media_features(media_pages(spark, sf_dir))
+
+
+def q_media_meta_mixed(spark, sf_dir):
+    """extract_media_meta over the real-media corpus: REAL
+    width/height + decoded-pixel content digests for PNG, real RIFF
+    fields for WAV, stub lane for html — the same meta operator the
+    stub corpus uses, now with the stdlib decoders live."""
+    from gclog_parser_spark.datagen import media_pages
+    from gclog_parser_spark.operators.multimodal import (
+        extract_media_meta,
+    )
+
+    return extract_media_meta(
+        media_pages(spark, sf_dir), payload_col="payload"
+    )
+
+
+def q_media_resize_real(spark, sf_dir):
+    """Real thumbnailer over decodable media: nearest-neighbor PNG
+    resample + WAV waveform sketch, digests of the RESAMPLED values
+    verified against the oracle's integer re-derivation."""
+    from gclog_parser_spark.datagen import media_pages
+    from gclog_parser_spark.operators.multimodal import (
+        resize_media_real,
+    )
+
+    return resize_media_real(media_pages(spark, sf_dir))
+
+
 def q_rel_table_stats(spark, sf_dir):
     """ANALYZE-style column profile of the events table — one-scan
     multi-aggregate (nulls / exact NDV / numeric min-max / string
@@ -3900,6 +3944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "media_phash": q_media_phash,
         "media_phash_pairs": q_media_phash_pairs,
+        "media_decode": q_media_decode,
+        "media_meta_mixed": q_media_meta_mixed,
+        "media_resize_real": q_media_resize_real,
         "gc_event_counts": q_gc_event_counts,
         "gc_events_full": q_gc_events_full,
         "gc_events_full_window": q_gc_events_full_window,
@@ -4362,6 +4409,9 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
     out["media_frames"] = ot.media_frames_sql()
     out["media_phash"] = ot.media_phash_sql()
     out["media_phash_pairs"] = ot.media_phash_pairs_sql(max_hamming=12)
+    out["media_decode"] = ot.media_decode_sql()
+    out["media_meta_mixed"] = ot.media_meta_mixed_sql()
+    out["media_resize_real"] = ot.media_resize_real_sql()
 
     out["rel_agg_lineitem"] = (
         "SELECT l_returnflag, l_linestatus,"

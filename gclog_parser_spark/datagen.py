@@ -126,3 +126,87 @@ def synth_pages(spark, n: int, parallelism: int | None = None,
     cols = _page_cols(F.col("id"), filler, F.lit("en"))
     out = joined.select(*cols)
     return out if with_meta else out.drop("doc_id", "gclog_class")
+
+
+MEDIA_SCHEMA = "url string, payload binary, doc_id long"
+
+
+def media_pages(spark, sf_dir: str):
+    """Deterministic multimodal corpus derived from ``documents``: one
+    payload per document, cycling PNG / WAV / HTML by ``doc_id % 3``.
+
+    Every byte is an arithmetic function of ``doc_id`` (closed forms
+    below, mirrored in the DuckDB oracles), and the PNG/WAV payloads
+    are REAL files produced by the stdlib encoders in
+    ``operators.mediacodec`` — so decoding them back exercises real
+    zlib inflate + scanline unfilter / RIFF parsing, checked against
+    ground truth the oracle recomputes without any codec:
+
+    * PNG (``doc_id % 3 == 0``): ``w = 4 + doc_id % 13``,
+      ``h = 3 + doc_id % 7``, channels ``1`` if doc_id even else
+      ``3``, pixel ``i`` = ``(doc_id·31 + i) % 256`` (row-major,
+      channel-interleaved), per-row filter type ``(doc_id + y) % 5``
+      — the corpus exercises ALL FIVE unfilter branches.  zlib level
+      0 ⇒ file size is the closed form ``68 + h·(w·ch + 1)``.
+    * WAV (``doc_id % 3 == 1``): mono 16-bit PCM,
+      ``n_frames = 16 + doc_id % 50``, rate
+      ``8000 + (doc_id % 4)·4000``, sample ``i`` =
+      ``(doc_id·131 + i·7) % 65536 − 32768``; size ``44 + 2·n``.
+    * HTML (``doc_id % 3 == 2``): utf-8 of
+      ``<html><body>media doc {doc_id}</body></html>`` — routes to the
+      documented stub, proving the fallback lane stays.
+
+    Generation runs as Arrow-batched ``mapInPandas`` over the pruned
+    (doc_id) scan — distributed, shuffle-free, deterministic."""
+    import pandas as pd
+
+    from gclog_parser_spark.operators.mediacodec import (
+        png_encode,
+        wav_encode,
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                kind = d % 3
+                if kind == 0:
+                    ch = 1 if d % 2 == 0 else 3
+                    w, h = 4 + d % 13, 3 + d % 7
+                    px = bytes(
+                        (d * 31 + i) % 256 for i in range(w * h * ch)
+                    )
+                    payload = png_encode(
+                        w, h, px, channels=ch,
+                        filters=[(d + y) % 5 for y in range(h)],
+                    )
+                    ext = "png"
+                elif kind == 1:
+                    n = 16 + d % 50
+                    payload = wav_encode(
+                        [((d * 131 + i * 7) % 65536) - 32768
+                         for i in range(n)],
+                        framerate=8000 + (d % 4) * 4000,
+                    )
+                    ext = "wav"
+                else:
+                    payload = (
+                        f"<html><body>media doc {d}</body></html>"
+                    ).encode()
+                    ext = "html"
+                recs.append(
+                    {
+                        "url": f"media://{d:08d}.{ext}",
+                        "payload": payload,
+                        "doc_id": d,
+                    }
+                )
+            yield pd.DataFrame.from_records(
+                recs, columns=["url", "payload", "doc_id"]
+            )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    return docs.mapInPandas(fn, MEDIA_SCHEMA)

@@ -747,7 +747,10 @@ WHERE i % {every_n} = 0"""
 
 def media_meta_sql() -> str:
     """Rebuilds the page html text and verifies the mapInPandas media
-    metadata (byte sizes, magic sniff, fake-decode dims, digest)."""
+    metadata (byte sizes, magic sniff, stub-decode dims, digest).
+    The html corpus carries no stdlib-decodable payloads, so every row
+    takes the stub lane (decoder='stub'); the REAL PNG/WAV decode lane
+    is verified by ``media_decode_sql``/``media_meta_mixed_sql``."""
     html = _HTML_EXPR
     return f"""WITH {fixtures_values()},
 {PAGES_CTE.replace("f.fixture_text AS gc_text", f"{html} AS html_text")}
@@ -755,11 +758,150 @@ SELECT url,
   CAST(octet_length(encode(html_text)) AS BIGINT) AS n_bytes,
   'html' AS magic, 'text' AS kind,
   CAST(16 + CAST('0x' || substr(md5(substr(html_text, 1, 64)), 1, 2)
-    AS INT) % 64 AS INT) AS fake_width,
+    AS INT) % 64 AS INT) AS width,
   CAST(16 + CAST('0x' || substr(md5(substr(html_text, 1, 64)), 3, 2)
-    AS INT) % 64 AS INT) AS fake_height,
-  md5(html_text) AS content_digest
+    AS INT) % 64 AS INT) AS height,
+  md5(html_text) AS content_digest,
+  'stub' AS decoder
 FROM pages"""
+
+
+# ---------------------------------------------------------------------------
+# real media decode (datagen.media_pages corpus) — the oracle recomputes
+# every decoded value from the generator's closed form (it cannot run
+# zlib), so a green row proves the WHOLE stdlib encode→decode round trip
+# in operators/mediacodec.py against ground truth: dims and channels from
+# IHDR/RIFF, zlib inflate + unfilter for the pixel bytes, PCM unpacking
+# for the samples.
+# ---------------------------------------------------------------------------
+
+_MEDIA_IDS = "ids AS (SELECT doc_id AS d FROM documents)"
+
+_MEDIA_PNG_DIMS = (
+    "SELECT d, 4 + d % 13 AS w, 3 + d % 7 AS h,"
+    " CASE WHEN d % 2 = 0 THEN 1 ELSE 3 END AS ch"
+    " FROM ids WHERE d % 3 = 0"
+)
+
+
+def _media_url(ext: str) -> str:
+    return f"'media://' || lpad(CAST(d AS VARCHAR), 8, '0') || '.{ext}'"
+
+
+def _digest_expr(n_expr: str, value_expr: str) -> str:
+    """md5 over ','-joined decimal values i = 0..n-1 (the cross-engine
+    value-digest form of mediacodec.value_digest)."""
+    return (
+        f"md5(array_to_string(list_transform("
+        f"generate_series(0, {n_expr} - 1),"
+        f" i -> CAST({value_expr} AS VARCHAR)), ','))"
+    )
+
+
+def media_decode_sql() -> str:
+    """Oracle twin of ``multimodal.decode_media_features`` over
+    ``datagen.media_pages``: PNG pixel i = (d·31 + i) % 256, WAV
+    sample i = (d·131 + i·7) % 65536 − 32768, html rows take the stub
+    closed form."""
+    png_digest = _digest_expr("w*h*ch", "(d*31 + i) % 256")
+    wav_digest = _digest_expr(
+        "16 + d % 50", "(d*131 + i*7) % 65536 - 32768")
+    stub_text = "'<html><body>media doc ' || d || '</body></html>'"
+    return f"""WITH {_MEDIA_IDS},
+png AS ({_MEDIA_PNG_DIMS})
+SELECT {_media_url('png')} AS url, 'png' AS codec,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(ch AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+  CAST(w*h*ch AS BIGINT) AS n_values, {png_digest} AS value_digest
+FROM png
+UNION ALL
+SELECT {_media_url('wav')} AS url, 'wav' AS codec,
+  CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+  CAST(1 AS INT) AS n_channels,
+  CAST(8000 + (d % 4) * 4000 AS INT) AS sample_rate,
+  CAST(16 + d % 50 AS BIGINT) AS n_values, {wav_digest} AS value_digest
+FROM ids WHERE d % 3 = 1
+UNION ALL
+SELECT {_media_url('html')} AS url, 'stub' AS codec,
+  CAST(16 + CAST('0x' || substr(md5(substr({stub_text}, 1, 64)), 1, 2)
+    AS INT) % 64 AS INT) AS width,
+  CAST(16 + CAST('0x' || substr(md5(substr({stub_text}, 1, 64)), 3, 2)
+    AS INT) % 64 AS INT) AS height,
+  CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+  CAST(NULL AS BIGINT) AS n_values, CAST(NULL AS VARCHAR) AS value_digest
+FROM ids WHERE d % 3 = 2"""
+
+
+def media_meta_mixed_sql() -> str:
+    """Oracle twin of ``extract_media_meta`` over the media corpus:
+    REAL dims + decoded-value content digests for PNG/WAV (the
+    round-4 ask: real dimensions through the SAME meta operator the
+    stub used), stub lane for the html rows.  ``n_bytes`` is
+    closed-form because the fixture PNGs use zlib level 0
+    (``68 + h·(w·ch + 1)``) and WAV PCM16 mono is ``44 + 2·n``."""
+    png_digest = _digest_expr("w*h*ch", "(d*31 + i) % 256")
+    wav_digest = _digest_expr(
+        "16 + d % 50", "(d*131 + i*7) % 65536 - 32768")
+    stub_text = "'<html><body>media doc ' || d || '</body></html>'"
+    return f"""WITH {_MEDIA_IDS},
+png AS ({_MEDIA_PNG_DIMS})
+SELECT {_media_url('png')} AS url,
+  CAST(68 + h * (w * ch + 1) AS BIGINT) AS n_bytes,
+  'png' AS magic, 'image' AS kind,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  {png_digest} AS content_digest, 'png' AS decoder
+FROM png
+UNION ALL
+SELECT {_media_url('wav')} AS url,
+  CAST(44 + 2 * (16 + d % 50) AS BIGINT) AS n_bytes,
+  'riff' AS magic, 'audio' AS kind,
+  CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+  {wav_digest} AS content_digest, 'wav' AS decoder
+FROM ids WHERE d % 3 = 1
+UNION ALL
+SELECT {_media_url('html')} AS url,
+  CAST(octet_length(encode({stub_text})) AS BIGINT) AS n_bytes,
+  'html' AS magic, 'text' AS kind,
+  CAST(16 + CAST('0x' || substr(md5(substr({stub_text}, 1, 64)), 1, 2)
+    AS INT) % 64 AS INT) AS width,
+  CAST(16 + CAST('0x' || substr(md5(substr({stub_text}, 1, 64)), 3, 2)
+    AS INT) % 64 AS INT) AS height,
+  md5({stub_text}) AS content_digest, 'stub' AS decoder
+FROM ids WHERE d % 3 = 2"""
+
+
+def media_resize_real_sql(target_w: int = 8, target_h: int = 6) -> str:
+    """Oracle twin of ``multimodal.resize_media_real``: re-derives the
+    nearest-neighbor source index per target position (PNG) and the
+    waveform-sketch index (WAV) in pure integer SQL, then applies the
+    generator's pixel/sample closed form — verifying REAL resampled
+    values, not plumbing alone."""
+    tw, th, L = target_w, target_h, target_w * target_h
+    # target index i enumerates (ty, tx, c): i = (ty*tw + tx)*ch + c
+    png_src_idx = (
+        f"(((i // ch) // {tw}) * h // {th}) * w * ch"
+        f" + (((i // ch) % {tw}) * w // {tw}) * ch + i % ch"
+    )
+    png_digest = _digest_expr(
+        f"{L} * ch", f"(d*31 + ({png_src_idx})) % 256")
+    wav_digest = _digest_expr(
+        str(L), f"(d*131 + (i * (16 + d % 50) // {L}) * 7)"
+                f" % 65536 - 32768")
+    stub_text = "'<html><body>media doc ' || d || '</body></html>'"
+    return f"""WITH {_MEDIA_IDS},
+png AS ({_MEDIA_PNG_DIMS})
+SELECT {_media_url('png')} AS url, 'png' AS decoder,
+  {tw} AS target_w, {th} AS target_h, {png_digest} AS resized_digest
+FROM png
+UNION ALL
+SELECT {_media_url('wav')} AS url, 'wav' AS decoder,
+  {tw} AS target_w, {th} AS target_h, {wav_digest} AS resized_digest
+FROM ids WHERE d % 3 = 1
+UNION ALL
+SELECT {_media_url('html')} AS url, 'stub' AS decoder,
+  {tw} AS target_w, {th} AS target_h,
+  md5({stub_text} || '{tw}x{th}') AS resized_digest
+FROM ids WHERE d % 3 = 2"""
 
 
 def decontam_sql(k: int = 5, min_hits: int = 3, modulus: int = 17) -> str:

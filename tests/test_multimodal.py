@@ -93,3 +93,157 @@ def test_phash_pairs_param_validation(spark):
         media_phash_pairs(pages, max_hamming=5, bands=5)
     with pytest.raises(ValueError, match="divide"):
         media_phash_pairs(pages, max_hamming=3, bands=7)
+
+
+# ---------------------------------------------------------------------------
+# real stdlib codecs (round-5): PNG inflate+unfilter, WAV PCM
+# ---------------------------------------------------------------------------
+
+
+def test_paeth_predictor_spec_vectors():
+    """Paeth predictor pinned against the public PNG spec §9.4 rule
+    (nearest of a/b/c to p = a + b − c, ties a then b then c)."""
+    from gclog_parser_spark.operators.mediacodec import _paeth
+
+    assert _paeth(0, 0, 0) == 0
+    assert _paeth(10, 20, 5) == 20   # p=25: |25-10|=15,|25-20|=5 -> b
+    assert _paeth(20, 10, 5) == 20   # p=25 -> a wins the tie-break
+    assert _paeth(5, 5, 5) == 5      # all tie -> a first
+    assert _paeth(100, 3, 80) == 3   # p=23 -> closest is b
+    assert _paeth(7, 9, 8) == 8      # p=8: pc=0 beats pa=pb=1 -> c
+
+    # exhaustive agreement with a literal transcription of the spec
+    # pseudocode over a value grid (independent re-derivation)
+    def spec(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    grid = [0, 1, 7, 127, 128, 200, 255]
+    for a in grid:
+        for b in grid:
+            for c in grid:
+                assert _paeth(a, b, c) == spec(a, b, c)
+
+
+def test_png_roundtrip_all_filters_grey_and_rgb():
+    """Encode with every scanline filter type (0..4), decode back:
+    pixels must be byte-identical.  Filtering and unfiltering are
+    separate code paths, so a broken unfilter branch fails here."""
+    from gclog_parser_spark.operators.mediacodec import (
+        png_decode,
+        png_encode,
+    )
+
+    for ch in (1, 3):
+        w, h = 7, 5
+        px = bytes((31 * 3 + i * (2 + ch)) % 256 for i in range(w * h * ch))
+        for base in range(5):  # rotate so every filter leads a row
+            filters = [(base + y) % 5 for y in range(h)]
+            b = png_encode(w, h, px, channels=ch, filters=filters)
+            d = png_decode(b)
+            assert (d["width"], d["height"], d["n_channels"]) == (w, h, ch)
+            assert bytes(d["values"]) == px, (ch, base)
+
+
+def test_png_closed_form_byte_length_and_pinned_digest():
+    """Level-0 zlib keeps the PNG file length the closed form
+    68 + h·(w·ch + 1); the decoded pixel digest for the doc_id=6
+    fixture is pinned (regression anchor for the oracle's closed
+    form)."""
+    from gclog_parser_spark.operators.mediacodec import (
+        png_decode,
+        png_encode,
+        value_digest,
+    )
+
+    d = 6
+    w, h, ch = 4 + d % 13, 3 + d % 7, 1
+    px = bytes((d * 31 + i) % 256 for i in range(w * h * ch))
+    b = png_encode(
+        w, h, px, channels=ch, filters=[(d + y) % 5 for y in range(h)]
+    )
+    assert len(b) == 68 + h * (w * ch + 1) == 167
+    dec = png_decode(b)
+    assert (dec["width"], dec["height"]) == (10, 9)
+    assert value_digest(dec["values"]) == (
+        "68b2fbf44e99a61782136f962afde8ff"
+    )
+
+
+def test_wav_roundtrip_and_pinned_digest():
+    from gclog_parser_spark.operators.mediacodec import (
+        value_digest,
+        wav_decode,
+        wav_encode,
+    )
+
+    d = 7
+    samp = [((d * 131 + i * 7) % 65536) - 32768 for i in range(16 + d % 50)]
+    b = wav_encode(samp, framerate=8000 + (d % 4) * 4000)
+    assert len(b) == 44 + 2 * len(samp) == 90
+    dec = wav_decode(b)
+    assert dec["values"] == samp
+    assert dec["sample_rate"] == 20000 and dec["n_channels"] == 1
+    assert value_digest(dec["values"]) == (
+        "ec95bc57432732ab2def3d6a5af43957"
+    )
+    # 8-bit lane: unsigned storage, signed values out
+    b8 = wav_encode([-128, -1, 0, 1, 127], sampwidth=1)
+    assert wav_decode(b8)["values"] == [-128, -1, 0, 1, 127]
+
+
+def test_decode_media_dispatch_and_guards():
+    """Dispatch: PNG/WAV decode for real, anything else returns None
+    (caller falls back to the stub); malformed decodable payloads fail
+    LOUDLY, never silently fake."""
+    import pytest
+
+    from gclog_parser_spark.operators.mediacodec import (
+        decode_media,
+        png_decode,
+        png_encode,
+    )
+
+    assert decode_media(b"<html><body>x</body></html>") is None
+    assert decode_media(b"\xff\xd8\xffjpegdata") is None  # jpeg -> stub
+    png = png_encode(2, 2, bytes(range(4)))
+    assert decode_media(png)["codec"] == "png"
+    # truncated PNG raises
+    with pytest.raises(Exception):
+        png_decode(png[:20])
+    # interlace flag rejected (last IHDR byte)
+    bad = bytearray(png)
+    ihdr_off = 8 + 8  # sig + len/tag
+    bad[ihdr_off + 12] = 1  # interlace=1
+    with pytest.raises(ValueError, match="interlace"):
+        png_decode(bytes(bad))
+
+
+def test_media_corpus_real_decode_e2e(spark, sf_dir):
+    """datagen.media_pages → decode_media_features: every PNG row gets
+    REAL dims matching the generator's closed form, every WAV row the
+    real sample rate; html rows route to the stub lane."""
+    from gclog_parser_spark.datagen import media_pages
+    from gclog_parser_spark.operators.multimodal import (
+        decode_media_features,
+    )
+
+    pages = media_pages(spark, sf_dir)
+    out = decode_media_features(pages).collect()
+    assert out
+    for r in out:
+        d = int(r["url"].split("/")[-1].split(".")[0])
+        if r["url"].endswith(".png"):
+            assert r["codec"] == "png"
+            assert r["width"] == 4 + d % 13
+            assert r["height"] == 3 + d % 7
+            assert r["n_channels"] == (1 if d % 2 == 0 else 3)
+            assert r["n_values"] == r["width"] * r["height"] * r["n_channels"]
+            assert r["value_digest"]
+        elif r["url"].endswith(".wav"):
+            assert r["codec"] == "wav"
+            assert r["sample_rate"] == 8000 + (d % 4) * 4000
+            assert r["n_values"] == 16 + d % 50
+        else:
+            assert r["codec"] == "stub" and r["value_digest"] is None
