@@ -351,6 +351,48 @@ def q_gc_g1_evac_failures(spark, sf_dir):
     return g1_evac_failures(pages)
 
 
+def _g1_humongous_pages(spark):
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import G1_HUMONGOUS_LOG
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (
+                "g1hum://fixture/0",
+                datetime(2026, 8, 17, 7, 0, 0),
+                None,
+                G1_HUMONGOUS_LOG,
+                "en",
+            )
+        ],
+        PAGES_SCHEMA,
+    )
+
+
+def q_gc_g1_humongous(spark, sf_dir):
+    """G1 humongous-allocation activity, both dialects (round-5):
+    legacy/unified Humongous Allocation pause causes, unified per-GC
+    'Humongous regions: X->Y' accounting, and the gc,init region-size
+    line — one typed row per matched line, zero-exchange codegen parse
+    (operators/enrich.g1_humongous)."""
+    from gclog_parser_spark.operators.enrich import g1_humongous
+
+    return g1_humongous(_g1_humongous_pages(spark))
+
+
+def q_gc_g1_humongous_stats(spark, sf_dir):
+    """Per-JVM humongous rollup — pause count, region-line count, peak
+    humongous regions, positive-delta regions reclaimed, and reclaimed
+    BYTES via the log's own Heap Region Size line (NULL when absent);
+    exact BIGINT, one url exchange
+    (operators/enrich.g1_humongous_stats)."""
+    from gclog_parser_spark.operators.enrich import g1_humongous_stats
+
+    return g1_humongous_stats(_g1_humongous_pages(spark))
+
+
 def q_gc_safepoint_stats(spark, sf_dir):
     """Per-VM-op safepoint rollup: count, stopped ns, worst
     time-to-safepoint (TTSP tail), cleanup, wall — exact BIGINT
@@ -3961,6 +4003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_safepoint_stats": q_gc_safepoint_stats,
         "gc_zgc_stalls": q_gc_zgc_stalls,
         "gc_g1_evac_failures": q_gc_g1_evac_failures,
+        "gc_g1_humongous": q_gc_g1_humongous,
+        "gc_g1_humongous_stats": q_gc_g1_humongous_stats,
         "gc_zgc_stall_stats": q_gc_zgc_stall_stats,
         "gc_cpu_times": q_gc_cpu_times,
         "gc_heap_trend": q_gc_heap_trend,
@@ -4137,6 +4181,8 @@ def oracle_sql() -> dict[str, str]:
     out["gc_safepoint_stats"] = oracle.safepoint_stats_sql()
     out["gc_zgc_stalls"] = oracle.gc_stalls_sql()
     out["gc_g1_evac_failures"] = oracle.g1_evac_failures_sql()
+    out["gc_g1_humongous"] = oracle.g1_humongous_sql()
+    out["gc_g1_humongous_stats"] = oracle.g1_humongous_stats_sql()
     out["gc_zgc_stall_stats"] = oracle.gc_stall_stats_sql()
     out["gc_cpu_times"] = oracle.cpu_times_sql()
     out["gc_heap_trend"] = oracle.heap_trend_sql()

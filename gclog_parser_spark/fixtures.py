@@ -292,3 +292,30 @@ def all_classes():
         (cid, name, fixture_text(cid), n_line, n_heap)
         for cid, name, _, n_line, n_heap in CLASSES
     ]
+
+#: G1 humongous-allocation activity in BOTH log dialects — the G1
+#: fragmentation runbook signal (objects >= half a region allocate as
+#: contiguous humongous regions; churn shows up as Humongous
+#: Allocation pause causes and per-GC humongous region accounting).
+#: Legacy Java 8 tags the pause cause inline; unified (JDK 9+) has the
+#: cause in the Pause Young line, per-GC ``Humongous regions: X->Y``
+#: accounting under gc,heap, and the gc,init ``Heap Region Size`` line
+#: that turns region counts into bytes.  SUPERSET (the reference
+#: grammar has no G1 at all); noise lines and truncated tags prove the
+#: filters.
+G1_HUMONGOUS_LOG = "\n".join(
+    [
+        "2015-05-26T16:23:09.120-0200: 66.222: [GC pause (G1 Humongous Allocation) (young) (initial-mark) 1694M->689M(2048M), 0.1158856 secs]",
+        "2015-05-26T16:23:10.000-0200: 67.102: [GC pause (G1 Evacuation Pause) (young) 379M->310M(4096M), 0.0675559 secs]",
+        "2015-05-26T16:23:12.000-0200: 69.102: [GC pause (G1 Humongous Allocation) (young) 2694M->1689M(4096M), 0.2158856 secs]",
+        "[0.008s][info][gc,init] Heap Region Size: 1M",
+        "[1.250s][info][gc] GC(7) Pause Young (Concurrent Start) (G1 Humongous Allocation) 4090M->3000M(4096M) 102.341ms",
+        "[1.300s][info][gc,heap] GC(7) Humongous regions: 18->2",
+        "[2.000s][info][gc] GC(8) Pause Young (Normal) (G1 Evacuation Pause) 150M->40M(256M) 4.200ms",
+        "[2.100s][info][gc,heap] GC(8) Humongous regions: 2->3",
+        "[3.475s][info][gc] GC(9) Pause Full (G1 Compaction Pause) 4096M->1024M(4096M) 812.000ms",
+        "[3.600s][info][gc,heap] GC(9) Humongous regions: 3->0",
+        "[3.700s][info][gc,heap] GC(10) Humongous regions:",
+        "[GC pause (G1 Humongous Allocation)",
+    ]
+)

@@ -422,3 +422,131 @@ def g1_evac_failures(pages: DataFrame) -> DataFrame:
             * 1000
         ).cast("long").alias("age_ms"),
     )
+
+
+_HUM_LEGACY = (
+    r"(\d+\.\d+): \[GC pause \(G1 Humongous Allocation\)"
+    r" \((?:young|mixed)\)"
+)
+_HUM_UNIFIED = (
+    r"\[(\d+\.\d+)s\]\[info\]\[gc\] GC\((\d+)\) Pause Young"
+    r" \([^)]+\) \(G1 Humongous Allocation\)"
+)
+_HUM_REGIONS = (
+    r"\[(\d+\.\d+)s\]\[info\]\[gc,heap\] GC\((\d+)\)"
+    r" Humongous regions: (\d+)->(\d+)\s*$"
+)
+_HUM_REGION_SIZE = (
+    r"\[\d+\.\d+s\]\[info\]\[gc,init\]"
+    r" Heap [Rr]egion [Ss]ize: (\d+)M\s*$"
+)
+
+
+def g1_humongous(pages: DataFrame) -> DataFrame:
+    """G1 humongous-allocation activity, BOTH log dialects — the G1
+    fragmentation runbook signal, sibling of :func:`g1_evac_failures`
+    (round-4 verdict ask #4).  Objects ≥ half a region allocate as
+    contiguous humongous regions; their churn surfaces as
+
+    * ``(G1 Humongous Allocation)`` pause causes — legacy Java 8
+      inline (``kind='alloc_pause'``, ``source='legacy'``) and
+      unified JDK 9+ ``GC(n) Pause Young (...) (G1 Humongous
+      Allocation)`` (``source='unified'``, with the GC id),
+    * unified per-GC accounting ``GC(n) Humongous regions: X->Y``
+      (``kind='regions'`` with before/after counts), and
+    * the unified ``gc,init`` ``Heap Region Size: <n>M`` line
+      (``kind='region_size'``) that converts region counts to bytes.
+
+    SUPERSET: the reference grammar (Parser.scala) has no G1 at all;
+    charter is the north rule's G1-phases clause.
+
+    One typed row per matched line; ages are exact truncated-ms BIGINT
+    ticks (cast-then-scale, mirroring ``g1_evac_failures``).  Plan:
+    scan → posexplode → codegen rlike/regexp_extract, ZERO exchanges —
+    the rlike prunes to the tiny humongous subset scan-side.
+    Truncated tags (no region counts / no pause body) fail the
+    anchors and drop."""
+    lines = pages.select(
+        "url",
+        F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
+    )
+    line = F.col("line")
+    is_uni = line.rlike(_HUM_UNIFIED)
+    is_reg = line.rlike(_HUM_REGIONS)
+    is_sz = line.rlike(_HUM_REGION_SIZE)
+    return lines.where(
+        line.rlike(_HUM_LEGACY) | is_uni | is_reg | is_sz
+    ).select(
+        "url",
+        "line_no",
+        F.when(is_reg | is_sz | is_uni, F.lit("unified"))
+        .otherwise("legacy").alias("source"),
+        F.when(is_reg, F.lit("regions"))
+        .when(is_sz, F.lit("region_size"))
+        .otherwise("alloc_pause").alias("kind"),
+        F.when(
+            is_reg, F.regexp_extract(line, _HUM_REGIONS, 2).cast("int")
+        ).when(
+            is_uni, F.regexp_extract(line, _HUM_UNIFIED, 2).cast("int")
+        ).alias("gc_id"),
+        F.when(is_sz, F.lit(None).cast("long")).otherwise(
+            (
+                F.when(is_reg, F.regexp_extract(line, _HUM_REGIONS, 1))
+                .when(is_uni, F.regexp_extract(line, _HUM_UNIFIED, 1))
+                .otherwise(F.regexp_extract(line, _HUM_LEGACY, 1))
+                .cast("double")
+                * 1000
+            ).cast("long")
+        ).alias("age_ms"),
+        F.when(
+            is_reg, F.regexp_extract(line, _HUM_REGIONS, 3).cast("int")
+        ).alias("regions_before"),
+        F.when(
+            is_reg, F.regexp_extract(line, _HUM_REGIONS, 4).cast("int")
+        ).alias("regions_after"),
+        F.when(
+            is_sz,
+            F.regexp_extract(line, _HUM_REGION_SIZE, 1).cast("int"),
+        ).alias("region_mb"),
+    )
+
+
+def g1_humongous_stats(pages: DataFrame) -> DataFrame:
+    """Per-JVM humongous rollup over :func:`g1_humongous` — the
+    counts/bytes view the fragmentation runbook reads: humongous-cause
+    pause count, region-accounting line count, peak humongous region
+    count, regions reclaimed (positive X→Y drops only — growth lines
+    add new allocation, not reclamation), and the reclaimed BYTES when
+    the log carries its ``Heap Region Size`` line (NULL otherwise —
+    never a guessed region size).
+
+    All sums/maxes are exact BIGINT.  Plan: the zero-exchange matched
+    relation → partial agg → ONE url exchange; the per-url region size
+    is a ``max`` over the same group (one gc,init line per JVM), so no
+    second exchange or join."""
+    ev = g1_humongous(pages)
+    reclaimed = F.greatest(
+        F.col("regions_before") - F.col("regions_after"), F.lit(0)
+    )
+    return ev.groupBy("url").agg(
+        F.sum(
+            F.when(F.col("kind") == "alloc_pause", 1).otherwise(0)
+        ).cast("long").alias("n_alloc_pauses"),
+        F.sum(
+            F.when(F.col("kind") == "regions", 1).otherwise(0)
+        ).cast("long").alias("n_region_lines"),
+        F.max("regions_before").alias("peak_regions"),
+        F.sum(
+            F.when(F.col("kind") == "regions", reclaimed)
+        ).cast("long").alias("regions_reclaimed"),
+        # one gc,init line per JVM; NULL on every other row, so max
+        # picks it up inside the SAME aggregate — no second exchange
+        F.max("region_mb").alias("region_mb"),
+    ).select(
+        "url", "n_alloc_pauses", "n_region_lines", "peak_regions",
+        "regions_reclaimed",
+        (
+            F.col("regions_reclaimed").cast("long")
+            * F.col("region_mb") * 1048576
+        ).alias("reclaimed_bytes"),
+    )

@@ -1513,3 +1513,114 @@ SELECT '{url}' AS url, line_no,
     AS DOUBLE) * 1000) AS BIGINT) AS age_ms
 FROM ev
 """
+
+
+_HUM_LEG_PAT = (
+    r"(\d+\.\d+): \[GC pause \(G1 Humongous Allocation\)"
+    r" \((?:young|mixed)\)"
+)
+_HUM_UNI_PAT = (
+    r"\[(\d+\.\d+)s\]\[info\]\[gc\] GC\((\d+)\) Pause Young"
+    r" \([^)]+\) \(G1 Humongous Allocation\)"
+)
+_HUM_REG_PAT = (
+    r"\[(\d+\.\d+)s\]\[info\]\[gc,heap\] GC\((\d+)\)"
+    r" Humongous regions: (\d+)->(\d+)\s*$"
+)
+_HUM_SZ_PAT = (
+    r"\[\d+\.\d+s\]\[info\]\[gc,init\]"
+    r" Heap [Rr]egion [Ss]ize: (\d+)M\s*$"
+)
+
+
+def _g1_humongous_cte(log_text: str | None, url: str) -> str:
+    """Shared matched-lines CTE for the humongous oracles: both pause
+    dialects + region accounting + the gc,init region-size line,
+    re-derived with DuckDB regexps over the fixture VALUES."""
+    from gclog_parser_spark.fixtures import G1_HUMONGOUS_LOG
+
+    values = _fixture_values(
+        log_text if log_text is not None else G1_HUMONGOUS_LOG
+    )
+    return f"""raw(line_no, line) AS (VALUES
+    {values}
+),
+ev AS (
+  SELECT line_no, line,
+    regexp_matches(line, '{_HUM_UNI_PAT}') AS is_uni,
+    regexp_matches(line, '{_HUM_REG_PAT}') AS is_reg,
+    regexp_matches(line, '{_HUM_SZ_PAT}') AS is_sz
+  FROM raw
+  WHERE regexp_matches(line, '{_HUM_LEG_PAT}')
+     OR regexp_matches(line, '{_HUM_UNI_PAT}')
+     OR regexp_matches(line, '{_HUM_REG_PAT}')
+     OR regexp_matches(line, '{_HUM_SZ_PAT}')
+),
+typed AS (
+  SELECT '{url}' AS url, line_no,
+    CASE WHEN is_reg OR is_sz OR is_uni THEN 'unified'
+         ELSE 'legacy' END AS source,
+    CASE WHEN is_reg THEN 'regions'
+         WHEN is_sz THEN 'region_size'
+         ELSE 'alloc_pause' END AS kind,
+    CASE WHEN is_reg
+           THEN CAST(regexp_extract(line, '{_HUM_REG_PAT}', 2) AS INT)
+         WHEN is_uni
+           THEN CAST(regexp_extract(line, '{_HUM_UNI_PAT}', 2) AS INT)
+    END AS gc_id,
+    CASE WHEN is_sz THEN CAST(NULL AS BIGINT)
+         ELSE CAST(trunc(CAST(
+             CASE WHEN is_reg
+               THEN regexp_extract(line, '{_HUM_REG_PAT}', 1)
+             WHEN is_uni
+               THEN regexp_extract(line, '{_HUM_UNI_PAT}', 1)
+             ELSE regexp_extract(line, '{_HUM_LEG_PAT}', 1) END
+           AS DOUBLE) * 1000) AS BIGINT)
+    END AS age_ms,
+    CASE WHEN is_reg
+      THEN CAST(regexp_extract(line, '{_HUM_REG_PAT}', 3) AS INT)
+    END AS regions_before,
+    CASE WHEN is_reg
+      THEN CAST(regexp_extract(line, '{_HUM_REG_PAT}', 4) AS INT)
+    END AS regions_after,
+    CASE WHEN is_sz
+      THEN CAST(regexp_extract(line, '{_HUM_SZ_PAT}', 1) AS INT)
+    END AS region_mb
+  FROM ev
+)"""
+
+
+def g1_humongous_sql(
+    log_text: str | None = None, url: str = "g1hum://fixture/0"
+) -> str:
+    """Oracle for enrich.g1_humongous: one typed row per matched line."""
+    return f"""
+WITH {_g1_humongous_cte(log_text, url)}
+SELECT url, line_no, source, kind, gc_id, age_ms,
+  regions_before, regions_after, region_mb
+FROM typed
+"""
+
+
+def g1_humongous_stats_sql(
+    log_text: str | None = None, url: str = "g1hum://fixture/0"
+) -> str:
+    """Oracle for enrich.g1_humongous_stats: per-JVM counts, peak,
+    positive-delta reclaimed regions, and bytes via the region size."""
+    return f"""
+WITH {_g1_humongous_cte(log_text, url)}
+SELECT url,
+  CAST(sum(CASE WHEN kind = 'alloc_pause' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_alloc_pauses,
+  CAST(sum(CASE WHEN kind = 'regions' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_region_lines,
+  max(regions_before) AS peak_regions,
+  CAST(sum(CASE WHEN kind = 'regions'
+        THEN greatest(regions_before - regions_after, 0) END)
+    AS BIGINT) AS regions_reclaimed,
+  CAST(sum(CASE WHEN kind = 'regions'
+        THEN greatest(regions_before - regions_after, 0) END)
+    AS BIGINT) * max(region_mb) * 1048576 AS reclaimed_bytes
+FROM typed
+GROUP BY url
+"""

@@ -125,3 +125,68 @@ def test_g1_spark_path_routes_families(spark, tmp_path):
         "full": 1,
     }
     assert events.count() == 16
+
+
+def test_g1_humongous_pinned_fixture(spark):
+    """G1 humongous analytics (round-5): every typed field pinned
+    against hand-derived values from G1_HUMONGOUS_LOG — 2 legacy + 1
+    unified alloc-pause causes, 3 region-accounting lines (18→2 and
+    3→0 reclaim, 2→3 is growth and reclaims nothing), the 1M region
+    size turning 19 reclaimed regions into bytes; both truncated tag
+    lines must drop."""
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import G1_HUMONGOUS_LOG
+    from gclog_parser_spark.operators.enrich import (
+        g1_humongous,
+        g1_humongous_stats,
+    )
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [("g1hum://t/0", datetime(2026, 8, 17), None,
+          G1_HUMONGOUS_LOG, "en")],
+        PAGES_SCHEMA,
+    )
+    rows = {r["line_no"]: r for r in g1_humongous(pages).collect()}
+    assert sorted(rows) == [0, 2, 3, 4, 5, 7, 9]  # truncated 10,11 drop
+    assert rows[0]["source"] == "legacy"
+    assert rows[0]["kind"] == "alloc_pause"
+    assert rows[0]["age_ms"] == 66222 and rows[0]["gc_id"] is None
+    assert rows[2]["age_ms"] == 69102
+    assert rows[3]["kind"] == "region_size"
+    assert rows[3]["region_mb"] == 1 and rows[3]["age_ms"] is None
+    assert rows[4]["source"] == "unified"
+    assert rows[4]["kind"] == "alloc_pause"
+    assert rows[4]["gc_id"] == 7 and rows[4]["age_ms"] == 1250
+    assert rows[5]["kind"] == "regions"
+    assert (rows[5]["regions_before"], rows[5]["regions_after"]) == (18, 2)
+    assert (rows[7]["regions_before"], rows[7]["regions_after"]) == (2, 3)
+    assert (rows[9]["regions_before"], rows[9]["regions_after"]) == (3, 0)
+
+    (st,) = g1_humongous_stats(pages).collect()
+    assert st["n_alloc_pauses"] == 3
+    assert st["n_region_lines"] == 3
+    assert st["peak_regions"] == 18
+    assert st["regions_reclaimed"] == 16 + 0 + 3 == 19
+    assert st["reclaimed_bytes"] == 19 * 1048576
+
+
+def test_g1_humongous_no_region_size_line_yields_null_bytes(spark):
+    """Without a gc,init Heap Region Size line the bytes column is
+    NULL — never a guessed region size."""
+    from datetime import datetime
+
+    from gclog_parser_spark.operators.enrich import g1_humongous_stats
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    log = "\n".join([
+        "[1.300s][info][gc,heap] GC(7) Humongous regions: 10->4",
+    ])
+    pages = spark.createDataFrame(
+        [("g1hum://t/1", datetime(2026, 8, 17), None, log, "en")],
+        PAGES_SCHEMA,
+    )
+    (st,) = g1_humongous_stats(pages).collect()
+    assert st["regions_reclaimed"] == 6
+    assert st["reclaimed_bytes"] is None
