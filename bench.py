@@ -413,6 +413,12 @@ def run_bench(cpus: int | None = None, pages_n: int | None = None,
     t("knn_graph_bucket_512d",
       lambda: knn_graph(
           knn_wide, k=3, dim=512, hasher="np").count())
+    # opt-in BLAS Gram lane (tolerance parity, same top-k — pinned in
+    # tests): the bucket group map's per-dim fold replaced by one
+    # m @ m.T call per bucket
+    t("knn_graph_blas_512d",
+      lambda: knn_graph(
+          knn_wide, k=3, dim=512, hasher="np", scorer="blas").count())
 
     # runtime Bloom-filter join reduction vs the plain merge join on
     # the same fact⋈filtered-build query — the reduction a 100 TB run

@@ -151,6 +151,49 @@ def _bucket_pairs_pd():
     return _pairs
 
 
+def _bucket_pairs_blas_pd():
+    """BLAS-native twin of ``_bucket_pairs_pd`` (round-5 opt-in lane
+    ``scorer='blas'``): the bucket Gram matrix as ONE ``m @ m.T``
+    dsyrk/dgemm call instead of the per-dimension rank-1-update fold,
+    and norms via a single einsum.  BLAS accumulates dot products in
+    hardware-dependent order (blocked, often FMA), so this lane is
+    TOLERANCE-parity, not bit-parity: |Δdot| is bounded by standard
+    float-summation error (observed ≪1e-9 on unit-scale embeddings —
+    pinned in tests/test_similarity_scale.py), and the top-k is
+    identical on the validated corpora.  The fold path stays the
+    default/oracle witness; reach for this lane when the per-bucket
+    pair count × dims dominates and exact cross-engine bits are not
+    required.  Same memory shape: O(bucket²) doubles, LSH-occupancy
+    bounded."""
+    import numpy as np
+    import pandas as pd
+
+    def _pairs(pdf):
+        empty = pd.DataFrame(
+            {"src": pd.Series([], dtype="int64"),
+             "dst": pd.Series([], dtype="int64"),
+             "dot": pd.Series([], dtype="float64"),
+             "na": pd.Series([], dtype="float64"),
+             "nb": pd.Series([], dtype="float64")}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(
+            np.float64, copy=False
+        )
+        dots = m @ m.T  # one BLAS call — the whole bucket Gram matrix
+        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        src, dst = np.nonzero(~np.eye(n, dtype=bool))
+        return pd.DataFrame(
+            {"src": ids[src], "dst": ids[dst],
+             "dot": dots[src, dst], "na": nrm[src], "nb": nrm[dst]}
+        )
+
+    return _pairs
+
+
 def _pair_dot_np():
     """Arrow-vectorized per-PAIR dot product over two array columns —
     the candidate-scoring twin of ``_cos_sim_np`` for joins where both
@@ -552,7 +595,11 @@ def neardup_pairs(
     hoists norms per VECTOR and computes the per-pair dot with the
     Arrow batch twin (`_pair_dot_np`); division and round(6) stay
     JVM-side.  ``"hof"`` is the pure expression the DuckDB oracle
-    mirrors.  All three bit-identical."""
+    mirrors.  Those three are bit-identical on any corpus (NULL
+    buckets excluded on every path); ``"blas"`` is the opt-in
+    one-``m @ m.T`` Gram lane — tolerance parity (|Δsim| ≪ 1e-9,
+    pinned), for when pair-count × dims dominates and exact
+    cross-engine bits are not required."""
     if block_col is None:
         base = lsh_buckets(emb, seed, dim=dim, hasher=hasher).select(
             "vec_id", "embedding", F.col("bucket").alias("block")
@@ -561,7 +608,7 @@ def neardup_pairs(
         base = emb.select(
             "vec_id", "embedding", F.col(block_col).alias("block")
         )
-    if scorer == "bucket":
+    if scorer in ("bucket", "blas"):
         # NULL blocks (dim-mismatched / NaN-bearing vectors under the
         # fail-EMPTY lsh_buckets rule) must be dropped BEFORE the group
         # map: groupBy keeps NULL as one group, so every degenerate
@@ -569,11 +616,16 @@ def neardup_pairs(
         # exactly the blow-up fail-EMPTY exists to prevent.  The
         # equi-join scorers drop NULL keys implicitly; this restores
         # fail-empty parity for the Arrow path.
+        fn = (
+            _bucket_pairs_blas_pd()
+            if scorer == "blas"
+            else _bucket_pairs_pd()
+        )
         pairs = (
             base.where(F.col("block").isNotNull())
             .groupBy("block")
             .applyInPandas(
-                _bucket_pairs_pd(),
+                fn,
                 "src long, dst long, dot double, na double, nb double",
             )
         )
@@ -1465,6 +1517,8 @@ def knn_graph(
     scores pairs with the Arrow batch twin (`_pair_dot_np`);
     ``"hof"`` is the pure-codegen expression, the oracle-parity
     witness.  All three are bit-identical on any corpus.
+    ``"blas"`` swaps the bucket group map for the one-``m @ m.T``
+    Gram lane (`_bucket_pairs_blas_pd`) — tolerance parity, opt-in.
 
     Returns ``(src, dst, sim, rank)``, rank 1-based per src."""
     from pyspark.sql import Window
@@ -1481,12 +1535,17 @@ def knn_graph(
         # drop NULL buckets BEFORE grouping: groupBy keeps NULL as one
         # group, so degenerate (dim-mismatched / NaN) vectors would
         # collapse into a single O(n²) group — the equi-join scorers
-        # drop them implicitly; keep all three scorers fail-empty
+        # drop them implicitly; keep all scorers fail-empty
+        fn = (
+            _bucket_pairs_blas_pd()
+            if scorer == "blas"
+            else _bucket_pairs_pd()
+        )
         pairs = (
             b.where(F.col("bucket").isNotNull())
             .groupBy("bucket")
             .applyInPandas(
-                _bucket_pairs_pd(),
+                fn,
                 "src long, dst long, dot double, na double, nb double",
             )
         )
@@ -1503,7 +1562,7 @@ def knn_graph(
         )
 
     def _cands(sd):
-        if scorer == "bucket":
+        if scorer in ("bucket", "blas"):
             return _cands_bucket(sd)
         # norms hoisted per VECTOR before the join (sqrt(dot(v,v)) is
         # bit-identical whether computed once per vector or once per

@@ -494,3 +494,40 @@ def test_bucket_scorer_fail_empty_on_degenerate_vectors(spark):
     assert all(
         r[0] not in bad_ids and r[1] not in bad_ids for r in g_bkt
     )
+
+
+def test_blas_scorer_tolerance_parity_and_same_topk(spark, sf_dir):
+    """Round-5 opt-in lane: scorer='blas' (one m @ m.T Gram call per
+    bucket) must return the SAME top-k graph and near-dup pair set as
+    the bit-parity bucket fold on the validated corpora, with raw sim
+    deltas ≪ 1e-9 (BLAS reorders the accumulation; round(6) then
+    collapses the residue so the published values are equal)."""
+    from gclog_parser_spark.operators.similarity import (
+        knn_graph,
+        neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g_fold = sorted(
+        map(tuple, knn_graph(emb, k=3, scorer="bucket").collect())
+    )
+    g_blas = sorted(
+        map(tuple, knn_graph(emb, k=3, scorer="blas").collect())
+    )
+    assert g_blas == g_fold and g_blas  # same edges, sims, ranks
+
+    p_fold = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in neardup_pairs(
+            emb, threshold=0.4, scorer="bucket"
+        ).collect()
+    }
+    p_blas = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in neardup_pairs(
+            emb, threshold=0.4, scorer="blas"
+        ).collect()
+    }
+    assert p_blas.keys() == p_fold.keys() and p_fold
+    for k in p_fold:
+        assert abs(p_blas[k] - p_fold[k]) < 1e-9, k

@@ -550,3 +550,160 @@ def test_incremental_dedup_stream_corrupt_survivors_fails_batch(
     # nothing was committed to the survivor table by the failed batch
     os.remove(f"{surv}/part-corrupt.snappy.parquet")
     assert spark.read.parquet(surv).count() == n_before
+
+
+def _state_rows_series(q):
+    """numRowsTotal per micro-batch from the query's progress log —
+    the state-store eviction evidence channel (round-5 ask #7)."""
+    out = []
+    for p in q.recentProgress:
+        ops = p["stateOperators"] if isinstance(p, dict) else None
+        if ops is None:
+            ops = p.stateOperators  # StreamingQueryProgress object
+        if ops:
+            out.append(sum(int(o["numRowsTotal"]) for o in ops))
+    return out
+
+
+def _write_hourly_page_batches(spark, inp, n_batches, k=20):
+    """One parquet file per batch, event time advancing 1 h/batch,
+    k batch-unique texts each; files get strictly increasing mtimes so
+    the file source replays them in order (oldest first)."""
+    import datetime as dt
+    import os
+    import time
+
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    base = time.time() - n_batches * 10
+    os.makedirs(inp, exist_ok=True)
+    for i in range(n_batches):
+        rows = [
+            (f"http://b{i}/{j}", t0 + dt.timedelta(hours=i), None,
+             f"batch {i} text {j}", "en")
+            for j in range(k)
+        ]
+        d = f"{inp}/batch-{i:03d}"
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + i, base + i))
+
+
+def test_stream_dedup_state_plateaus_under_longer_replay(
+    spark, tmp_path
+):
+    """State-store EVICTION proof at the operator level (round-5 ask):
+    dropDuplicatesWithinWatermark's rows-in-state, read from
+    lastProgress.stateOperators, must PLATEAU — a 3× longer replay of
+    hour-spaced batches (watermark 30 min) holds no more state than
+    the short replay, and far less than the total distinct keys.  A
+    plain dropDuplicates would accrete k rows per batch forever."""
+    from gclog_parser_spark.streaming.stream import run_dedup_stream
+
+    k, short_b, long_b = 20, 4, 12
+
+    def run(n):
+        inp = str(tmp_path / f"pages{n}")
+        _write_hourly_page_batches(spark, inp, n, k=k)
+        q = run_dedup_stream(
+            spark, inp + "/batch-*", str(tmp_path / f"out{n}"),
+            str(tmp_path / f"ckpt{n}"), watermark="30 minutes",
+            max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(300)
+        series = _state_rows_series(q)
+        assert series, "no state metrics in progress log"
+        # every batch-unique text must still pass the dedup
+        assert (
+            spark.read.parquet(str(tmp_path / f"out{n}")).count()
+            == n * k
+        )
+        return series
+
+    s_short = run(short_b)
+    s_long = run(long_b)
+    # eviction caps state at ~2 batches' keys (current + previous
+    # until the next watermark advance), whatever the replay length
+    assert max(s_long) <= 2 * k + 2
+    assert max(s_long) <= max(s_short) + k
+    # and the long replay's FINAL batches hold far less than the
+    # accreting alternative (12 batches x 20 keys = 240)
+    assert s_long[-1] <= 2 * k + 2 < long_b * k
+
+
+def test_stream_join_state_plateaus_under_longer_replay(
+    spark, sf_dir, tmp_path
+):
+    """Same eviction pin for the watermarked stream-stream interval
+    join: view/purchase state, read from stateOperators, is bounded by
+    the lag horizon (max_lag past the watermark), not the replay
+    length — 3× more hour-spaced batches, same plateau."""
+    import datetime as dt
+    import os
+    import time
+
+    from gclog_parser_spark.streaming.stream import attribution_join
+
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    k = 10  # views + purchases per batch
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def write_batches(inp, n):
+        base = time.time() - n * 10
+        os.makedirs(inp, exist_ok=True)
+        for i in range(n):
+            ts = t0 + dt.timedelta(hours=i)
+            rows = []
+            for j in range(k):
+                rows.append(
+                    (i * 1000 + j, ts, j, "view", None, None)
+                )
+                rows.append(
+                    (i * 1000 + 500 + j,
+                     ts + dt.timedelta(minutes=5), j, "purchase",
+                     float(j), None)
+                )
+            d = f"{inp}/batch-{i:03d}"
+            spark.createDataFrame(rows, ev_schema).coalesce(1).write.parquet(d)
+            for root, _, files in os.walk(d):
+                for f in files:
+                    os.utime(os.path.join(root, f), (base + i, base + i))
+
+    def run(n, name):
+        inp = str(tmp_path / f"ev{n}")
+        write_batches(inp, n)
+
+        def side(event_type):
+            return (
+                spark.readStream.schema(ev_schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(inp + "/batch-*")
+                .filter(F.col("event_type") == event_type)
+            )
+
+        agg = attribution_join(
+            side("view"), side("purchase"),
+            max_lag="10 minutes", watermark="30 minutes",
+        )
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"jck{n}"))
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(300)
+        # every in-horizon view->purchase pair joins
+        assert spark.sql(f"select * from {name}").count() == n * k
+        series = _state_rows_series(q)
+        assert series
+        return series
+
+    s_short = run(2, "t_join_short")
+    s_long = run(6, "t_join_long")
+    # join state holds both sides' rows inside the lag+watermark
+    # horizon: ~2 batches' worth (4k rows) however long the replay
+    assert max(s_long) <= 4 * k + 4
+    assert max(s_long) <= max(s_short) + 2 * k
+    assert s_long[-1] <= 4 * k + 4 < 6 * 2 * k
