@@ -3047,6 +3047,20 @@ def q_media_resize_real(spark, sf_dir):
     return resize_media_real(media_pages(spark, sf_dir))
 
 
+def q_media_phash_real(spark, sf_dir):
+    """Average-hash over REAL decoded values (round-5): PNG pixels /
+    signed WAV samples from the stdlib decoders (codepoint lane for
+    undecodable payloads) — the honest upgrade of media_phash; exact
+    integer block-mean bits, zero shuffle
+    (operators/multimodal.media_phash_real)."""
+    from gclog_parser_spark.datagen import media_pages
+    from gclog_parser_spark.operators.multimodal import (
+        media_phash_real,
+    )
+
+    return media_phash_real(media_pages(spark, sf_dir))
+
+
 def q_rel_table_stats(spark, sf_dir):
     """ANALYZE-style column profile of the events table — one-scan
     multi-aggregate (nulls / exact NDV / numeric min-max / string
@@ -3989,6 +4003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_meta_mixed": q_media_meta_mixed,
         "media_resize_real": q_media_resize_real,
+        "media_phash_real": q_media_phash_real,
         "gc_event_counts": q_gc_event_counts,
         "gc_events_full": q_gc_events_full,
         "gc_events_full_window": q_gc_events_full_window,
@@ -4458,6 +4473,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
     out["media_decode"] = ot.media_decode_sql()
     out["media_meta_mixed"] = ot.media_meta_mixed_sql()
     out["media_resize_real"] = ot.media_resize_real_sql()
+    out["media_phash_real"] = ot.media_phash_real_sql()
 
     out["rel_agg_lineitem"] = (
         "SELECT l_returnflag, l_linestatus,"

@@ -605,3 +605,74 @@ def resize_media_real(
     return pages.select("url", payload_col).mapInPandas(
         fn, RESIZE_REAL_SCHEMA
     )
+
+
+PHASH_REAL_SCHEMA = "url string, decoder string, n_vals long, phash long"
+
+
+def media_phash_real(
+    pages: DataFrame,
+    bits: int = PHASH_BITS,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Average-hash over the REAL decoded values (round-5): PNG pixel
+    bytes / WAV PCM samples from the stdlib decoders — the honest
+    upgrade of :func:`media_phash`, whose 'pixels' are codepoint
+    stand-ins; undecodable payloads keep exactly that codepoint lane
+    (``decoder='stub'``), so one relation covers the mixed corpus.
+
+    Same exact-integer bit rule as ``media_phash``: ``bits``
+    contiguous blocks (position ``i`` → block ``i·bits div n``, the
+    closed form of the reduceat boundaries), bit_j = (block sum ·
+    n ≥ total · block len) — signed-safe integer cross-multiplication,
+    so WAV's negative samples compare exactly too.  Zero shuffle:
+    pruned (url, payload) scan → Arrow ``mapInPandas``."""
+    import numpy as np
+
+    def _hash_values(vals) -> int:
+        n = len(vals)
+        arr = np.asarray(vals, dtype=np.int64)
+        total = int(arr.sum())
+        b = (np.arange(n, dtype=np.int64) * bits) // n
+        bs = np.bincount(b, weights=arr, minlength=bits).astype(
+            np.int64
+        )
+        bn = np.bincount(b, minlength=bits).astype(np.int64)
+        h = 0
+        for j in range(bits):
+            if bn[j] and int(bs[j]) * n >= total * int(bn[j]):
+                h |= 1 << (bits - 1 - j)
+        return h
+
+    def fn(batches):
+        for pdf in batches:
+            recs = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                dec = decode_media(b)
+                if dec is not None:
+                    vals = dec["values"]
+                    decoder = dec["codec"]
+                else:
+                    text = b.decode("utf-8", errors="replace")
+                    vals = [ord(c) for c in text]
+                    decoder = "stub"
+                if not vals:
+                    continue
+                recs.append(
+                    {
+                        "url": url,
+                        "decoder": decoder,
+                        "n_vals": len(vals),
+                        "phash": _hash_values(vals),
+                    }
+                )
+            yield pd.DataFrame.from_records(
+                recs, columns=["url", "decoder", "n_vals", "phash"]
+            )
+
+    return pages.select("url", payload_col).mapInPandas(
+        fn, PHASH_REAL_SCHEMA
+    )

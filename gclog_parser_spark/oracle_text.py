@@ -2617,3 +2617,72 @@ SELECT source,
   CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
   round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS diversity
 FROM g GROUP BY 1"""
+
+
+def media_phash_real_sql(bits: int = 60) -> str:
+    """Oracle twin of ``multimodal.media_phash_real`` over
+    ``datagen.media_pages``: the decoded values come from the
+    generator closed forms (PNG pixels, signed WAV samples, html
+    codepoints), block of position i = ``i·bits div n`` (the closed
+    form of the numpy reduceat boundaries), bit rule = signed-safe
+    integer cross-multiplication — all BIGINT, no codec, no float."""
+    stub_text = "'<html><body>media doc ' || d || '</body></html>'"
+    return f"""WITH ids AS (SELECT doc_id AS d FROM documents),
+png AS (
+  SELECT d, 'png' AS decoder,
+    'media://' || lpad(CAST(d AS VARCHAR), 8, '0') || '.png' AS url,
+    (4 + d % 13) * (3 + d % 7)
+      * (CASE WHEN d % 2 = 0 THEN 1 ELSE 3 END) AS n
+  FROM ids WHERE d % 3 = 0
+),
+wav AS (
+  SELECT d, 'wav' AS decoder,
+    'media://' || lpad(CAST(d AS VARCHAR), 8, '0') || '.wav' AS url,
+    16 + d % 50 AS n
+  FROM ids WHERE d % 3 = 1
+),
+html AS (
+  SELECT d, 'stub' AS decoder,
+    'media://' || lpad(CAST(d AS VARCHAR), 8, '0') || '.html' AS url,
+    length({stub_text}) AS n, {stub_text} AS t
+  FROM ids WHERE d % 3 = 2
+),
+vals AS (
+  SELECT url, decoder, n,
+    unnest(generate_series(0, CAST(n AS INT) - 1)) AS i,
+    CAST(NULL AS VARCHAR) AS t, d
+  FROM png
+  UNION ALL
+  SELECT url, decoder, n,
+    unnest(generate_series(0, CAST(n AS INT) - 1)) AS i, NULL, d
+  FROM wav
+  UNION ALL
+  SELECT url, decoder, n,
+    unnest(generate_series(0, CAST(n AS INT) - 1)) AS i, t, d
+  FROM html
+),
+v AS (
+  SELECT url, decoder, n, i,
+    CAST(CASE decoder
+      WHEN 'png' THEN (d*31 + i) % 256
+      WHEN 'wav' THEN (d*131 + i*7) % 65536 - 32768
+      ELSE ord(substr(t, CAST(i AS INT) + 1, 1))
+    END AS BIGINT) AS val,
+    i * {bits} // n AS b
+  FROM vals
+),
+tot AS (
+  SELECT url, any_value(decoder) AS decoder, any_value(n) AS n,
+    sum(val) AS total
+  FROM v GROUP BY url
+),
+blk AS (
+  SELECT url, b, sum(val) AS bs, count(*) AS bn
+  FROM v GROUP BY url, b
+)
+SELECT t.url, t.decoder, CAST(t.n AS BIGINT) AS n_vals,
+  CAST(sum(CASE WHEN blk.bs * t.n >= t.total * blk.bn
+    THEN CAST(1 AS BIGINT) << CAST({bits} - 1 - blk.b AS INT)
+    ELSE 0 END) AS BIGINT) AS phash
+FROM tot t JOIN blk USING (url)
+GROUP BY t.url, t.decoder, t.n"""

@@ -247,3 +247,28 @@ def test_media_corpus_real_decode_e2e(spark, sf_dir):
             assert r["n_values"] == 16 + d % 50
         else:
             assert r["codec"] == "stub" and r["value_digest"] is None
+
+
+def test_phash_real_is_compression_invariant(spark):
+    """The point of hashing DECODED pixels: the same image stored with
+    different scanline filters (different file bytes!) must produce
+    the SAME phash, while the byte-level md5 differs — codepoint-stub
+    hashing can't give this property."""
+    import hashlib as hl
+
+    from gclog_parser_spark.operators.mediacodec import png_encode
+    from gclog_parser_spark.operators.multimodal import media_phash_real
+
+    w, h = 9, 7
+    px = bytes((i * 37 + 11) % 256 for i in range(w * h))
+    a = png_encode(w, h, px, filters=[0] * h)
+    b = png_encode(w, h, px, filters=[(y + 1) % 5 for y in range(h)])
+    assert a != b and hl.md5(a).hexdigest() != hl.md5(b).hexdigest()
+    pages = spark.createDataFrame(
+        [("m://a.png", bytearray(a)), ("m://b.png", bytearray(b))],
+        "url string, payload binary",
+    )
+    rows = {r["url"]: r for r in media_phash_real(pages).collect()}
+    assert rows["m://a.png"]["phash"] == rows["m://b.png"]["phash"]
+    assert rows["m://a.png"]["decoder"] == "png"
+    assert rows["m://a.png"]["n_vals"] == w * h
