@@ -3061,6 +3061,31 @@ def q_media_phash_real(spark, sf_dir):
     return media_phash_real(media_pages(spark, sf_dir))
 
 
+def q_media_audio_features(spark, sf_dir):
+    """REAL audio features over decoded WAV samples (round-5): exact
+    integer sum-of-squares energy, peak |s|, zero crossings — the
+    audio-quality gate before transcription/encoding
+    (operators/multimodal.media_audio_features)."""
+    from gclog_parser_spark.datagen import media_pages
+    from gclog_parser_spark.operators.multimodal import (
+        media_audio_features,
+    )
+
+    return media_audio_features(media_pages(spark, sf_dir))
+
+
+def q_media_image_stats(spark, sf_dir):
+    """REAL image statistics over decoded PNG pixels (round-5): exact
+    integer sum/min/max/distinct per image — the image-DQ gate
+    (operators/multimodal.media_image_stats)."""
+    from gclog_parser_spark.datagen import media_pages
+    from gclog_parser_spark.operators.multimodal import (
+        media_image_stats,
+    )
+
+    return media_image_stats(media_pages(spark, sf_dir))
+
+
 def q_rel_table_stats(spark, sf_dir):
     """ANALYZE-style column profile of the events table — one-scan
     multi-aggregate (nulls / exact NDV / numeric min-max / string
@@ -4004,6 +4029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_mixed": q_media_meta_mixed,
         "media_resize_real": q_media_resize_real,
         "media_phash_real": q_media_phash_real,
+        "media_audio_features": q_media_audio_features,
+        "media_image_stats": q_media_image_stats,
         "gc_event_counts": q_gc_event_counts,
         "gc_events_full": q_gc_events_full,
         "gc_events_full_window": q_gc_events_full_window,
@@ -4474,6 +4501,8 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
     out["media_meta_mixed"] = ot.media_meta_mixed_sql()
     out["media_resize_real"] = ot.media_resize_real_sql()
     out["media_phash_real"] = ot.media_phash_real_sql()
+    out["media_audio_features"] = ot.media_audio_features_sql()
+    out["media_image_stats"] = ot.media_image_stats_sql()
 
     out["rel_agg_lineitem"] = (
         "SELECT l_returnflag, l_linestatus,"

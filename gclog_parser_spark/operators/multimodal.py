@@ -676,3 +676,118 @@ def media_phash_real(
     return pages.select("url", payload_col).mapInPandas(
         fn, PHASH_REAL_SCHEMA
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "url string, n_samples long, sample_rate int, sum_sq long, "
+    "peak_abs int, zero_crossings long"
+)
+
+
+def media_audio_features(
+    pages: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio feature extraction over decoded WAV samples — the
+    audio-quality gate of a multimodal training pipeline (silence /
+    clipping / DC-stuck detection before paying for transcription or
+    an audio encoder).  Everything is EXACT integers so the DuckDB
+    oracle reproduces it from the generator closed form bit-for-bit:
+
+    * ``sum_sq`` — Σ s² (BIGINT; RMS = sqrt(sum_sq/n) is left to the
+      reader precisely because sqrt is float) — silence ≈ 0;
+    * ``peak_abs`` — max |s| — clipping sits at 32767/32768;
+    * ``zero_crossings`` — #{i : s_i·s_{i+1} < 0} — a crude but
+      classic pitch/noisiness signal.
+
+    Non-WAV payloads drop (this is the audio lane; the mixed-corpus
+    meta lives in ``extract_media_meta``).  Zero shuffle: pruned
+    (url, payload) scan → Arrow ``mapInPandas``."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            recs = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                dec = decode_media(b)
+                if dec is None or dec["codec"] != "wav":
+                    continue
+                s = np.asarray(dec["values"], dtype=np.int64)
+                recs.append(
+                    {
+                        "url": url,
+                        "n_samples": len(s),
+                        "sample_rate": dec["sample_rate"],
+                        "sum_sq": int((s * s).sum()),
+                        "peak_abs": int(np.abs(s).max()) if len(s) else 0,
+                        "zero_crossings": int(
+                            ((s[:-1] * s[1:]) < 0).sum()
+                        ) if len(s) > 1 else 0,
+                    }
+                )
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "url", "n_samples", "sample_rate", "sum_sq",
+                    "peak_abs", "zero_crossings",
+                ],
+            )
+
+    return pages.select("url", payload_col).mapInPandas(
+        fn, AUDIO_FEATURES_SCHEMA
+    )
+
+
+IMAGE_STATS_SCHEMA = (
+    "url string, width int, height int, n_channels int, "
+    "sum_px long, min_px int, max_px int, n_distinct int"
+)
+
+
+def media_image_stats(
+    pages: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image statistics over decoded PNG pixels — the image-DQ
+    gate (all-black / blown-out / low-entropy screenshots) run before
+    an image encoder sees the corpus.  Exact integers only (sum, min,
+    max, distinct pixel values), so the oracle recomputes them from
+    the generator closed form.  Non-PNG payloads drop (image lane).
+    Zero shuffle: pruned scan → Arrow ``mapInPandas``."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            recs = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                dec = decode_media(b)
+                if dec is None or dec["codec"] != "png":
+                    continue
+                px = np.asarray(dec["values"], dtype=np.int64)
+                recs.append(
+                    {
+                        "url": url,
+                        "width": dec["width"],
+                        "height": dec["height"],
+                        "n_channels": dec["n_channels"],
+                        "sum_px": int(px.sum()),
+                        "min_px": int(px.min()),
+                        "max_px": int(px.max()),
+                        "n_distinct": int(len(np.unique(px))),
+                    }
+                )
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "url", "width", "height", "n_channels",
+                    "sum_px", "min_px", "max_px", "n_distinct",
+                ],
+            )
+
+    return pages.select("url", payload_col).mapInPandas(
+        fn, IMAGE_STATS_SCHEMA
+    )

@@ -2686,3 +2686,54 @@ SELECT t.url, t.decoder, CAST(t.n AS BIGINT) AS n_vals,
     ELSE 0 END) AS BIGINT) AS phash
 FROM tot t JOIN blk USING (url)
 GROUP BY t.url, t.decoder, t.n"""
+
+
+def media_audio_features_sql() -> str:
+    """Oracle twin of ``multimodal.media_audio_features``: exact
+    integer Σs², max|s|, and sign-product zero crossings over the WAV
+    generator closed form — list folds, no codec, no float."""
+    sample = "(d*131 + i*7) % 65536 - 32768"
+    nxt = "(d*131 + (i+1)*7) % 65536 - 32768"
+    return f"""WITH ids AS (SELECT doc_id AS d FROM documents),
+wav AS (
+  SELECT d, 16 + d % 50 AS n,
+    'media://' || lpad(CAST(d AS VARCHAR), 8, '0') || '.wav' AS url
+  FROM ids WHERE d % 3 = 1
+)
+SELECT url, CAST(n AS BIGINT) AS n_samples,
+  CAST(8000 + (d % 4) * 4000 AS INT) AS sample_rate,
+  CAST(list_sum(list_transform(generate_series(0, CAST(n AS INT) - 1),
+    i -> ({sample}) * ({sample}))) AS BIGINT) AS sum_sq,
+  CAST(list_max(list_transform(generate_series(0, CAST(n AS INT) - 1),
+    i -> abs({sample}))) AS INT) AS peak_abs,
+  CAST(coalesce(list_sum(list_transform(
+      generate_series(0, CAST(n AS INT) - 2),
+      i -> CASE WHEN ({sample}) * ({nxt}) < 0 THEN 1 ELSE 0 END)), 0)
+    AS BIGINT) AS zero_crossings
+FROM wav"""
+
+
+def media_image_stats_sql() -> str:
+    """Oracle twin of ``multimodal.media_image_stats``: exact integer
+    sum/min/max/distinct over the PNG pixel generator closed form."""
+    px = "(d*31 + i) % 256"
+    return f"""WITH ids AS (SELECT doc_id AS d FROM documents),
+png AS (
+  SELECT d, 4 + d % 13 AS w, 3 + d % 7 AS h,
+    CASE WHEN d % 2 = 0 THEN 1 ELSE 3 END AS ch,
+    'media://' || lpad(CAST(d AS VARCHAR), 8, '0') || '.png' AS url
+  FROM ids WHERE d % 3 = 0
+),
+lst AS (
+  SELECT url, w, h, ch,
+    list_transform(generate_series(0, CAST(w*h*ch AS INT) - 1),
+      i -> {px}) AS px
+  FROM png
+)
+SELECT url, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(ch AS INT) AS n_channels,
+  CAST(list_sum(px) AS BIGINT) AS sum_px,
+  CAST(list_min(px) AS INT) AS min_px,
+  CAST(list_max(px) AS INT) AS max_px,
+  CAST(len(list_distinct(px)) AS INT) AS n_distinct
+FROM lst"""

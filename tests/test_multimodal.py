@@ -272,3 +272,59 @@ def test_phash_real_is_compression_invariant(spark):
     assert rows["m://a.png"]["phash"] == rows["m://b.png"]["phash"]
     assert rows["m://a.png"]["decoder"] == "png"
     assert rows["m://a.png"]["n_vals"] == w * h
+
+
+def test_audio_features_silence_clipping_and_crossings(spark):
+    """The DQ edge cases the audio gate exists for: silence (zero
+    energy, zero crossings), full-scale clipping (peak at 32767), and
+    a maximally-alternating signal (n-1 crossings)."""
+    from gclog_parser_spark.operators.mediacodec import wav_encode
+    from gclog_parser_spark.operators.multimodal import (
+        media_audio_features,
+    )
+
+    silence = wav_encode([0] * 50)
+    clipped = wav_encode([32767, -32768] * 10)
+    alt = wav_encode([100, -100] * 8)
+    pages = spark.createDataFrame(
+        [("m://sil.wav", bytearray(silence)),
+         ("m://clip.wav", bytearray(clipped)),
+         ("m://alt.wav", bytearray(alt)),
+         ("m://not-audio", b"<html>x</html>")],
+        "url string, payload binary",
+    )
+    rows = {r["url"]: r for r in media_audio_features(pages).collect()}
+    assert set(rows) == {"m://sil.wav", "m://clip.wav", "m://alt.wav"}
+    s = rows["m://sil.wav"]
+    assert (s["sum_sq"], s["peak_abs"], s["zero_crossings"]) == (0, 0, 0)
+    c = rows["m://clip.wav"]
+    assert c["peak_abs"] == 32768 and c["zero_crossings"] == 19
+    a = rows["m://alt.wav"]
+    assert a["sum_sq"] == 16 * 100 * 100
+    assert a["zero_crossings"] == 15
+
+
+def test_image_stats_flat_vs_gradient(spark):
+    """All-black flags as degenerate (n_distinct=1, sum 0); a gradient
+    reports exact sum/min/max/distinct."""
+    from gclog_parser_spark.operators.mediacodec import png_encode
+    from gclog_parser_spark.operators.multimodal import (
+        media_image_stats,
+    )
+
+    black = png_encode(8, 4, bytes(32))
+    grad = png_encode(8, 4, bytes(range(32)))
+    pages = spark.createDataFrame(
+        [("m://black.png", bytearray(black)),
+         ("m://grad.png", bytearray(grad))],
+        "url string, payload binary",
+    )
+    rows = {r["url"]: r for r in media_image_stats(pages).collect()}
+    b = rows["m://black.png"]
+    assert (b["sum_px"], b["min_px"], b["max_px"], b["n_distinct"]) == (
+        0, 0, 0, 1
+    )
+    g = rows["m://grad.png"]
+    assert (g["sum_px"], g["min_px"], g["max_px"], g["n_distinct"]) == (
+        sum(range(32)), 0, 31, 32
+    )
