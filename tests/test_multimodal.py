@@ -328,3 +328,67 @@ def test_image_stats_flat_vs_gradient(spark):
     assert (g["sum_px"], g["min_px"], g["max_px"], g["n_distinct"]) == (
         sum(range(32)), 0, 31, 32
     )
+
+
+def test_png_roundtrip_property_fuzz():
+    """Property fuzz (no Spark): ANY 8-bit grey/RGB image with ANY
+    per-row filter assignment must round-trip byte-identically through
+    the stdlib codec pair, at any zlib level."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gclog_parser_spark.operators.mediacodec import (
+        png_decode,
+        png_encode,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 16),
+        ch=st.sampled_from([1, 3]),
+        seed=st.integers(0, 2**31),
+        level=st.sampled_from([0, 6]),
+        data=st.data(),
+    )
+    def _case(w, h, ch, seed, level, data):
+        px = bytes((seed + i * 17) % 256 for i in range(w * h * ch))
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        b = png_encode(
+            w, h, px, channels=ch, filters=filters, level=level
+        )
+        dec = png_decode(b)
+        assert (dec["width"], dec["height"], dec["n_channels"]) == (
+            w, h, ch
+        )
+        assert bytes(dec["values"]) == px
+
+    _case()
+
+
+def test_wav_roundtrip_property_fuzz():
+    """Any int16 sample sequence and rate round-trips exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gclog_parser_spark.operators.mediacodec import (
+        wav_decode,
+        wav_encode,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(-32768, 32767), min_size=1, max_size=200
+        ),
+        rate=st.integers(1000, 96000),
+    )
+    def _case(samples, rate):
+        dec = wav_decode(wav_encode(samples, framerate=rate))
+        assert dec["values"] == samples
+        assert dec["sample_rate"] == rate
+        assert dec["n_frames"] == len(samples)
+
+    _case()
