@@ -3086,6 +3086,17 @@ def q_media_image_stats(spark, sf_dir):
     return media_image_stats(media_pages(spark, sf_dir))
 
 
+def q_corpus_manifest(spark, sf_dir):
+    """Per-shard release manifest (round-5): doc count, exact token
+    total, id range, order-invariant exact content checksum (60-bit
+    md5 ticks summed in DECIMAL(38,0)) for every token-budget shard —
+    the release-equality artifact that avoids re-hashing terabytes
+    (operators/sampling.corpus_manifest)."""
+    from gclog_parser_spark.operators.sampling import corpus_manifest
+
+    return corpus_manifest(_docs(spark, sf_dir), n_groups=SHARD_GROUPS)
+
+
 def q_rel_table_stats(spark, sf_dir):
     """ANALYZE-style column profile of the events table — one-scan
     multi-aggregate (nulls / exact NDV / numeric min-max / string
@@ -4031,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_real": q_media_phash_real,
         "media_audio_features": q_media_audio_features,
         "media_image_stats": q_media_image_stats,
+        "corpus_manifest": q_corpus_manifest,
         "gc_event_counts": q_gc_event_counts,
         "gc_events_full": q_gc_events_full,
         "gc_events_full_window": q_gc_events_full_window,
@@ -4503,6 +4515,9 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
     out["media_phash_real"] = ot.media_phash_real_sql()
     out["media_audio_features"] = ot.media_audio_features_sql()
     out["media_image_stats"] = ot.media_image_stats_sql()
+    out["corpus_manifest"] = ot.corpus_manifest_sql(
+        n_groups=SHARD_GROUPS
+    )
 
     out["rel_agg_lineitem"] = (
         "SELECT l_returnflag, l_linestatus,"

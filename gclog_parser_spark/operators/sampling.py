@@ -493,3 +493,49 @@ def epoch_shuffle(
         "shard",
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+def corpus_manifest(
+    docs: DataFrame,
+    tokens_per_shard: int = 4096,
+    n_groups: int | None = None,
+) -> DataFrame:
+    """Per-shard release MANIFEST — the reproducibility artifact a
+    training-data release ships next to its shards: for every
+    ``shard_by_tokens`` output shard, the doc count, exact token
+    total, id range, and an ORDER-INVARIANT content checksum (exact
+    sum of per-doc 60-bit md5 ticks over ``doc_id:text``, accumulated
+    in DECIMAL(38,0) so 10^12 docs cannot overflow).  Two re-runs of
+    the pipeline produce byte-equal manifests iff they produced the
+    same shards with the same content — the cheap release-equality
+    check that avoids re-hashing terabytes pairwise.
+
+    Scale shape: the shard assignment's own grouped window (one
+    exchange), a doc_id equi-join back to the text (co-keyed, AQE
+    handles skew), and ONE (shard_group, shard_idx) partial-aggregated
+    exchange; checksum addition is commutative so map-side combine
+    does most of the work."""
+    sh = shard_by_tokens(
+        docs, tokens_per_shard=tokens_per_shard, n_groups=n_groups
+    )
+    tick = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.col("text")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(20,0)")
+    joined = docs.select("doc_id", tick.alias("tick")).join(sh, "doc_id")
+    return joined.groupBy("shard_group", "shard_idx").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("tick").cast("decimal(38,0)").alias("content_checksum"),
+    )

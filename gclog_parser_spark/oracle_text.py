@@ -2737,3 +2737,30 @@ SELECT url, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
   CAST(list_max(px) AS INT) AS max_px,
   CAST(len(list_distinct(px)) AS INT) AS n_distinct
 FROM lst"""
+
+
+def corpus_manifest_sql(
+    tokens_per_shard: int = 4096, n_groups: int = 8
+) -> str:
+    """Oracle twin of ``sampling.corpus_manifest``: the shard CTE plus
+    an order-invariant exact checksum (BIGINT 60-bit md5 ticks, HUGEINT
+    sum on the DuckDB side vs DECIMAL(38,0) on Spark — both exact)."""
+    shards = shard_by_tokens_sql(
+        tokens_per_shard=tokens_per_shard, n_groups=n_groups
+    )
+    return f"""WITH sh AS ({shards}),
+ticks AS (
+  SELECT doc_id,
+    CAST('0x' || substr(
+      md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)
+      AS BIGINT) AS tick
+  FROM documents
+)
+SELECT sh.shard_group, sh.shard_idx,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(sh.doc_tokens) AS BIGINT) AS n_tokens,
+  min(sh.doc_id) AS min_doc_id,
+  max(sh.doc_id) AS max_doc_id,
+  sum(t.tick) AS content_checksum
+FROM sh JOIN ticks t USING (doc_id)
+GROUP BY sh.shard_group, sh.shard_idx"""

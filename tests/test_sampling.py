@@ -520,3 +520,39 @@ def test_epoch_shuffle_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in plan
+
+
+def test_corpus_manifest_rerun_stable_and_content_sensitive(spark, sf_dir):
+    """The release-equality property the manifest exists for: two runs
+    over identical content produce BYTE-EQUAL manifests; flipping one
+    character in one document changes exactly that doc's shard row
+    checksum (n_docs/n_tokens unchanged when the token count is
+    unchanged), never any other row."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.sampling import corpus_manifest
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    m1 = sorted(map(tuple, corpus_manifest(docs, n_groups=8).collect()))
+    m2 = sorted(map(tuple, corpus_manifest(docs, n_groups=8).collect()))
+    assert m1 == m2 and m1  # re-run byte-stable
+
+    tweaked = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("!"))
+        ).otherwise(F.col("text")),
+    )
+    m3 = sorted(
+        map(tuple, corpus_manifest(tweaked, n_groups=8).collect())
+    )
+    assert m3 != m1
+    diff = [(a, b) for a, b in zip(m1, m3) if a != b]
+    assert len(diff) == 1  # exactly one shard row moved
+    a, b = diff[0]
+    assert a[:2] == b[:2]  # same (shard_group, shard_idx)
+    assert a[2] == b[2]    # n_docs unchanged
+    assert a[-1] != b[-1]  # checksum caught the edit
