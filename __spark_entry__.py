@@ -445,6 +445,17 @@ def q_gc_fullgc_pressure(spark, sf_dir):
     return fullgc_pressure(_events(spark, sf_dir))
 
 
+def q_gc_pause_cusum(spark, sf_dir):
+    """Per-JVM CUSUM drift detector over pause series (round-5):
+    Page's cumulative-sum rule as TWO window functions via the prefix
+    identity S_i = P_i - min(0, min_j<=i P_j) — exact 0.1 us BIGINT
+    ticks, one url exchange shared by both windows
+    (operators/rates.pause_cusum)."""
+    from gclog_parser_spark.operators.rates import pause_cusum
+
+    return pause_cusum(_events(spark, sf_dir))
+
+
 def q_gc_overhead(spark, sf_dir):
     """Per-JVM GC overhead pct: 0.1 µs pause ticks over the whole
     aged-event span, one IEEE division, scan -> partial agg -> one
@@ -4065,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_cms_spans": q_gc_cms_spans,
         "gc_fullgc_pressure": q_gc_fullgc_pressure,
         "gc_overhead": q_gc_overhead,
+        "gc_pause_cusum": q_gc_pause_cusum,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -4243,6 +4255,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_cms_spans"] = oracle.cms_spans_sql()
     out["gc_fullgc_pressure"] = oracle.fullgc_pressure_sql()
     out["gc_overhead"] = oracle.gc_overhead_sql()
+    out["gc_pause_cusum"] = oracle.pause_cusum_sql()
 
     out["gc_tsv_export"] = oracle.tsv_export_sql()
     out["gc_graphite_export"] = oracle.graphite_export_sql()

@@ -247,3 +247,56 @@ def gc_overhead(events: DataFrame) -> DataFrame:
             ),
         ).alias("overhead_pct"),
     )
+
+
+def pause_cusum(
+    events: DataFrame,
+    target_ms: int = 100,
+    threshold_ms: int = 500,
+) -> DataFrame:
+    """Per-JVM CUSUM drift detector over the pause series — the
+    change-point alarm between :func:`heap_trend` (slope over the
+    whole log) and ``aggregate.mad_anomalies`` (point outliers):
+    CUSUM accumulates small sustained regressions that neither of
+    those flags (Page 1954's cumulative-sum rule, the standard SPC
+    drift chart).  S_i = max(0, S_{i-1} + (pause_i − target)); alarm
+    when S crosses the threshold.  (The reference exports raw pause
+    series via TSV/graphite, OutputFormat.scala; the detector is new
+    surface under the north rule's aggregate charter.)
+
+    The recurrence looks inherently sequential, but the classic prefix
+    identity S_i = P_i − min(0, min_{j≤i} P_j) (P = running sum of the
+    deviations) turns it into TWO window functions over one (url,
+    event_idx) sort — fully distributed, no Python, no iteration.
+    All state is exact 0.1 µs BIGINT ticks (the ``gc_overhead``
+    convention), so the DuckDB twin matches bit-for-bit.
+
+    Plan: pause rows filter scan-side → ONE url exchange whose sort
+    both windows share → codegen projections.  Output one row per
+    timed pause with its running CUSUM and alarm flag."""
+    target_ticks = target_ms * 10_000  # ms → 0.1 µs ticks
+    threshold_ticks = threshold_ms * 10_000
+    pauses = events.where(F.col("pause_seconds").isNotNull()).select(
+        "url",
+        "event_idx",
+        F.round(F.col("pause_seconds") * 10_000_000)
+        .cast("long")
+        .alias("pause_ticks"),
+    )
+    w = (
+        Window.partitionBy("url")
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pfx = pauses.withColumn(
+        "_p",
+        F.sum(F.col("pause_ticks") - F.lit(target_ticks)).over(w),
+    )
+    cusum = F.col("_p") - F.least(F.lit(0).cast("long"), F.min("_p").over(w))
+    return pfx.select(
+        "url",
+        "event_idx",
+        "pause_ticks",
+        cusum.alias("cusum_ticks"),
+        (cusum >= threshold_ticks).alias("alarm"),
+    )

@@ -1624,3 +1624,35 @@ SELECT url,
 FROM typed
 GROUP BY url
 """
+
+
+def pause_cusum_sql(target_ms: int = 100, threshold_ms: int = 500) -> str:
+    """Oracle for rates.pause_cusum: the same prefix identity
+    S_i = P_i − min(0, min_{j≤i} P_j) as two SQL windows over exact
+    0.1 µs ticks."""
+    tt = target_ms * 10_000
+    th = threshold_ms * 10_000
+    return gcline_prefix(f"""pauses AS (
+  SELECT url, event_idx,
+    CAST(round(pause_seconds * 10000000) AS BIGINT) AS pause_ticks
+  FROM gc_events
+  WHERE pause_seconds IS NOT NULL
+),
+pfx AS (
+  SELECT url, event_idx, pause_ticks,
+    sum(pause_ticks - {tt}) OVER (
+      PARTITION BY url ORDER BY event_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM pauses
+)""") + f"""
+SELECT url, event_idx, pause_ticks,
+  p - least(CAST(0 AS BIGINT), min(p) OVER (
+      PARTITION BY url ORDER BY event_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    AS cusum_ticks,
+  (p - least(CAST(0 AS BIGINT), min(p) OVER (
+      PARTITION BY url ORDER BY event_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) >= {th}
+    AS alarm
+FROM pfx
+"""

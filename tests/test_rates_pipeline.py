@@ -286,3 +286,36 @@ def test_gc_overhead_pinned(spark):
     assert c["n_pauses"] == 0
     assert c["pause_ticks_sum"] == 0
     assert c["overhead_pct"] is None
+
+
+def test_pause_cusum_catches_sustained_drift_and_resets(spark):
+    """The case CUSUM exists for: a sustained +30 ms drift (far too
+    small for point-outlier detection) accumulates and alarms, and the
+    max(0, ·) floor resets after a better-than-target stretch.  Checked
+    against a literal sequential replay of Page's recurrence."""
+    from gclog_parser_spark.operators.rates import pause_cusum
+
+    series = [0.100] * 20 + [0.130] * 20 + [0.050] * 13 + [0.130] * 5
+    rows = [("jvm://a", i, p) for i, p in enumerate(series)]
+    ev = spark.createDataFrame(
+        rows, "url string, event_idx int, pause_seconds double"
+    )
+    got = {
+        r["event_idx"]: (r["cusum_ticks"], r["alarm"])
+        for r in pause_cusum(ev, target_ms=100, threshold_ms=500).collect()
+    }
+
+    s, want = 0, {}
+    for i, p in enumerate(series):
+        s = max(0, s + round(p * 10_000_000) - 1_000_000)
+        want[i] = (s, s >= 5_000_000)
+    assert got == want
+    # drift phase: no alarm during the on-target prefix, alarm fires
+    # inside the +30ms stretch (after ceil(500/30)=17 drift events)
+    assert not any(a for i, (_, a) in got.items() if i < 20 + 16)
+    assert got[20 + 17][1] and got[39][1]
+    # the better-than-target stretch (6.0M accumulated, −0.5M per good
+    # event → 12 events) drains the statistic to zero
+    assert got[52][0] == 0 and not got[52][1]
+    # and the tail's 5 drift events alone cannot re-alarm
+    assert not got[57][1]
