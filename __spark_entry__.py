@@ -456,6 +456,45 @@ def q_gc_pause_cusum(spark, sf_dir):
     return pause_cusum(_events(spark, sf_dir))
 
 
+def q_gc_stream_cusum(spark, sf_dir):
+    """Streaming CUSUM drift alarm (round-5): pages stream → parse →
+    applyInPandasWithState CUSUM with O(1) two-BIGINT-word state per
+    JVM (streaming/stateful.stateful_cusum) — value-checked against
+    the SAME DuckDB oracle as the batch window operator, so stream
+    and batch are interchangeable tick-for-tick."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.streaming.stateful import stateful_cusum
+    from gclog_parser_spark.streaming.stream import stream_pages
+
+    base = tempfile.mkdtemp(prefix="gps_stream_")
+    inp = f"{base}/pages"
+    pages_from_documents(spark, sf_dir).repartition(3).write.parquet(inp)
+    _STREAM_SEQ[0] += 1
+    qname = f"gps_stream_cusum_{_STREAM_SEQ[0]}"
+    stream = parse_events(
+        stream_pages(spark, inp, max_files_per_trigger=2),
+        stitch="narrow",
+    )
+    q = (
+        stateful_cusum(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("gc_stream_cusum: stream timed out (600 s)")
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.table(qname).select(
+        "url", "event_idx", "pause_ticks", "cusum_ticks", "alarm"
+    )
+
+
 def q_gc_overhead(spark, sf_dir):
     """Per-JVM GC overhead pct: 0.1 µs pause ticks over the whole
     aged-event span, one IEEE division, scan -> partial agg -> one
@@ -4077,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_fullgc_pressure": q_gc_fullgc_pressure,
         "gc_overhead": q_gc_overhead,
         "gc_pause_cusum": q_gc_pause_cusum,
+        "gc_stream_cusum": q_gc_stream_cusum,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
         "gc_rates": q_gc_rates,
@@ -4256,6 +4296,8 @@ def oracle_sql() -> dict[str, str]:
     out["gc_fullgc_pressure"] = oracle.fullgc_pressure_sql()
     out["gc_overhead"] = oracle.gc_overhead_sql()
     out["gc_pause_cusum"] = oracle.pause_cusum_sql()
+    # the stream must equal the batch operator, so it shares its oracle
+    out["gc_stream_cusum"] = oracle.pause_cusum_sql()
 
     out["gc_tsv_export"] = oracle.tsv_export_sql()
     out["gc_graphite_export"] = oracle.graphite_export_sql()

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StructField,
     StructType,
@@ -162,5 +163,91 @@ def stateful_rates(
         # empty batch (PythonSQLMetrics on a null session).  State stays
         # one 16-byte tuple per live log; evict via ``end_marker_col``
         # or by restarting the query per processing epoch.
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("p_sum", LongType()),
+        StructField("p_min", LongType()),
+    ]
+)
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("url", EVENTS_SCHEMA["url"].dataType),
+        StructField("event_idx", EVENTS_SCHEMA["event_idx"].dataType),
+        StructField("pause_ticks", LongType()),
+        StructField("cusum_ticks", LongType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+
+def stateful_cusum(
+    events: DataFrame,
+    target_ms: int = 100,
+    threshold_ms: int = 500,
+    end_marker_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``rates.pause_cusum`` — the always-on pause
+    drift alarm: per-url CUSUM carried across micro-batches as TWO
+    BIGINT words of state, (running deviation sum P, running min of
+    P).  The prefix identity S = P − min(0, min P) makes the state
+    O(1) per live JVM forever — no pause history is retained — and
+    the emitted rows are BIT-IDENTICAL to the batch operator on the
+    same event sequence (pinned in tests): an on-call can swap the
+    nightly batch scan for the live stream and read the same ticks.
+
+    Same eviction contract as :func:`stateful_rates`
+    (``end_marker_col``; NoTimeout — see that docstring)."""
+    target_ticks = target_ms * 10_000
+    threshold_ticks = threshold_ms * 10_000
+    cols = ["url", "event_idx", "pause_seconds"] + (
+        [end_marker_col] if end_marker_col else []
+    )
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            p_sum, p_min = state.get
+        else:
+            p_sum, p_min = 0, 0
+        log_ended = False
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["event_idx"])
+            if end_marker_col is not None and bool(
+                pdf[end_marker_col].fillna(False).any()
+            ):
+                log_ended = True
+            for rec in pdf.to_dict("records"):
+                if pd.isna(rec["pause_seconds"]):
+                    continue
+                ticks = int(round(rec["pause_seconds"] * 10_000_000))
+                p_sum += ticks - target_ticks
+                p_min = min(p_min, p_sum)
+                cusum = p_sum - min(0, p_min)
+                out.append(
+                    {
+                        "url": rec["url"],
+                        "event_idx": rec["event_idx"],
+                        "pause_ticks": ticks,
+                        "cusum_ticks": cusum,
+                        "alarm": cusum >= threshold_ticks,
+                    }
+                )
+        if log_ended:
+            state.remove()
+        else:
+            state.update((p_sum, p_min))
+        cols_out = [f.name for f in CUSUM_SCHEMA.fields]
+        yield pd.DataFrame.from_records(out, columns=cols_out)
+
+    return events.select(*cols).groupBy("url").applyInPandasWithState(
+        fn,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

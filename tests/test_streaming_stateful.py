@@ -137,3 +137,74 @@ def test_stateful_rates_end_marker_evicts(spark, tmp_path):
     assert len(got) == 14
     assert got[:7] == want
     assert got[7:] == want
+
+
+def test_stateful_cusum_matches_batch_across_batches(spark, tmp_path):
+    """The streaming CUSUM (O(1) two-word state per JVM) must emit
+    BIT-IDENTICAL rows to the batch window operator when the same log
+    arrives split across micro-batches — the swap-batch-for-stream
+    guarantee."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.parse import parse_events
+    from gclog_parser_spark.operators.rates import pause_cusum
+    from gclog_parser_spark.streaming.stateful import stateful_cusum
+
+    text = fixture_text("basic8")
+    lines = text.strip().split("\n")
+    url = "tail://app-c/gc.log"
+    ts = datetime(2016, 11, 10, 4, 0, 0)
+    inp = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+
+    def page(chunk):
+        return spark.createDataFrame(
+            [(url, ts, None, chunk, "en")], PAGES_SCHEMA
+        )
+
+    page("\n".join(lines[:3])).write.mode("append").parquet(inp)
+    time.sleep(1.1)
+    page("\n".join(lines[3:])).write.mode("append").parquet(inp)
+
+    stream = parse_events(
+        stream_pages(spark, inp, max_files_per_trigger=1),
+        require_marker=False,
+    )
+    q = (
+        stateful_cusum(stream, target_ms=50, threshold_ms=100)
+        .writeStream.format("memory")
+        .queryName("t_cusum")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        (r["pause_ticks"], r["cusum_ticks"], r["alarm"])
+        for r in spark.sql("select * from t_cusum").collect()
+    )
+
+    # batch twin over the SAME cross-batch event order: jvm age is the
+    # order (line_no/event_idx restart per page), so re-index by it
+    whole = parse_events(
+        page(text).withColumnRenamed("html", "html"), stitch="narrow",
+        require_marker=False,
+    )
+    from pyspark.sql import Window
+
+    reordered = whole.withColumn(
+        "event_idx",
+        F.row_number().over(
+            Window.partitionBy("url").orderBy("jvm_age_seconds", "line_no")
+        ),
+    )
+    want = sorted(
+        (r["pause_ticks"], r["cusum_ticks"], r["alarm"])
+        for r in pause_cusum(
+            reordered, target_ms=50, threshold_ms=100
+        ).collect()
+    )
+    assert got == want and got
+    # the fixture's big pauses actually trip the alarm at this target
+    assert any(a for _, _, a in got)
