@@ -174,3 +174,49 @@ def test_embedding_session_ops_empty(spark):
         assert ann_recall_at_k(
             empty_emb, [0, 1], k=5, method=m
         ).count() == 0
+
+
+def test_round5_media_and_cusum_ops_empty(spark, empty_docs):
+    """Round-5 operators over empty input: total, schema intact."""
+    from gclog_parser_spark.operators.multimodal import (
+        decode_media_features,
+        media_audio_features,
+        media_image_stats,
+        media_phash_real,
+        resize_media_real,
+    )
+    from gclog_parser_spark.operators.rates import pause_cusum
+    from gclog_parser_spark.operators.sampling import corpus_manifest
+    from gclog_parser_spark.operators.similarity import neardup_pairs
+    from gclog_parser_spark.operators.enrich import (
+        g1_humongous,
+        g1_humongous_stats,
+    )
+
+    empty_media = spark.createDataFrame(
+        [], "url string, payload binary"
+    )
+    for op in (
+        decode_media_features, media_audio_features,
+        media_image_stats, media_phash_real, resize_media_real,
+    ):
+        out = op(empty_media)
+        assert out.count() == 0 and len(out.columns) >= 3, op.__name__
+
+    empty_pages = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string,"
+        " lang string"
+    )
+    assert g1_humongous(empty_pages).count() == 0
+    assert g1_humongous_stats(empty_pages).count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [], "url string, event_idx int, pause_seconds double"
+    )
+    assert pause_cusum(empty_ev).count() == 0
+    assert corpus_manifest(empty_docs, n_groups=4).count() == 0
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id int, embedding array<float>, label string"
+    )
+    assert neardup_pairs(empty_emb, scorer="blas", dim=8).count() == 0
