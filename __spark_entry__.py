@@ -495,6 +495,18 @@ def q_gc_stream_cusum(spark, sf_dir):
     )
 
 
+def q_gc_slo_burn(spark, sf_dir):
+    """Multi-window SLO burn-rate alert (round-5): short/long fixed
+    age-bucket windows over 0.1 us pause ticks, restart-run split,
+    one IEEE division per burn rate, alarm only when BOTH windows
+    burn >= threshold x budget — the SRE-workbook alert-policy layer
+    over gc_overhead/fullgc_pressure/pause_cusum
+    (operators/rates.slo_burn)."""
+    from gclog_parser_spark.operators.rates import slo_burn
+
+    return slo_burn(_events(spark, sf_dir))
+
+
 def q_gc_overhead(spark, sf_dir):
     """Per-JVM GC overhead pct: 0.1 µs pause ticks over the whole
     aged-event span, one IEEE division, scan -> partial agg -> one
@@ -4116,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_fullgc_pressure": q_gc_fullgc_pressure,
         "gc_overhead": q_gc_overhead,
         "gc_pause_cusum": q_gc_pause_cusum,
+        "gc_slo_burn": q_gc_slo_burn,
         "gc_stream_cusum": q_gc_stream_cusum,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
@@ -4296,6 +4309,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_fullgc_pressure"] = oracle.fullgc_pressure_sql()
     out["gc_overhead"] = oracle.gc_overhead_sql()
     out["gc_pause_cusum"] = oracle.pause_cusum_sql()
+    out["gc_slo_burn"] = oracle.slo_burn_sql()
     # the stream must equal the batch operator, so it shares its oracle
     out["gc_stream_cusum"] = oracle.pause_cusum_sql()
 

@@ -300,3 +300,104 @@ def pause_cusum(
         cusum.alias("cusum_ticks"),
         (cusum >= threshold_ticks).alias("alarm"),
     )
+
+
+def slo_burn(
+    events: DataFrame,
+    short_s: int = 60,
+    long_s: int = 300,
+    slo: float = 0.01,
+    burn_threshold: float = 1.0,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alert over GC pause time — the SRE-
+    workbook pattern (Beyer et al. 2018, ch. 5) applied to the pause
+    budget: with an SLO of ``slo`` (fraction of wall time the JVM may
+    spend paused), the burn rate of a window is paused-share / slo,
+    and a page fires only when BOTH a long window (sustained) and its
+    current short window (still happening) burn at ≥ ``burn_threshold``
+    × budget.  Completes the ops-analytics family: gc_overhead is the
+    whole-life average, fullgc_pressure the thrash detector,
+    pause_cusum the drift alarm — this is the *alert policy* layer
+    that decides when the numbers page a human.  (The reference
+    exports raw pause series via TSV/graphite, OutputFormat.scala;
+    the alert rollup is new surface under the north rule's aggregate
+    charter.)
+
+    Windows are fixed buckets of the JVM-age axis (``age_ms div
+    (short_s·1000)``); ``long_s`` must be an integer multiple of
+    ``short_s`` so every short bucket nests exactly in one long
+    bucket (``s_bucket div (long_s/short_s)``).  A jvm_age reset
+    mid-url (a restart appended to the same log) would fold two runs
+    into one window, so consecutive-pause age decreases start a new
+    ``run_id`` — the fullgc_pressure restart rule, applied before
+    bucketing, in BOTH engines.
+
+    Exact cross-engine math: pause ticks are 0.1 µs BIGINT (the
+    gc_overhead convention) summed per bucket; each burn rate is ONE
+    IEEE division of that BIGINT by an exact integer denominator
+    (``window_s · 10^7 · slo`` — callers must pick ``slo`` so this is
+    integral, e.g. 0.01), HALF_UP-rounded to 6 dp; the alarm compares
+    the rounded values, so Spark and DuckDB agree bit-for-bit.
+
+    Plan: filter + project scan-side → ONE url exchange, shared by
+    the restart lag/run-id windows, the (url, run, short-bucket)
+    aggregate, AND the long-window sum — Catalyst accepts
+    hashpartitioning(url) as clustering for every downstream key set
+    (url is a prefix of all of them), so no further shuffle exists in
+    the plan (verified: single Exchange, zero Python post-parse).
+    Output ∝ short windows with ≥ 1 timed pause — thousands of rows
+    per JVM-day at 100 TB, never ∝ events."""
+    if long_s % short_s != 0:
+        raise ValueError("long_s must be a multiple of short_s")
+    k = long_s // short_s
+    den_short = short_s * 10_000_000 * slo
+    den_long = long_s * 10_000_000 * slo
+    if den_short != int(den_short):
+        raise ValueError("short_s * 1e7 * slo must be integral")
+    den_short, den_long = int(den_short), int(den_long)
+
+    pauses = events.where(
+        F.col("pause_seconds").isNotNull()
+        & F.col("jvm_age_seconds").isNotNull()
+    ).select(
+        "url",
+        "event_idx",
+        (F.col("jvm_age_seconds") * 1000).cast("long").alias("age_ms"),
+        F.round(F.col("pause_seconds") * 10_000_000)
+        .cast("long")
+        .alias("pause_ticks"),
+    )
+    wo = Window.partitionBy("url").orderBy("event_idx")
+    runs = pauses.withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("age_ms") < F.lag("age_ms").over(wo), 1
+            ).otherwise(0)
+        ).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    short = runs.groupBy(
+        "url",
+        "run_id",
+        F.expr(f"age_ms div {short_s * 1000}").alias("s_bucket"),
+    ).agg(F.sum("pause_ticks").alias("ticks_short"))
+    wl = Window.partitionBy(
+        "url", "run_id", F.expr(f"s_bucket div {k}")
+    )
+    burn_s = F.round(F.col("ticks_short") / F.lit(den_short), 6)
+    burn_l = F.round(F.col("ticks_long") / F.lit(den_long), 6)
+    return (
+        short.withColumn("ticks_long", F.sum("ticks_short").over(wl))
+        .select(
+            "url",
+            "run_id",
+            (F.col("s_bucket") * short_s).alias("win_start_s"),
+            "ticks_short",
+            "ticks_long",
+            burn_s.alias("burn_short"),
+            burn_l.alias("burn_long"),
+            (
+                (burn_s >= burn_threshold) & (burn_l >= burn_threshold)
+            ).alias("alarm"),
+        )
+    )

@@ -1656,3 +1656,60 @@ SELECT url, event_idx, pause_ticks,
     AS alarm
 FROM pfx
 """
+
+
+def slo_burn_sql(
+    short_s: int = 60,
+    long_s: int = 300,
+    slo: float = 0.01,
+    burn_threshold: float = 1.0,
+) -> str:
+    """Oracle for rates.slo_burn: the same restart-run split, fixed
+    age buckets, exact-BIGINT tick sums, and one-IEEE-division burn
+    rates re-derived as SQL windows (nesting long bucket = s_bucket
+    floor-div k, valid because age_ms >= 0)."""
+    k = long_s // short_s
+    den_short = int(short_s * 10_000_000 * slo)
+    den_long = int(long_s * 10_000_000 * slo)
+    return gcline_prefix(f"""pauses AS (
+  SELECT url, event_idx,
+    CAST(trunc(jvm_age_seconds * 1000) AS BIGINT) AS age_ms,
+    CAST(round(pause_seconds * 10000000) AS BIGINT) AS pause_ticks
+  FROM gc_events
+  WHERE pause_seconds IS NOT NULL AND jvm_age_seconds IS NOT NULL
+),
+slo_flagged AS (
+  SELECT url, event_idx, age_ms, pause_ticks,
+    CASE WHEN age_ms < lag(age_ms) OVER (
+          PARTITION BY url ORDER BY event_idx)
+        THEN 1 ELSE 0 END AS is_reset
+  FROM pauses
+),
+runs AS (
+  SELECT url, age_ms, pause_ticks,
+    sum(is_reset) OVER (
+      PARTITION BY url ORDER BY event_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM slo_flagged
+),
+short AS (
+  SELECT url, run_id, age_ms // {short_s * 1000} AS s_bucket,
+    CAST(sum(pause_ticks) AS BIGINT) AS ticks_short
+  FROM runs GROUP BY url, run_id, s_bucket
+),
+wide AS (
+  SELECT url, run_id, s_bucket, ticks_short,
+    CAST(sum(ticks_short) OVER (
+      PARTITION BY url, run_id, s_bucket // {k}) AS BIGINT)
+      AS ticks_long
+  FROM short
+)""") + f"""
+SELECT url, CAST(run_id AS BIGINT) AS run_id,
+  s_bucket * {short_s} AS win_start_s,
+  ticks_short, ticks_long,
+  round(ticks_short / {den_short}, 6) AS burn_short,
+  round(ticks_long / {den_long}, 6) AS burn_long,
+  (round(ticks_short / {den_short}, 6) >= {burn_threshold}
+   AND round(ticks_long / {den_long}, 6) >= {burn_threshold}) AS alarm
+FROM wide
+"""

@@ -319,3 +319,66 @@ def test_pause_cusum_catches_sustained_drift_and_resets(spark):
     assert got[52][0] == 0 and not got[52][1]
     # and the tail's 5 drift events alone cannot re-alarm
     assert not got[57][1]
+
+
+def test_slo_burn_multiwindow_alert_and_restart_split(spark):
+    """Multi-window SLO burn semantics (round-5): a short-window spike
+    alone must NOT page (the long window dilutes it below budget), a
+    sustained burn pages in every short window, and a jvm_age reset
+    starts a new run so two JVMs sharing a url never share a window.
+    Exact ticks: slo=0.01 -> den_short 6e6, den_long 3e7."""
+    from gclog_parser_spark.operators.rates import slo_burn
+
+    rows = [
+        # url a: spike in bucket 0 only (0.9+0.9s), echo in bucket 1
+        ("a", 1, 10.0, 0.9),
+        ("a", 2, 30.0, 0.9),
+        ("a", 3, 65.0, 0.9),
+        # url b: sustained 0.8s pause every 10s across 0..299s
+        *[("b", i + 1, i * 10.0, 0.8) for i in range(30)],
+        # url c: huge pause, then a restart (age resets) with a tiny one
+        ("c", 1, 10.0, 3.0),
+        ("c", 2, 5.0, 0.06),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "url string, event_idx int, jvm_age_seconds double,"
+        " pause_seconds double",
+    )
+    got = {
+        (r["url"], r["run_id"], r["win_start_s"]): r
+        for r in slo_burn(ev).collect()
+    }
+    # a / bucket 0: burn_short 3.0 but long window 0.9 < 1.0 -> no page
+    a0 = got[("a", 0, 0)]
+    assert (a0["ticks_short"], a0["ticks_long"]) == (18_000_000, 27_000_000)
+    assert (a0["burn_short"], a0["burn_long"]) == (3.0, 0.9)
+    assert not a0["alarm"]
+    # a / bucket 1 (the 65s pause crosses the 60s boundary)
+    a1 = got[("a", 0, 60)]
+    assert (a1["ticks_short"], a1["burn_short"]) == (9_000_000, 1.5)
+    assert not a1["alarm"]
+    # b: every one of the 5 short windows burns 8.0x with long 8.0x
+    for w in range(5):
+        bw = got[("b", 0, w * 60)]
+        assert (bw["burn_short"], bw["burn_long"]) == (8.0, 8.0)
+        assert bw["alarm"]
+    # c: the reset splits runs -- two (run, win 0) rows, only run 0 pages
+    c0, c1 = got[("c", 0, 0)], got[("c", 1, 0)]
+    assert (c0["burn_short"], c0["burn_long"]) == (5.0, 1.0)
+    assert c0["alarm"]
+    assert (c1["ticks_short"], c1["burn_short"]) == (600_000, 0.1)
+    assert not c1["alarm"]
+    assert len(got) == 2 + 5 + 2
+
+
+def test_slo_burn_rejects_bad_windows(spark):
+    from gclog_parser_spark.operators.rates import slo_burn
+
+    ev = spark.createDataFrame(
+        [], "url string, event_idx int, jvm_age_seconds double,"
+        " pause_seconds double"
+    )
+    with pytest.raises(ValueError):
+        slo_burn(ev, short_s=60, long_s=250)
+    assert slo_burn(ev).count() == 0  # empty-input totality
