@@ -507,6 +507,47 @@ def q_gc_slo_burn(spark, sf_dir):
     return slo_burn(_events(spark, sf_dir))
 
 
+def q_gc_stream_slo_burn(spark, sf_dir):
+    """Streaming SLO burn-rate pager (round-5): pages stream → parse →
+    applyInPandasWithState with the OPEN long window as the only state
+    (run_id, last age, long bucket, ≤ k short tick sums per live JVM);
+    windows emit when they close.  Value-checked against the SAME
+    DuckDB oracle as the batch operator (oracle.slo_burn_sql), so the
+    nightly scan and the live alert feed are interchangeable."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.streaming.stateful import stateful_slo_burn
+    from gclog_parser_spark.streaming.stream import stream_pages
+
+    base = tempfile.mkdtemp(prefix="gps_stream_")
+    inp = f"{base}/pages"
+    pages_from_documents(spark, sf_dir).repartition(3).write.parquet(inp)
+    _STREAM_SEQ[0] += 1
+    qname = f"gps_stream_slo_{_STREAM_SEQ[0]}"
+    stream = parse_events(
+        stream_pages(spark, inp, max_files_per_trigger=2),
+        stitch="narrow",
+    )
+    q = (
+        stateful_slo_burn(stream, flush_on_batch_end=True)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("gc_stream_slo_burn: stream timed out (600 s)")
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.table(qname).select(
+        "url", "run_id", "win_start_s", "ticks_short", "ticks_long",
+        "burn_short", "burn_long", "alarm",
+    )
+
+
 def q_gc_overhead(spark, sf_dir):
     """Per-JVM GC overhead pct: 0.1 µs pause ticks over the whole
     aged-event span, one IEEE division, scan -> partial agg -> one
@@ -4129,6 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_overhead": q_gc_overhead,
         "gc_pause_cusum": q_gc_pause_cusum,
         "gc_slo_burn": q_gc_slo_burn,
+        "gc_stream_slo_burn": q_gc_stream_slo_burn,
         "gc_stream_cusum": q_gc_stream_cusum,
         "gc_tsv_export": q_gc_tsv_export,
         "gc_graphite_export": q_gc_graphite_export,
@@ -4310,6 +4352,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_overhead"] = oracle.gc_overhead_sql()
     out["gc_pause_cusum"] = oracle.pause_cusum_sql()
     out["gc_slo_burn"] = oracle.slo_burn_sql()
+    out["gc_stream_slo_burn"] = oracle.slo_burn_sql()
     # the stream must equal the batch operator, so it shares its oracle
     out["gc_stream_cusum"] = oracle.pause_cusum_sql()
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -248,6 +249,159 @@ def stateful_cusum(
         fn,
         outputStructType=CUSUM_SCHEMA,
         stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _half_up6(x: float) -> float:
+    """HALF_UP at 6 dp over the double's shortest decimal repr — the
+    same algorithm as Spark's ``F.round`` (BigDecimal.valueOf →
+    setScale HALF_UP) and DuckDB's ``round``, so the streaming twin's
+    burn doubles are bit-identical to the batch operator's."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+def _slo_schemas(k: int):
+    state = StructType(
+        [
+            StructField("run_id", LongType()),
+            StructField("last_age_ms", LongType()),
+            StructField("l_bucket", LongType()),
+        ]
+        + [StructField(f"t{j}", LongType()) for j in range(k)]
+    )
+    out = StructType(
+        [
+            StructField("url", EVENTS_SCHEMA["url"].dataType),
+            StructField("run_id", LongType()),
+            StructField("win_start_s", LongType()),
+            StructField("ticks_short", LongType()),
+            StructField("ticks_long", LongType()),
+            StructField("burn_short", DoubleType()),
+            StructField("burn_long", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    return state, out
+
+
+def stateful_slo_burn(
+    events: DataFrame,
+    short_s: int = 60,
+    long_s: int = 300,
+    slo: float = 0.01,
+    burn_threshold: float = 1.0,
+    end_marker_col: str | None = None,
+    flush_on_batch_end: bool = False,
+) -> DataFrame:
+    """Streaming twin of ``rates.slo_burn`` — the always-on SLO pager:
+    per-JVM state is the OPEN long window only (run_id, last age, long
+    bucket, and its ≤ k short-bucket tick sums — a handful of BIGINTs,
+    never pause history), and a long window's short rows are emitted
+    the moment the window CLOSES: the jvm age advances past it, a
+    jvm_age reset starts a new run (the batch restart rule), the
+    url's ``end_marker_col`` row arrives (state evicts, as
+    :func:`stateful_rates`), or — with ``flush_on_batch_end`` for
+    whole-log-per-page sources like the pages corpus — the group's
+    batch input ends.  Emitted rows are value-identical to the batch
+    operator (same exact-tick sums; burn doubles HALF_UP-rounded by
+    the same BigDecimal-equivalent rule), so stream and batch share
+    one DuckDB oracle and an on-call can swap the nightly scan for
+    the live alert feed."""
+    if long_s % short_s != 0:
+        raise ValueError("long_s must be a multiple of short_s")
+    k = long_s // short_s
+    den_short = short_s * 10_000_000 * slo
+    den_long = long_s * 10_000_000 * slo
+    if den_short != int(den_short):
+        raise ValueError("short_s * 1e7 * slo must be integral")
+    den_short, den_long = int(den_short), int(den_long)
+    short_ms = short_s * 1000
+    state_schema, out_schema = _slo_schemas(k)
+    cols = ["url", "event_idx", "jvm_age_seconds", "pause_seconds"] + (
+        [end_marker_col] if end_marker_col else []
+    )
+
+    def fn(key, pdf_iter, state):
+        (url,) = key
+        if state.exists:
+            st = state.get
+            run_id, last_age, l_bucket = st[0], st[1], st[2]
+            shorts = list(st[3:])
+        else:
+            run_id, last_age, l_bucket = 0, None, None
+            shorts = [None] * k
+
+        out = []
+
+        def flush():
+            nonlocal shorts, l_bucket
+            if l_bucket is None:
+                return
+            ticks_long = sum(t for t in shorts if t is not None)
+            burn_l = _half_up6(ticks_long / den_long)
+            for j, t in enumerate(shorts):
+                if t is None:
+                    continue
+                burn_s = _half_up6(t / den_short)
+                out.append(
+                    {
+                        "url": url,
+                        "run_id": run_id,
+                        "win_start_s": (l_bucket * k + j) * short_s,
+                        "ticks_short": t,
+                        "ticks_long": ticks_long,
+                        "burn_short": burn_s,
+                        "burn_long": burn_l,
+                        "alarm": burn_s >= burn_threshold
+                        and burn_l >= burn_threshold,
+                    }
+                )
+            shorts, l_bucket = [None] * k, None
+
+        log_ended = False
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["event_idx"])
+            if end_marker_col is not None and bool(
+                pdf[end_marker_col].fillna(False).any()
+            ):
+                log_ended = True
+            for rec in pdf.to_dict("records"):
+                if pd.isna(rec["pause_seconds"]) or pd.isna(
+                    rec["jvm_age_seconds"]
+                ):
+                    continue
+                age_ms = int(rec["jvm_age_seconds"] * 1000)
+                ticks = int(round(rec["pause_seconds"] * 10_000_000))
+                if last_age is not None and age_ms < last_age:
+                    flush()  # restart boundary: close the open window
+                    run_id += 1
+                last_age = age_ms
+                s_bucket = age_ms // short_ms
+                lb = s_bucket // k
+                if l_bucket is not None and lb != l_bucket:
+                    flush()  # age advanced past the open long window
+                l_bucket = lb
+                j = s_bucket - lb * k
+                shorts[j] = (shorts[j] or 0) + ticks
+
+        if log_ended or flush_on_batch_end:
+            flush()
+            state.remove()
+        else:
+            state.update(tuple([run_id, last_age, l_bucket] + shorts))
+        cols_out = [f.name for f in out_schema.fields]
+        yield pd.DataFrame.from_records(out, columns=cols_out)
+
+    return events.select(*cols).groupBy("url").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -208,3 +208,80 @@ def test_stateful_cusum_matches_batch_across_batches(spark, tmp_path):
     assert got == want and got
     # the fixture's big pauses actually trip the alarm at this target
     assert any(a for _, _, a in got)
+
+
+def test_stateful_slo_burn_matches_batch_across_batches(spark, tmp_path):
+    """The streaming SLO pager (state = the one OPEN long window per
+    JVM) must emit value-identical rows to the batch window operator
+    when the same log arrives split across micro-batches; the final
+    open window flushes on the end marker, which also evicts state."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.parse import parse_events
+    from gclog_parser_spark.operators.rates import slo_burn
+    from gclog_parser_spark.streaming.stateful import stateful_slo_burn
+
+    text = fixture_text("basic8")
+    lines = text.strip().split("\n")
+    url = "tail://app-s/gc.log"
+    ts = datetime(2016, 11, 10, 4, 0, 0)
+    inp = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+
+    def page(chunk):
+        return spark.createDataFrame(
+            [(url, ts, None, chunk, "en")], PAGES_SCHEMA
+        )
+
+    page("\n".join(lines[:3])).write.mode("append").parquet(inp)
+    time.sleep(1.1)
+    page("\n".join(lines[3:])).write.mode("append").parquet(inp)
+
+    evs = parse_log(text)
+    last_age = evs[-1]["age"]
+    stream = parse_events(
+        stream_pages(spark, inp, max_files_per_trigger=1),
+        require_marker=False,
+    ).withColumn("log_end", F.col("jvm_age_seconds") == last_age)
+    q = (
+        stateful_slo_burn(
+            stream, short_s=1, long_s=5, end_marker_col="log_end"
+        )
+        .writeStream.format("memory")
+        .queryName("t_slo")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        (
+            r["run_id"], r["win_start_s"], r["ticks_short"],
+            r["ticks_long"], r["burn_short"], r["burn_long"], r["alarm"],
+        )
+        for r in spark.sql("select * from t_slo").collect()
+    )
+
+    # batch twin over the SAME cross-batch event order (event_idx
+    # restarts per page, so re-index by jvm age like the cusum test)
+    from pyspark.sql import Window
+
+    whole = parse_events(page(text), stitch="narrow", require_marker=False)
+    reordered = whole.withColumn(
+        "event_idx",
+        F.row_number().over(
+            Window.partitionBy("url").orderBy("jvm_age_seconds", "line_no")
+        ),
+    )
+    want = sorted(
+        (
+            r["run_id"], r["win_start_s"], r["ticks_short"],
+            r["ticks_long"], r["burn_short"], r["burn_long"], r["alarm"],
+        )
+        for r in slo_burn(reordered, short_s=1, long_s=5).collect()
+    )
+    assert got == want and got
+    # windows from BOTH batches appear, and the big fixture pauses
+    # page at the default 1.0x threshold somewhere
+    assert any(a for *_, a in got)
