@@ -3274,6 +3274,57 @@ def q_web_hits(spark, sf_dir):
     return hits(events_link_graph(ev))
 
 
+def q_web_communities(spark, sf_dir):
+    """Synchronous label-propagation communities on the deterministic
+    events link graph (round-5) — 3 fixed iterations, label update =
+    most-frequent-neighbor-label with smallest-label tie-break reduced
+    as ``max(struct(cnt, -label))``: pure BIGINT, no update-order or
+    hash-partition dependence (the classic LPA nondeterminism pitfall).
+    The community splitter next to PageRank (quality prior), triangles
+    (local density) and CC (reachability): mirror farms collapse to one
+    community for per-community corpus quotas
+    (operators/graph.label_propagation)."""
+    from gclog_parser_spark.operators.graph import (
+        events_link_graph,
+        label_propagation,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return label_propagation(events_link_graph(ev))
+
+
+def _lpa_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of operators/graph.label_propagation —
+    same symmetrize/self-loop-drop graph and the same deterministic
+    (count DESC, label ASC) argmax, expressed independently as a
+    row_number window instead of a struct-max reduce."""
+    nv = "(SELECT count(DISTINCT user_id) FROM events)"
+    ctes = [
+        "edges AS (SELECT DISTINCT user_id AS src,"
+        f" event_id % {nv} AS dst FROM events)",
+        "und AS (SELECT src AS a, dst AS b FROM edges WHERE src <> dst"
+        " UNION SELECT dst, src FROM edges WHERE src <> dst)",
+        "l0 AS (SELECT DISTINCT a AS node, CAST(a AS BIGINT)"
+        " AS community FROM und)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"c{i} AS (SELECT u.a AS node, l.community AS lbl,"
+            " count(*) AS cnt FROM und u"
+            f" JOIN l{i-1} l ON l.node = u.b GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT node, lbl AS community FROM"
+            f" (SELECT node, lbl, row_number() OVER (PARTITION BY node"
+            f" ORDER BY cnt DESC, lbl ASC) AS rn FROM c{i})"
+            " WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, community FROM l{n_iter}"
+    )
+
+
 def _hits_oracle_sql(n_iter: int = 3, scale: int = 10**12) -> str:
     """Unrolled-CTE DuckDB HITS twin of operators/graph.hits — same
     integer-tick gather + L1 floor normalization, HUGEINT-widened."""
@@ -3348,6 +3399,71 @@ def _pagerank_oracle_sql(n_iter: int = 5, d: int = 85, scale: int = 10**12) -> s
     return (
         "WITH " + ", ".join(ctes)
         + f" SELECT node, rank_ticks FROM r{n_iter}"
+    )
+
+
+def q_web_trustrank(spark, sf_dir):
+    """Integer-tick TrustRank (round-5) over the deterministic events
+    link graph: seeds = user ids divisible by 20 (a stand-in for the
+    human-vetted whitelist sample of Gyöngyi et al. 2004), teleport
+    mass flows ONLY to seeds so spam farms unreachable from trust hold
+    exactly 0 ticks.  The seeded quality prior next to web_pagerank /
+    web_hits / web_triangles (operators/graph.trustrank)."""
+    from gclog_parser_spark.operators.graph import (
+        events_link_graph,
+        trustrank,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    seeds = (
+        ev.select(F.col("user_id").alias("node"))
+        .distinct()
+        .where(F.col("node") % 20 == 0)
+    )
+    return trustrank(events_link_graph(ev), seeds)
+
+
+def _trustrank_oracle_sql(
+    n_iter: int = 5, d: int = 85, scale: int = 10**12
+) -> str:
+    """Unrolled-CTE DuckDB TrustRank twin of operators/graph.trustrank
+    — same integer-tick seeded formulas (t0/base only on seeds, 0
+    elsewhere), independently expressed via LEFT JOIN seeds + CASE."""
+    nv = "(SELECT count(DISTINCT user_id) FROM events)"
+    ctes = [
+        "edges AS (SELECT DISTINCT user_id AS src,"
+        f" event_id % {nv} AS dst FROM events)",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "seeds AS (SELECT DISTINCT user_id AS node FROM events"
+        " WHERE user_id % 20 = 0)",
+        "ns AS (SELECT count(*) AS s FROM seeds sd"
+        " WHERE sd.node IN (SELECT node FROM nodes))",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        "t0 AS (SELECT n.node, CAST(CASE WHEN sd.node IS NOT NULL"
+        f" THEN (SELECT {scale} // s FROM ns) ELSE 0 END AS BIGINT)"
+        " AS trust_ticks FROM nodes n"
+        " LEFT JOIN seeds sd ON sd.node = n.node)",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = "t0" if i == 1 else f"t{i-1}"
+        ctes.append(
+            f"t{i} AS (SELECT n.node,"
+            " CAST(CASE WHEN sd.node IS NOT NULL THEN"
+            f" (SELECT ((100-{d})*({scale}//s))//100 FROM ns)"
+            " ELSE 0 END"
+            f" + ({d} * coalesce(agg.s, 0)) // 100 AS BIGINT)"
+            " AS trust_ticks"
+            " FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node"
+            " LEFT JOIN (SELECT e.dst AS node,"
+            " CAST(sum(t.trust_ticks // o.deg) AS BIGINT) AS s"
+            " FROM edges e JOIN outdeg o ON e.src = o.src"
+            f" JOIN {prev} t ON t.node = e.src GROUP BY 1) agg"
+            " ON agg.node = n.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, trust_ticks FROM t{n_iter}"
     )
 
 
@@ -4244,6 +4360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pagerank": q_web_pagerank,
         "web_hits": q_web_hits,
         "web_triangles": q_web_triangles,
+        "web_communities": q_web_communities,
+        "web_trustrank": q_web_trustrank,
         "snap_time_travel": q_snap_time_travel,
         "rel_dpp_scan": q_rel_dpp_scan,
         "rel_mv_refresh": q_rel_mv_refresh,
@@ -5200,6 +5318,8 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
     out["web_pagerank"] = _pagerank_oracle_sql()
     out["web_hits"] = _hits_oracle_sql()
     out["web_triangles"] = ot.triangle_counts_sql()
+    out["web_communities"] = _lpa_oracle_sql()
+    out["web_trustrank"] = _trustrank_oracle_sql()
     out["snap_wap_publish"] = (
         "SELECT event_id, ts, user_id, event_type, props FROM events"
     )

@@ -98,6 +98,105 @@ def pagerank(
     return ranks
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration integer-tick TrustRank (Gyöngyi, Garcia-Molina
+    & Pedersen 2004): personalized PageRank whose teleport vector is a
+    trusted SEED set instead of uniform.  Trust flows outward from
+    human-vetted seeds along links, so spam farms — which PageRank can
+    reward when they interlink densely — score near zero unless a
+    trusted page actually links toward them.  In an LLM corpus
+    pipeline this is the seeded quality prior next to ``pagerank``
+    (link popularity), ``hits`` (hub/authority) and ``triangle_counts``
+    (local density): mix caps and sampling weights key off it.
+
+    Identical parity discipline to :func:`pagerank` — all-BIGINT
+    ticks, ``DIV`` floor division, dangling mass dropped — with the
+    seeded differences:
+
+        t0(v)   = scale DIV |S|  if v ∈ S else 0
+        base(v) = ((100-d)·(scale DIV |S|)) DIV 100  if v ∈ S else 0
+        t'(v)   = base(v) + (d · Σ contrib_in) DIV 100
+
+    so a node unreachable from every seed holds exactly 0 ticks
+    forever (the paper's spam-demotion property, pinned in tests).
+
+    ``seeds`` is a one-column DataFrame of trusted node ids; ids not
+    present in the edge set are ignored (|S| counts the intersection).
+    Scale: seeds are semi-joined onto the O(nodes) side — per
+    iteration the plan is the same edges⋈ranks shuffle + one
+    partial-aggregated exchange on dst as pagerank, shuffle ∝ edges;
+    lineage truncated per round via ``localCheckpoint``; driver state
+    is two counts.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if nodes.count() == 0:
+        raise ValueError("trustrank over an empty edge set")
+    seed_col = seeds.columns[0]
+    seed_nodes = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+    )
+    n_seed = seed_nodes.count()
+    if n_seed == 0:
+        raise ValueError("trustrank requires >= 1 seed present in the graph")
+    t0 = scale // n_seed
+    base = ((100 - damping_pct) * t0) // 100
+
+    flagged = nodes.join(
+        seed_nodes.withColumn("is_seed", F.lit(True)), "node", "left"
+    ).select(
+        "node", F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed")
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(outdeg, "src")
+    ranks = flagged.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(t0))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("trust_ticks"),
+    )
+    for _ in range(n_iter):
+        contrib = ed.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("trust_ticks DIV deg").alias("c"),
+        )
+        insum = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            flagged.join(insum, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT)))"
+                        " DIV 100"
+                    )
+                ).cast("long").alias("trust_ticks"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 def events_link_graph(events: DataFrame) -> DataFrame:
     """Deterministic demo link graph from the events table: user u
     links to ``event_id mod n_users`` for each of u's events (distinct
@@ -311,3 +410,83 @@ def hits(
             "hub_ticks", scale,
         ).localCheckpoint(eager=False)
     return auth.join(hub, "node")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) — the near-linear community finder web-corpus
+    pipelines run next to PageRank: mirror farms and template clusters
+    collapse into one community, and per-community quotas then cap how
+    much of the training mix any one clique can claim.  Complements
+    ``dedup.connected_components`` (CC merges anything touching;
+    LPA splits a connected graph into densely-knit parts).
+
+    Determinism (the classic LPA pitfall is update-order dependence):
+    updates are SYNCHRONOUS over a fixed iteration count, and the
+    update rule is exact —
+
+        label_i(v) = the most frequent label among v's neighbors at
+                     i-1, ties broken by the SMALLEST label
+
+    implemented as ``max(struct(cnt, -label))`` so both engines reduce
+    with pure BIGINT comparisons; no hash-partition order, no RNG, no
+    floats.  The graph is treated as undirected and simple (symmetrized,
+    self-loops dropped, distinct); isolated nodes cannot occur in an
+    edge list, so every node has >= 1 neighbor and the argmax is total.
+
+    Scale: per iteration one edges-join on the label side plus one
+    partial-aggregated shuffle on (node, label) — shuffle is ∝ edges,
+    map-side combine collapses hot labels before the exchange, and the
+    struct-max needs no window sort.  Lineage truncated per round via
+    ``localCheckpoint`` (same discipline as ``pagerank``/``hits``);
+    driver state O(1).
+    """
+    if n_iter < 1:
+        raise ValueError("label_propagation requires n_iter >= 1")
+    d = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).where(F.col("a") != F.col("b"))
+    und = d.union(
+        d.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("community", F.col("node").cast("long"))
+    )
+    if labels.count() == 0:
+        raise ValueError("label_propagation over an empty edge set")
+    for _ in range(n_iter):
+        counts = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("b"),
+                    F.col("community").alias("lbl"),
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"), F.col("lbl"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"),
+                        (-F.col("lbl")).alias("neg"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "node",
+                (-F.col("m.neg")).cast("long").alias("community"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

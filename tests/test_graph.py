@@ -150,3 +150,160 @@ def test_hits_rejects_zero_iterations(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="n_iter"):
         hits(e, n_iter=0)
+
+
+def _py_lpa(edges, n_iter=3):
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    nodes = sorted({a for a, _ in und})
+    lbl = {v: v for v in nodes}
+    for _ in range(n_iter):
+        nxt = {}
+        for v in nodes:
+            cnt = {}
+            for a, b in und:
+                if a == v:
+                    cnt[lbl[b]] = cnt.get(lbl[b], 0) + 1
+            # most frequent, ties -> smallest label
+            nxt[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        lbl = nxt
+    return lbl
+
+
+def test_lpa_matches_python_reimpl(spark):
+    from gclog_parser_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
+             (7, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    for n_iter in (1, 3):
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(df, n_iter=n_iter).collect()
+        }
+        assert got == _py_lpa(edges, n_iter=n_iter)
+
+
+def test_lpa_splits_two_cliques_joined_by_a_bridge(spark):
+    from gclog_parser_spark.operators.graph import label_propagation
+
+    # two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4:
+    # connected components would merge them; LPA keeps them apart
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, n_iter=3).collect()
+    }
+    left = {got[1], got[2], got[3]}
+    right = {got[4], got[5], got[6]}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_lpa_ignores_multi_edges_self_loops_and_direction(spark):
+    from gclog_parser_spark.operators.graph import label_propagation
+
+    base = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    noisy = base + [(2, 1), (1, 2), (1, 1), (4, 4)]
+    a = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            spark.createDataFrame(base, "src bigint, dst bigint")
+        ).collect()
+    }
+    b = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            spark.createDataFrame(noisy, "src bigint, dst bigint")
+        ).collect()
+    }
+    assert a == b
+
+
+def test_lpa_guards_bad_inputs(spark):
+    import pytest
+
+    from gclog_parser_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError):
+        label_propagation(df, n_iter=0)
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    with pytest.raises(ValueError):
+        label_propagation(empty)
+    loops_only = spark.createDataFrame(
+        [(1, 1), (2, 2)], "src bigint, dst bigint"
+    )
+    with pytest.raises(ValueError):
+        label_propagation(loops_only)
+
+
+def _py_trustrank(edges, seed_ids, n_iter=5, d=85, scale=10**12):
+    e = sorted(set(edges))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    seeds = sorted(set(seed_ids) & set(nodes))
+    t0 = scale // len(seeds)
+    base = ((100 - d) * t0) // 100
+    outdeg = {}
+    for a, _ in e:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    t = {v: (t0 if v in seeds else 0) for v in nodes}
+    for _ in range(n_iter):
+        agg = {v: 0 for v in nodes}
+        for a, b in e:
+            agg[b] += t[a] // outdeg[a]  # floor div, BIGINT ticks
+        t = {
+            v: (base if v in seeds else 0) + (d * agg[v]) // 100
+            for v in nodes
+        }
+    return t
+
+
+def test_trustrank_matches_python_reimpl(spark):
+    from gclog_parser_spark.operators.graph import trustrank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 1),
+             (2, 6), (7, 8), (8, 7)]
+    seed_ids = [1, 4, 99]  # 99 absent from the graph -> ignored
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    sd = spark.createDataFrame([(s,) for s in seed_ids], "node bigint")
+    got = {
+        r["node"]: r["trust_ticks"]
+        for r in trustrank(df, sd, n_iter=4).collect()
+    }
+    assert got == _py_trustrank(edges, seed_ids, n_iter=4)
+
+
+def test_trustrank_unreachable_nodes_hold_zero_trust(spark):
+    from gclog_parser_spark.operators.graph import trustrank
+
+    # spam farm {7,8} interlinks densely but no seed path reaches it:
+    # PageRank would reward it; TrustRank pins it to exactly 0 ticks
+    edges = [(1, 2), (2, 3), (3, 1), (7, 8), (8, 7), (7, 7)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    sd = spark.createDataFrame([(1,)], "node bigint")
+    got = {
+        r["node"]: r["trust_ticks"]
+        for r in trustrank(df, sd, n_iter=5).collect()
+    }
+    assert got[7] == 0 and got[8] == 0
+    assert got[1] > 0 and got[2] > 0 and got[3] > 0
+
+
+def test_trustrank_guards_bad_inputs(spark):
+    import pytest
+
+    from gclog_parser_spark.operators.graph import trustrank
+
+    df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    empty_edges = spark.createDataFrame([], "src bigint, dst bigint")
+    sd = spark.createDataFrame([(1,)], "node bigint")
+    with pytest.raises(ValueError, match="empty edge set"):
+        trustrank(empty_edges, sd)
+    no_seed = spark.createDataFrame([(99,)], "node bigint")
+    with pytest.raises(ValueError, match="seed"):
+        trustrank(df, no_seed)
