@@ -2287,6 +2287,17 @@ def q_text_quality(spark, sf_dir):
     return quality_stats(_docs(spark, sf_dir))
 
 
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade per document
+    (round-5): \\S+ words, [.!?]+ sentences floored at 1, vowel-group
+    syllables — pure scan-side regexp_count codegen, zero exchange;
+    the prose-complexity prior next to text_quality for curriculum
+    bands and mix caps (operators/textstats.readability)."""
+    from gclog_parser_spark.operators.textstats import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
 def q_lang_id(spark, sf_dir):
     from gclog_parser_spark.operators.textstats import lang_id
 
@@ -2368,6 +2379,21 @@ def q_web_url_facets(spark, sf_dir):
     )
 
     return url_facet_rollup(synth_urls(_docs(spark, sf_dir)))
+
+
+def q_web_crawl_budget(spark, sf_dir):
+    """Largest-remainder (Hamilton) crawl-budget apportionment
+    (round-5): a global fetch budget split across hosts proportionally
+    to page counts, all-BIGINT DIV/% arithmetic, leftover slots to the
+    largest remainders (ties host ASC) — quotas sum to EXACTLY the
+    budget, the politeness scheduler over the per-host rollup
+    (operators/webstats.crawl_budget)."""
+    from gclog_parser_spark.operators.webstats import (
+        crawl_budget,
+        synth_urls,
+    )
+
+    return crawl_budget(synth_urls(_docs(spark, sf_dir)))
 
 
 def q_gc_stream_source_counts(spark, sf_dir):
@@ -4217,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall": q_dedup_recall,
         "dedup_containment": q_dedup_containment,
         "text_quality": q_text_quality,
+        "text_readability": q_text_readability,
         "text_classifier": q_text_classifier,
         "corpus_domain_mix": q_corpus_domain_mix,
         "dedup_survivors": q_dedup_survivors,
@@ -4237,6 +4264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_quant_error": q_ann_quant_error,
         "web_url_facets": q_web_url_facets,
+        "web_crawl_budget": q_web_crawl_budget,
         "gc_key_skew": q_gc_key_skew,
         "agg_hll_distinct": q_agg_hll_distinct,
         "agg_hll_rollup": q_agg_hll_rollup,
@@ -4609,6 +4637,7 @@ sessions AS (
     out["dedup_recall"] = ot.lsh_recall_sql()
     out["dedup_containment"] = ot.dedup_containment_sql()
     out["text_quality"] = ot.text_quality_sql()
+    out["text_readability"] = ot.readability_sql()
     out["text_classifier"] = ot.classifier_score_sql()
     out["corpus_domain_mix"] = ot.domain_mix_sql()
     out["dedup_survivors"] = ot.dedup_survivors_sql()
@@ -4628,6 +4657,7 @@ sessions AS (
     out["ann_quantized_topk"] = ot.ann_quantized_sql()
     out["ann_quant_error"] = ot.quant_error_sql()
     out["web_url_facets"] = ot.url_facets_sql()
+    out["web_crawl_budget"] = ot.crawl_budget_sql()
     out["gc_key_skew"] = oracle.skew_stats_sql()
     out["agg_hll_distinct"] = oracle.hll_distinct_sql(p=4)
     out["agg_hll_rollup"] = oracle.hll_rollup_sql(p=4)

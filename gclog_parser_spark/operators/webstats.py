@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 
 
 def synth_urls(docs: DataFrame) -> DataFrame:
@@ -260,4 +261,65 @@ def canonicalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     ).otherwise(F.lit(""))
     return df.withColumn(
         "canon_url", F.concat(scheme, F.lit("://"), auth, path, qs)
+    )
+
+
+def crawl_budget(
+    df: DataFrame, budget: int = 10_000, url_col: str = "url"
+) -> DataFrame:
+    """Politeness-aware crawl-budget apportionment: split a global
+    fetch budget across hosts PROPORTIONALLY to their page counts with
+    the largest-remainder (Hamilton) method — the integer-exact
+    scheduler a recrawl planner runs after :func:`url_facet_rollup`:
+    every host gets ``floor(budget * n_pages / total)`` slots and the
+    leftover slots go to the largest fractional remainders, so the
+    quotas sum to EXACTLY ``budget`` (no float drift, no over-fetch)
+    and no host is starved by rounding.
+
+    All arithmetic is BIGINT (`DIV` / `%`); ties on the remainder
+    break by host ASC via ``row_number``, so the result is a pure
+    function of the input — same discipline as the graph operators.
+
+    Scale: one partial-aggregated exchange on host for the counts
+    (shuffle ∝ pages pre-combine, ∝ hosts after); the totals are a
+    1-row broadcast; the remainder ranking is a window over HOSTS, not
+    pages — at 10^8 hosts swap the global ``row_number`` for a
+    range-partitioned two-stage rank (per-partition rank + broadcast
+    per-partition counts), same trick as the global top-n operator.
+    Output ∝ hosts.
+    """
+    if budget < 0:
+        raise ValueError("crawl_budget requires budget >= 0")
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    counts = (
+        df.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    totals = counts.agg(F.sum("n_pages").alias("total"))
+    based = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "base", F.expr(f"CAST({budget} AS BIGINT) * n_pages DIV total")
+        )
+        .withColumn(
+            "rem", F.expr(f"CAST({budget} AS BIGINT) * n_pages % total")
+        )
+    )
+    leftover = based.agg(
+        (F.lit(budget) - F.sum("base")).cast("long").alias("leftover")
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("host").asc())
+    return (
+        based.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "host",
+            "n_pages",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), F.lit(1))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("quota"),
+        )
     )

@@ -2764,3 +2764,68 @@ SELECT sh.shard_group, sh.shard_idx,
   sum(t.tick) AS content_checksum
 FROM sh JOIN ticks t USING (doc_id)
 GROUP BY sh.shard_group, sh.shard_idx"""
+
+
+def readability_sql() -> str:
+    """Independent DuckDB twin of textstats.readability: same counting
+    regexes via regexp_extract_all, same literal-order formulas, same
+    6 dp rounding, bands compared on the rounded ease."""
+    n_words = _count_re("text", r"\S+")
+    n_sent = f"greatest({_count_re('text', '[.!?]+')}, 1)"
+    n_syll = _count_re("lower(text)", "[aeiouy]+")
+    ease = (
+        f"CASE WHEN {n_words} > 0 THEN round(206.835"
+        f" - 1.015 * ({n_words} / {n_sent})"
+        f" - 84.6 * ({n_syll} / {n_words}), 6) END"
+    )
+    grade = (
+        f"CASE WHEN {n_words} > 0 THEN round(0.39 * ({n_words} / {n_sent})"
+        f" + 11.8 * ({n_syll} / {n_words}) - 15.59, 6) END"
+    )
+    return f"""WITH r AS (
+  SELECT doc_id,
+    {n_words} AS n_words,
+    {n_sent} AS n_sentences,
+    {n_syll} AS n_syllables,
+    {ease} AS reading_ease,
+    {grade} AS fk_grade
+  FROM documents
+)
+SELECT *,
+  CASE WHEN reading_ease IS NULL THEN NULL
+       WHEN reading_ease >= 90 THEN 'very_easy'
+       WHEN reading_ease >= 70 THEN 'easy'
+       WHEN reading_ease >= 50 THEN 'standard'
+       WHEN reading_ease >= 30 THEN 'difficult'
+       ELSE 'very_difficult' END AS band
+FROM r"""
+
+
+def crawl_budget_sql(budget: int = 10_000) -> str:
+    """Independent DuckDB twin of webstats.crawl_budget: regexp host
+    extraction (vs Spark's parse_url) and the same largest-remainder
+    integer apportionment expressed with // and % over CTEs."""
+    return f"""WITH u AS (
+  SELECT {_SYNTH_URL} AS url FROM documents
+),
+h AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/:?]+)', 1) AS host,
+         count(*) AS n_pages
+  FROM u GROUP BY 1
+),
+t AS (SELECT sum(n_pages) AS total FROM h),
+b AS (
+  SELECT host, n_pages,
+    ({budget} * n_pages) // total AS base,
+    ({budget} * n_pages) % total AS rem
+  FROM h, t
+),
+l AS (SELECT {budget} - sum(base) AS leftover FROM b),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+  FROM b
+)
+SELECT host, n_pages,
+  CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+                   THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r"""

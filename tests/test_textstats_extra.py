@@ -517,3 +517,68 @@ def test_ngram_diversity_templates_vs_prose(spark):
     prose = got["prose"]
     assert prose["n_grams"] == 6 and prose["n_distinct"] == 6
     assert prose["diversity"] == 1.0
+
+
+def test_readability_matches_python_reimpl(spark):
+    import re
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from gclog_parser_spark.operators.textstats import readability
+
+    def _r6(x):
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP))
+
+    def _py(text):
+        w = len(re.findall(r"\S+", text))
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        y = len(re.findall(r"[aeiouy]+", text.lower()))
+        if w == 0:
+            return (w, s, y, None, None, None)
+        ease = _r6(206.835 - 1.015 * (w / s) - 84.6 * (y / w))
+        grade = _r6(0.39 * (w / s) + 11.8 * (y / w) - 15.59)
+        band = ("very_easy" if ease >= 90 else "easy" if ease >= 70
+                else "standard" if ease >= 50 else "difficult"
+                if ease >= 30 else "very_difficult")
+        return (w, s, y, ease, grade, band)
+
+    texts = [
+        "The cat sat. The dog ran! Did it rain?",
+        "Incomprehensibility characterizes interdisciplinary "
+        "epistemological argumentation; nevertheless, "
+        "multisyllabic terminology proliferates.",
+        "headline with no terminator at all",
+        "One two three four five. Six seven eight.",
+        "a. e! i? o. u!",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r["doc_id"]: r for r in readability(docs).collect()}
+    for i, t in enumerate(texts):
+        w, s, y, ease, grade, band = _py(t)
+        r = got[i]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (w, s, y)
+        assert r["reading_ease"] == ease
+        assert r["fk_grade"] == grade
+        assert r["band"] == band
+
+
+def test_readability_wordless_is_null_not_crash(spark):
+    from gclog_parser_spark.operators.textstats import readability
+
+    docs = spark.createDataFrame(
+        [(0, "", "en", "s", 0), (1, "   ", "en", "s", 3),
+         (2, "...", "en", "s", 3)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["doc_id"]: r for r in readability(docs).collect()}
+    for i in (0, 1):
+        assert rows[i]["n_words"] == 0
+        assert rows[i]["reading_ease"] is None
+        assert rows[i]["fk_grade"] is None
+        assert rows[i]["band"] is None
+    # "..." is one word (a \S+ run) with zero syllables: scores defined
+    assert rows[2]["n_words"] == 1 and rows[2]["n_syllables"] == 0
+    assert rows[2]["band"] is not None

@@ -163,3 +163,61 @@ def test_canonicalize_url_rules_and_idempotence(spark):
         .executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def _py_hamilton(pages_per_host, budget):
+    total = sum(pages_per_host.values())
+    base = {h: budget * n // total for h, n in pages_per_host.items()}
+    rem = {h: budget * n % total for h, n in pages_per_host.items()}
+    leftover = budget - sum(base.values())
+    order = sorted(pages_per_host, key=lambda h: (-rem[h], h))
+    for h in order[:leftover]:
+        base[h] += 1
+    return base
+
+
+def test_crawl_budget_matches_python_hamilton(spark):
+    from gclog_parser_spark.operators.webstats import crawl_budget
+
+    pages = {"a.com": 7, "b.com": 3, "c.org": 13, "d.org": 1}
+    rows = [
+        (i, f"https://{h}/p{i}")
+        for i, h in enumerate(
+            h for h, n in sorted(pages.items()) for _ in range(n)
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    for budget in (0, 1, 10, 24, 1000):
+        want = _py_hamilton(pages, budget)
+        got = {
+            r["host"]: (r["n_pages"], r["quota"])
+            for r in crawl_budget(df, budget=budget).collect()
+        }
+        assert {h: q for h, (_, q) in got.items()} == want
+        assert {h: n for h, (n, _) in got.items()} == pages
+        assert sum(q for _, q in got.values()) == budget
+
+
+def test_crawl_budget_remainder_tie_breaks_by_host_asc(spark):
+    from gclog_parser_spark.operators.webstats import crawl_budget
+
+    # two hosts, one page each, budget 3: quotas 1+1, remainder tie
+    # (3*1 % 2 == 1 for both) -> the single leftover slot goes to the
+    # lexicographically smaller host.
+    df = spark.createDataFrame(
+        [(0, "https://zz.org/p"), (1, "https://aa.com/p")],
+        "doc_id int, url string",
+    )
+    got = {r["host"]: r["quota"] for r in crawl_budget(df, budget=3).collect()}
+    assert got == {"aa.com": 2, "zz.org": 1}
+
+
+def test_crawl_budget_rejects_negative(spark):
+    import pytest
+
+    from gclog_parser_spark.operators.webstats import crawl_budget
+
+    df = spark.createDataFrame([(0, "https://a.com/p")],
+                               "doc_id int, url string")
+    with pytest.raises(ValueError, match="budget"):
+        crawl_budget(df, budget=-1)
