@@ -1972,6 +1972,23 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return minhash_band_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_kcore(spark, sf_dir):
+    """k-core of the MinHash candidate-pair graph (round-5): iterative
+    peeling to the unique maximal min-degree-2 subgraph — isolated dup
+    pairs and chains peel away, template farms / mirror clusters
+    survive as the core with their in-core degree; the farm-membership
+    signal next to dedup_clusters (reachability) and web_triangles
+    (closed wedges).  All-BIGINT, O(1) driver convergence count,
+    shuffle ∝ surviving edges (operators/graph.kcore)."""
+    from gclog_parser_spark.operators.dedup import minhash_band_pairs
+    from gclog_parser_spark.operators.graph import kcore
+
+    return kcore(
+        minhash_band_pairs(_docs(spark, sf_dir)),
+        src="doc_a", dst="doc_b", k=2,
+    )
+
+
 def q_dedup_verified_pairs(spark, sf_dir):
     from gclog_parser_spark.operators.dedup import minhash_verified_pairs
 
@@ -4224,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_kcore": q_dedup_kcore,
         "dedup_verified_pairs": q_dedup_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "corpus_split": q_corpus_split,
@@ -4615,6 +4633,7 @@ sessions AS (
 
     out["dedup_exact"] = ot.dedup_exact_sql()
     out["dedup_minhash_pairs"] = ot.dedup_minhash_sql()
+    out["dedup_kcore"] = ot.dedup_kcore_sql()
     out["dedup_verified_pairs"] = ot.minhash_verified_sql()
     out["dedup_clusters"] = ot.dedup_clusters_sql()
     out["corpus_split"] = ot.hash_split_sql()

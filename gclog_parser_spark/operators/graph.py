@@ -490,3 +490,86 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    max_rounds: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983;
+    Batagelj-Zaveršnik): repeatedly delete every node whose degree in
+    the SURVIVING subgraph is below ``k`` until stable; what remains is
+    the unique maximal subgraph of minimum degree ``k``.  The density
+    signal a corpus pipeline reads over the NEAR-DUP pair graph:
+    isolated duplicate pairs and short chains peel away, while template
+    farms / mirror clusters — every member co-duplicated with many
+    others — survive as the core, so "farm membership" falls out
+    without any threshold on pair counts.  Complements
+    ``triangle_counts`` (closed wedges) and ``label_propagation``
+    (partitioning): the core is a GLOBAL fixpoint, stable under any
+    update order.
+
+    Returns ``(node, core_deg)`` for core members — ``core_deg`` is
+    the node's degree INSIDE the core (≥ k by construction); empty
+    when no k-core exists.  The graph is treated as undirected and
+    simple (symmetrized, self-loops dropped, distinct); all counts
+    BIGINT, no floats anywhere.
+
+    Scale: each round is one partial-aggregated degree exchange plus
+    two semi-joins on the endpoint — shuffle ∝ surviving edges, never
+    more than the input; the surviving edge set only shrinks, so later
+    rounds are cheaper.  Convergence is detected with an O(1) driver
+    count (edge count is strictly monotone down until the fixpoint);
+    each round ``localCheckpoint``-truncates lineage.  Round count is
+    bounded by the peeling depth (the graph's degeneracy ordering
+    length), in practice a handful; ``max_rounds`` is the same loud
+    backstop as ``dedup.connected_components``.
+    """
+    if k < 1:
+        raise ValueError("kcore requires k >= 1")
+    d = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).where(F.col("a") != F.col("b"))
+    und = (
+        d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if und.count() == 0:
+        raise ValueError("kcore over an empty edge set")
+    rounds = 0
+    n_edges = und.count()
+    for _ in range(max_rounds):
+        alive = (
+            und.groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("a")
+        )
+        nxt = (
+            und.join(alive, "a", "left_semi")
+            .join(alive.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        rounds += 1
+        n_next = nxt.count()
+        und = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        raise RuntimeError(
+            f"kcore did not reach the peeling fixpoint in {max_rounds}"
+            " rounds (bounded by peeling depth; raise max_rounds)"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["core_edges"] = n_edges
+    return und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("core_deg")
+    )

@@ -2829,3 +2829,36 @@ SELECT host, n_pages,
   CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
                    THEN 1 ELSE 0 END AS BIGINT) AS quota
 FROM r"""
+
+
+def dedup_kcore_sql(k: int = 2, unroll: int = 8) -> str:
+    """Independent DuckDB twin of graph.kcore over the MinHash
+    candidate-pair graph: the peel loop unrolled to ``unroll`` rounds
+    (peeling is idempotent at the fixpoint, so any unroll >= the true
+    peeling depth — 2 at the gate SFs, pinned in tests — is exact)."""
+    ctes = [
+        f"pairs AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM"
+        f" ({_MINHASH_PAIRS_SELECT}))",
+        "e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        " WHERE doc_a <> doc_b"
+        " UNION SELECT doc_b, doc_a FROM pairs WHERE doc_a <> doc_b)",
+    ]
+    # each level references the previous one three times: MATERIALIZED
+    # keeps the expansion linear (inlining would re-plan the minhash
+    # scan 3^unroll times and exhaust file handles)
+    for i in range(1, unroll + 1):
+        p = f"e{i-1}"
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT a FROM {p} GROUP BY a"
+            f" HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT a, b FROM {p}"
+            f" WHERE a IN (SELECT a FROM k{i})"
+            f" AND b IN (SELECT a FROM k{i}))"
+        )
+    return (
+        f"WITH {_minhash_ctes()}, " + ", ".join(ctes)
+        + f" SELECT a AS node, count(*) AS core_deg"
+        f" FROM e{unroll} GROUP BY 1"
+    )

@@ -307,3 +307,85 @@ def test_trustrank_guards_bad_inputs(spark):
     no_seed = spark.createDataFrame([(99,)], "node bigint")
     with pytest.raises(ValueError, match="seed"):
         trustrank(df, no_seed)
+
+
+def _py_kcore(edges, k):
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    while True:
+        deg = {}
+        for a, _ in und:
+            deg[a] = deg.get(a, 0) + 1
+        alive = {v for v, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in und if a in alive and b in alive}
+        if nxt == und:
+            break
+        und = nxt
+    out = {}
+    for a, _ in und:
+        out[a] = out.get(a, 0) + 1
+    return out
+
+
+def test_kcore_matches_python_reimpl(spark):
+    from gclog_parser_spark.operators.graph import kcore
+
+    # clique {1,2,3,4} + pendant chain 4-5-6 + isolated pair 7-8:
+    # the 2-core is exactly the clique; chains and pairs peel away.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (7, 8)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    for k in (1, 2, 3, 4):
+        stats = {}
+        got = {
+            r["node"]: r["core_deg"]
+            for r in kcore(df, k=k, stats=stats).collect()
+        }
+        assert got == _py_kcore(edges, k)
+        assert stats["rounds"] >= 1
+    assert set(_py_kcore(edges, 2)) == {1, 2, 3, 4}
+    assert _py_kcore(edges, 4) == {}
+
+
+def test_kcore_cascade_peels_whole_chain(spark):
+    from gclog_parser_spark.operators.graph import kcore
+
+    # a pure path graph has NO 2-core: each peel round removes the two
+    # current endpoints, so the cascade takes ceil(n/2) rounds and the
+    # convergence loop (not a fixed unroll) must carry it to empty.
+    n = 9
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    stats = {}
+    got = kcore(df, k=2, stats=stats).collect()
+    assert got == []
+    assert stats["rounds"] >= (n + 1) // 2
+    assert stats["core_edges"] == 0
+
+
+def test_kcore_direction_and_multiedge_invariant(spark):
+    from gclog_parser_spark.operators.graph import kcore
+
+    base = [(1, 2), (2, 3), (3, 1)]
+    noisy = base + [(2, 1), (3, 1), (1, 1), (3, 1)]
+    a = spark.createDataFrame(base, "src bigint, dst bigint")
+    b = spark.createDataFrame(noisy, "src bigint, dst bigint")
+    ra = sorted((r["node"], r["core_deg"]) for r in kcore(a, k=2).collect())
+    rb = sorted((r["node"], r["core_deg"]) for r in kcore(b, k=2).collect())
+    assert ra == rb == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_kcore_guards(spark):
+    import pytest
+
+    from gclog_parser_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="k >= 1"):
+        kcore(df, k=0)
+    loops = spark.createDataFrame([(1, 1)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="empty edge set"):
+        kcore(loops)
