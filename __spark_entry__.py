@@ -325,6 +325,19 @@ def q_gc_zgc_stall_stats(spark, sf_dir):
     return gc_stall_stats(_stall_pages(spark))
 
 
+def q_gc_stall_rootcause(spark, sf_dir):
+    """Stall → nearest preceding COMPLETED GC cycle attribution
+    (round-5): each ZGC allocation/relocation stall as-of joined by
+    log position to the cycle that failed to keep up (gc_id, kind,
+    cause, exact µs duration); startup stalls before any completed
+    cycle keep NULL cause columns.  One url exchange shared by the
+    last(ignoreNulls) carry-forward window — no join shuffle
+    (operators/enrich.stall_rootcause)."""
+    from gclog_parser_spark.operators.enrich import stall_rootcause
+
+    return stall_rootcause(_stall_pages(spark))
+
+
 def q_gc_g1_evac_failures(spark, sf_dir):
     """G1 "to-space exhausted" evacuation failures, both dialects
     (legacy inline tag, unified standalone GC(n) line) — per-failure
@@ -4325,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_g1_humongous": q_gc_g1_humongous,
         "gc_g1_humongous_stats": q_gc_g1_humongous_stats,
         "gc_zgc_stall_stats": q_gc_zgc_stall_stats,
+        "gc_stall_rootcause": q_gc_stall_rootcause,
         "gc_cpu_times": q_gc_cpu_times,
         "gc_heap_trend": q_gc_heap_trend,
         "gc_cms_spans": q_gc_cms_spans,
@@ -4509,6 +4523,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_g1_humongous"] = oracle.g1_humongous_sql()
     out["gc_g1_humongous_stats"] = oracle.g1_humongous_stats_sql()
     out["gc_zgc_stall_stats"] = oracle.gc_stall_stats_sql()
+    out["gc_stall_rootcause"] = oracle.stall_rootcause_sql()
     out["gc_cpu_times"] = oracle.cpu_times_sql()
     out["gc_heap_trend"] = oracle.heap_trend_sql()
     out["gc_cms_spans"] = oracle.cms_spans_sql()

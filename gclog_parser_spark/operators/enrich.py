@@ -550,3 +550,83 @@ def g1_humongous_stats(pages: DataFrame) -> DataFrame:
             * F.col("region_mb") * 1048576
         ).alias("reclaimed_bytes"),
     )
+
+
+#: ZGC cycle COMPLETION line (has the heap transition; start lines
+#: don't): single-gen ("Garbage Collection") and JDK 21+ generational
+#: ("Major/Minor Collection") dialects, duration optional.
+_CYCLE_DONE = (
+    r"\[gc\] GC\((\d+)\) (Major|Minor|Garbage) Collection"
+    r" \(([^)]+)\) (\S+)->(\S+)(?: (\d+\.\d{3})s)?\s*$"
+)
+
+
+def stall_rootcause(pages: DataFrame) -> DataFrame:
+    """Root-cause attribution for ZGC allocation/relocation stalls: each
+    stall line is as-of joined (strictly preceding, same log) to the
+    nearest COMPLETED GC cycle — the question an on-call actually asks
+    ("which collection failed to keep up?"), one step past
+    :func:`parse_gc_stalls` (the raw rows) and
+    :func:`gc_stall_stats` (the rollup).  Stalls before any completed
+    cycle keep NULL cause columns — early-startup stalls are a
+    different pathology (heap not yet sized) and must stay visible.
+
+    The as-of key is the LOG POSITION, not the uptime stamp: ZGC
+    interleaves concurrent-phase lines with wall-clock jitter, but the
+    log itself is append-ordered per JVM, so ``line_no`` is the
+    tie-safe ordering (same rule as the reference's incremental
+    stitching).  Cycle duration rides along as exact DECIMAL-cast
+    microsecond ticks.
+
+    Plan: one scan → posexplode → codegen regexps, then ONE url
+    exchange shared by the ``last(ignoreNulls)`` window — the same
+    carry-forward shape as ``rates.RateCalculator``; no join, no
+    second shuffle.  At 100 TB the stall/cycle rlike prunes scan-side
+    and the window state is one struct per partition.
+    """
+    from pyspark.sql import Window
+
+    lines = pages.select(
+        "url",
+        F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
+    )
+    line = F.col("line")
+    cyc = F.when(
+        line.rlike(_CYCLE_DONE),
+        F.struct(
+            F.regexp_extract(line, _CYCLE_DONE, 1)
+            .cast("long")
+            .alias("gc_id"),
+            F.regexp_extract(line, _CYCLE_DONE, 2).alias("cycle_kind"),
+            F.regexp_extract(line, _CYCLE_DONE, 3).alias("gc_cause"),
+            F.col("line_no").alias("cycle_line_no"),
+            (
+                F.nullif(
+                    F.regexp_extract(line, _CYCLE_DONE, 6), F.lit("")
+                ).cast("decimal(12,3)")
+                * 1000000
+            ).cast("long").alias("cycle_us"),
+        ),
+    )
+    w = (
+        Window.partitionBy("url")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = lines.withColumn("rc", F.last(cyc, ignorenulls=True).over(w))
+    return tagged.where(line.rlike(_STALL_LINE)).select(
+        "url",
+        "line_no",
+        F.lower(F.regexp_extract(line, _STALL_LINE, 1)).alias("stall_kind"),
+        F.regexp_extract(line, _STALL_LINE, 2).alias("thread"),
+        (
+            F.regexp_extract(line, _STALL_LINE, 3).cast("decimal(12,3)")
+            * 1000
+        ).cast("long").alias("stall_us"),
+        F.col("rc.gc_id").alias("gc_id"),
+        F.col("rc.cycle_kind").alias("cycle_kind"),
+        F.col("rc.gc_cause").alias("gc_cause"),
+        F.col("rc.cycle_line_no").alias("cycle_line_no"),
+        (F.col("line_no") - F.col("rc.cycle_line_no")).alias("lines_since"),
+        F.col("rc.cycle_us").alias("cycle_us"),
+    )

@@ -1713,3 +1713,37 @@ SELECT url, CAST(run_id AS BIGINT) AS run_id,
    AND round(ticks_long / {den_long}, 6) >= {burn_threshold}) AS alarm
 FROM wide
 """
+
+
+_CYCLE_PAT = (
+    r"\[gc\] GC\((\d+)\) (Major|Minor|Garbage) Collection"
+    r" \(([^)]+)\) (\S+)->(\S+)( (\d+\.\d{3})s)?\s*$"
+)
+
+
+def stall_rootcause_sql(
+    log_text: str | None = None, url: str = "zstall://fixture/0"
+) -> str:
+    """Oracle for enrich.stall_rootcause: same stall/cycle regexes but
+    the as-of is a correlated max-line_no subquery + join — an
+    independent mechanism vs the Spark side's carry-forward window."""
+    return _stalls_cte(log_text, url) + f""",
+c AS (
+  SELECT line_no,
+    CAST(regexp_extract(line, '{_CYCLE_PAT}', 1) AS BIGINT) AS gc_id,
+    regexp_extract(line, '{_CYCLE_PAT}', 2) AS cycle_kind,
+    regexp_extract(line, '{_CYCLE_PAT}', 3) AS gc_cause,
+    CAST(CAST(NULLIF(regexp_extract(line, '{_CYCLE_PAT}', 7), '')
+      AS DECIMAL(12,3)) * 1000000 AS BIGINT) AS cycle_us
+  FROM raw
+  WHERE regexp_matches(line, '{_CYCLE_PAT}')
+)
+SELECT '{url}' AS url, st.line_no, st.stall_kind, st.thread, st.stall_us,
+  c.gc_id, c.cycle_kind, c.gc_cause,
+  c.line_no AS cycle_line_no,
+  st.line_no - c.line_no AS lines_since,
+  c.cycle_us
+FROM st LEFT JOIN c
+  ON c.line_no = (SELECT max(c2.line_no) FROM c c2
+                  WHERE c2.line_no < st.line_no)
+"""

@@ -141,3 +141,65 @@ def test_zgc_generational_fixture_pinned(spark):
         .collect()
     }
     assert sinks == {"z_cycle": 10}
+
+
+def test_stall_rootcause_asof_semantics(spark):
+    """Fixture walk-through: stalls BEFORE any completed cycle keep
+    NULL cause columns; each later stall binds to the nearest
+    STRICTLY-preceding completion (not a start line, not a later one);
+    the truncated stall line never surfaces."""
+    from datetime import datetime
+
+    from gclog_parser_spark.fixtures import ZGC_STALL_LOG
+    from gclog_parser_spark.operators.enrich import stall_rootcause
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [("z://1", datetime(2026, 8, 17), None, ZGC_STALL_LOG, "en")],
+        PAGES_SCHEMA,
+    )
+    rows = {r["line_no"]: r for r in stall_rootcause(pages).collect()}
+    # 8 stall-shaped lines minus the truncated one at line 9
+    assert sorted(rows) == [1, 2, 3, 4, 6, 8, 11]
+    for ln in (1, 2, 3, 4, 6):  # before the first completion (line 7)
+        assert rows[ln]["gc_id"] is None
+        assert rows[ln]["cycle_kind"] is None
+        assert rows[ln]["lines_since"] is None
+    r8 = rows[8]
+    assert (r8["gc_id"], r8["cycle_kind"], r8["gc_cause"]) == (
+        8, "Minor", "Allocation Rate",
+    )
+    assert r8["cycle_line_no"] == 7 and r8["lines_since"] == 1
+    assert r8["cycle_us"] == 100000  # 0.100s, exact decimal cast
+    r11 = rows[11]
+    assert (r11["gc_id"], r11["cycle_kind"], r11["gc_cause"]) == (
+        7, "Major", "Allocation Stall",
+    )
+    assert r11["cycle_line_no"] == 10 and r11["lines_since"] == 1
+    assert r11["cycle_us"] == 4321000
+    assert r11["stall_us"] == 33  # 0.033ms
+
+
+def test_stall_rootcause_single_gen_dialect(spark):
+    """Single-generation ZGC says 'Garbage Collection' and may omit the
+    duration — the cycle binds, cycle_us stays NULL."""
+    from datetime import datetime
+
+    from gclog_parser_spark.operators.enrich import stall_rootcause
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    log = "\n".join([
+        "[1.000s][info][gc] GC(3) Garbage Collection (Proactive)"
+        " 8012M(94%)->2048M(24%)",
+        "[1.100s][info][gc] Allocation Stall (worker) 5.000ms",
+    ])
+    pages = spark.createDataFrame(
+        [("z://2", datetime(2026, 8, 17), None, log, "en")], PAGES_SCHEMA
+    )
+    r = stall_rootcause(pages).collect()
+    assert len(r) == 1
+    assert (r[0]["gc_id"], r[0]["cycle_kind"], r[0]["gc_cause"]) == (
+        3, "Garbage", "Proactive",
+    )
+    assert r[0]["cycle_us"] is None
+    assert r[0]["stall_us"] == 5000
