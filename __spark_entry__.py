@@ -520,6 +520,19 @@ def q_gc_slo_burn(spark, sf_dir):
     return slo_burn(_events(spark, sf_dir))
 
 
+def q_gc_fleet_scorecard(spark, sf_dir):
+    """Per-JVM fleet health scorecard (round-5): gc_overhead +
+    fullgc_pressure + heap_trend + pause_cusum alarms + slo_burn pages
+    folded into one wide row per log with an ordered verdict
+    (page > thrash > drift > watch > healthy), every test on the same
+    6 dp-rounded values both engines computed.  All branches cluster
+    on url; the composition joins per-JVM rollups only
+    (operators/rates.fleet_scorecard)."""
+    from gclog_parser_spark.operators.rates import fleet_scorecard
+
+    return fleet_scorecard(_events(spark, sf_dir))
+
+
 def q_gc_stream_slo_burn(spark, sf_dir):
     """Streaming SLO burn-rate pager (round-5): pages stream → parse →
     applyInPandasWithState with the OPEN long window as the only state
@@ -4346,6 +4359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_overhead": q_gc_overhead,
         "gc_pause_cusum": q_gc_pause_cusum,
         "gc_slo_burn": q_gc_slo_burn,
+        "gc_fleet_scorecard": q_gc_fleet_scorecard,
         "gc_stream_slo_burn": q_gc_stream_slo_burn,
         "gc_stream_cusum": q_gc_stream_cusum,
         "gc_tsv_export": q_gc_tsv_export,
@@ -4531,6 +4545,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_overhead"] = oracle.gc_overhead_sql()
     out["gc_pause_cusum"] = oracle.pause_cusum_sql()
     out["gc_slo_burn"] = oracle.slo_burn_sql()
+    out["gc_fleet_scorecard"] = oracle.fleet_scorecard_sql()
     out["gc_stream_slo_burn"] = oracle.slo_burn_sql()
     # the stream must equal the batch operator, so it shares its oracle
     out["gc_stream_cusum"] = oracle.pause_cusum_sql()

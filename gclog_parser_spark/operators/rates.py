@@ -401,3 +401,81 @@ def slo_burn(
             ).alias("alarm"),
         )
     )
+
+
+def fleet_scorecard(events: DataFrame) -> DataFrame:
+    """Per-JVM fleet health scorecard — ONE wide row per log that an
+    ops dashboard reads across thousands of JVMs: GC overhead pct
+    (:func:`gc_overhead`), Full-GC thrash rate
+    (:func:`fullgc_pressure`), heap-leak slope (:func:`heap_trend`),
+    CUSUM drift-alarm count (:func:`pause_cusum`) and SLO burn-rate
+    page count (:func:`slo_burn`), folded into a single ordered
+    verdict:
+
+        page    — a multi-window SLO burn alert fired (act now)
+        thrash  — ≥ 6 Full GCs per minute of Full-GC span (death
+                  spiral; the heap refills moments after each full
+                  collection)
+        drift   — the CUSUM crossed its threshold (sustained pause
+                  regression, no single window bad enough to page)
+        watch   — whole-life GC overhead ≥ 1 % of wall
+        healthy — none of the above
+
+    Severity is evaluated top-down, each test on the SAME 6 dp-rounded
+    values both engines computed, so the verdict is bit-stable; a JVM
+    missing a signal (no Full GCs, no aged heap rows) simply fails
+    that test — NULL comparisons are false in both engines.
+
+    Plan: every branch aggregates on url, so AQE reuses ONE
+    hashpartitioning(url) clustering end-to-end; the final joins are
+    per-JVM rollup ⋈ per-JVM rollup (rows ∝ JVMs, co-partitioned —
+    no extra exchange).  The events relation is traversed once per
+    branch: at 100 TB persist the parsed-events scan (or read the
+    routed per-sink Iceberg tables) so the five branches share one
+    materialization — the composition itself adds no shuffle.
+    """
+    ov = gc_overhead(events)
+    pr = fullgc_pressure(events).select(
+        "url", "n_full", "full_per_min"
+    )
+    ht = heap_trend(events).select("url", "slope_kb_per_s")
+    cu = (
+        pause_cusum(events)
+        .where(F.col("alarm"))
+        .groupBy("url")
+        .agg(F.count("*").cast("long").alias("n_drift_alarms"))
+    )
+    sl = (
+        slo_burn(events)
+        .where(F.col("alarm"))
+        .groupBy("url")
+        .agg(F.count("*").cast("long").alias("n_slo_pages"))
+    )
+    j = (
+        ov.join(pr, "url", "left")
+        .join(ht, "url", "left")
+        .join(cu, "url", "left")
+        .join(sl, "url", "left")
+        .select(
+            "url",
+            "n_pauses",
+            "overhead_pct",
+            F.coalesce("n_full", F.lit(0).cast("long")).alias("n_full"),
+            "full_per_min",
+            "slope_kb_per_s",
+            F.coalesce("n_drift_alarms", F.lit(0).cast("long")).alias(
+                "n_drift_alarms"
+            ),
+            F.coalesce("n_slo_pages", F.lit(0).cast("long")).alias(
+                "n_slo_pages"
+            ),
+        )
+    )
+    verdict = (
+        F.when(F.col("n_slo_pages") > 0, F.lit("page"))
+        .when(F.col("full_per_min") >= 6.0, F.lit("thrash"))
+        .when(F.col("n_drift_alarms") > 0, F.lit("drift"))
+        .when(F.col("overhead_pct") >= 1.0, F.lit("watch"))
+        .otherwise(F.lit("healthy"))
+    )
+    return j.withColumn("verdict", verdict)

@@ -1747,3 +1747,40 @@ FROM st LEFT JOIN c
   ON c.line_no = (SELECT max(c2.line_no) FROM c c2
                   WHERE c2.line_no < st.line_no)
 """
+
+
+def fleet_scorecard_sql() -> str:
+    """Oracle for rates.fleet_scorecard: the four signal oracles
+    composed as nested-WITH CTEs (each already an independent
+    implementation) + the same top-down severity CASE."""
+    return f"""WITH ov AS ({gc_overhead_sql()}),
+pr AS ({fullgc_pressure_sql()}),
+ht AS ({heap_trend_sql()}),
+cu AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_drift_alarms
+  FROM ({pause_cusum_sql()}) WHERE alarm GROUP BY 1
+),
+sl AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_slo_pages
+  FROM ({slo_burn_sql()}) WHERE alarm GROUP BY 1
+),
+j AS (
+  SELECT ov.url, ov.n_pauses, ov.overhead_pct,
+    CAST(coalesce(pr.n_full, 0) AS BIGINT) AS n_full,
+    pr.full_per_min,
+    ht.slope_kb_per_s,
+    CAST(coalesce(cu.n_drift_alarms, 0) AS BIGINT) AS n_drift_alarms,
+    CAST(coalesce(sl.n_slo_pages, 0) AS BIGINT) AS n_slo_pages
+  FROM ov
+  LEFT JOIN pr USING (url)
+  LEFT JOIN ht USING (url)
+  LEFT JOIN cu USING (url)
+  LEFT JOIN sl USING (url)
+)
+SELECT *,
+  CASE WHEN n_slo_pages > 0 THEN 'page'
+       WHEN full_per_min >= 6.0 THEN 'thrash'
+       WHEN n_drift_alarms > 0 THEN 'drift'
+       WHEN overhead_pct >= 1.0 THEN 'watch'
+       ELSE 'healthy' END AS verdict
+FROM j"""

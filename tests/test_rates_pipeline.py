@@ -382,3 +382,55 @@ def test_slo_burn_rejects_bad_windows(spark):
     with pytest.raises(ValueError):
         slo_burn(ev, short_s=60, long_s=250)
     assert slo_burn(ev).count() == 0  # empty-input totality
+
+
+def test_fleet_scorecard_verdict_ladder(spark):
+    """One synthetic JVM per verdict tier, each tripping exactly its
+    own signal: severity is evaluated top-down (page > thrash > drift
+    > watch > healthy) and missing signals (no Full GCs, no heap rows)
+    fail their test instead of crashing."""
+    from gclog_parser_spark.operators.rates import fleet_scorecard
+
+    rows = []
+    # healthy: 4 tiny pauses over 100s -> overhead 0.04%
+    for i in range(4):
+        rows.append(("h", i + 1, i + 1, "GC", i * 25.0, 0.01, None))
+    # watch: 80 x 25ms over 100s -> overhead 2%; 25ms < CUSUM target
+    for i in range(80):
+        rows.append(("w", i + 1, i + 1, "GC", i * 1.25, 0.025, None))
+    # drift: 12 x 150ms, 300s apart -> CUSUM +50ms per pause crosses
+    # the 500ms threshold at pause 11; burn_long 1.5e6/3e7 << 1
+    for i in range(12):
+        rows.append(("d", i + 1, i + 1, "GC", i * 300.0, 0.15, None))
+    # thrash: 13 Full GCs 5s apart (13 per minute of full-GC span),
+    # 10ms pauses so no other signal fires
+    for i in range(13):
+        rows.append(("t", i + 1, i + 1, "Full GC", i * 5.0, 0.01, None))
+    # page: 4 x 1s pauses inside one minute -> burn_short 6.67 AND
+    # burn_long 1.33 both >= 1
+    for i in range(4):
+        rows.append(("p", i + 1, i + 1, "GC", 10.0 + i, 1.0, None))
+    # give the paging JVM some heap points too (exercise the ht join)
+    rows.append(("p", 5, 5, "GC", 20.0, 0.001, 1048576))
+    rows.append(("p", 6, 6, "GC", 30.0, 0.001, 2097152))
+
+    ev = spark.createDataFrame(
+        rows,
+        "url string, event_idx int, line_no int, gc_type string,"
+        " jvm_age_seconds double, pause_seconds double,"
+        " heap_after_bytes long",
+    )
+    got = {r["url"]: r for r in fleet_scorecard(ev).collect()}
+    assert {u: r["verdict"] for u, r in got.items()} == {
+        "h": "healthy", "w": "watch", "d": "drift",
+        "t": "thrash", "p": "page",
+    }
+    assert got["p"]["n_slo_pages"] > 0
+    assert got["d"]["n_drift_alarms"] > 0 and got["d"]["n_slo_pages"] == 0
+    assert got["t"]["full_per_min"] >= 6.0
+    assert got["w"]["overhead_pct"] == 2.025316  # 2e7 ticks / 98750 ms
+    assert got["h"]["n_full"] == 0  # coalesced, not NULL
+    assert got["h"]["full_per_min"] is None
+    # heap slope only where heap rows exist
+    assert got["p"]["slope_kb_per_s"] is not None
+    assert got["h"]["slope_kb_per_s"] is None
