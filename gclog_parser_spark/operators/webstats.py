@@ -290,9 +290,15 @@ def crawl_budget(
     """
     if budget < 0:
         raise ValueError("crawl_budget requires budget >= 0")
-    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
     counts = (
         df.select(host.alias("host"))
+        # unparseable URLs must NOT pool into one NULL-host group and
+        # claim quota (try_parse_url -> NULL; plain parse_url THROWS
+        # under ANSI, and the oracle's regexp yields ''): drop them on
+        # both sides — fail-empty parity, the same rule as the LSH
+        # NULL-bucket guard in similarity.py
+        .where(F.col("host").isNotNull())
         .groupBy("host")
         .agg(F.count("*").alias("n_pages"))
     )

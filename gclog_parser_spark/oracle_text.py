@@ -2809,9 +2809,13 @@ def crawl_budget_sql(budget: int = 10_000) -> str:
   SELECT {_SYNTH_URL} AS url FROM documents
 ),
 h AS (
+  -- non-matching urls extract '' (Spark side: parse_url NULL,
+  -- filtered): drop them so no phantom host claims quota
   SELECT regexp_extract(url, '^[a-z]+://([^/:?]+)', 1) AS host,
          count(*) AS n_pages
-  FROM u GROUP BY 1
+  FROM u
+  WHERE regexp_extract(url, '^[a-z]+://([^/:?]+)', 1) <> ''
+  GROUP BY 1
 ),
 t AS (SELECT sum(n_pages) AS total FROM h),
 b AS (

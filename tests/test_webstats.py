@@ -221,3 +221,19 @@ def test_crawl_budget_rejects_negative(spark):
                                "doc_id int, url string")
     with pytest.raises(ValueError, match="budget"):
         crawl_budget(df, budget=-1)
+
+
+def test_crawl_budget_drops_unparseable_urls(spark):
+    """Malformed URLs (parse_url -> NULL host) must not pool into a
+    phantom NULL-host group and claim quota — fail-empty parity with
+    the oracle's regexp side."""
+    from gclog_parser_spark.operators.webstats import crawl_budget
+
+    df = spark.createDataFrame(
+        [(0, "https://a.com/p"), (1, "https://a.com/q"),
+         (2, "not a url"), (3, "also::bad")],
+        "doc_id int, url string",
+    )
+    got = {r["host"]: (r["n_pages"], r["quota"])
+           for r in crawl_budget(df, budget=5).collect()}
+    assert got == {"a.com": (2, 5)}
