@@ -220,3 +220,44 @@ def test_round5_media_and_cusum_ops_empty(spark, empty_docs):
         [], "vec_id int, embedding array<float>, label string"
     )
     assert neardup_pairs(empty_emb, scorer="blas", dim=8).count() == 0
+
+
+def test_round5_late_wave_ops_empty(spark, empty_docs, empty_events):
+    from gclog_parser_spark.operators.graph import (
+        kcore,
+        label_propagation,
+        trustrank,
+    )
+    from gclog_parser_spark.operators.rates import fleet_scorecard
+    from gclog_parser_spark.operators.textstats import readability
+    from gclog_parser_spark.operators.webstats import crawl_budget
+    from gclog_parser_spark.operators.enrich import stall_rootcause
+    from gclog_parser_spark.schema import PAGES_SCHEMA
+
+    # scan-side operators: empty in -> empty out, schema intact
+    r = readability(empty_docs)
+    assert r.count() == 0 and "fk_grade" in r.columns
+    empty_urls = spark.createDataFrame([], "doc_id long, url string")
+    cb = crawl_budget(empty_urls, budget=10)
+    assert cb.count() == 0 and cb.columns == ["host", "n_pages", "quota"]
+    empty_pages = spark.createDataFrame([], PAGES_SCHEMA)
+    assert stall_rootcause(empty_pages).count() == 0
+
+    # parsed-events rollup: empty events -> zero scorecard rows
+    empty_gc = spark.createDataFrame(
+        [],
+        "url string, event_idx long, line_no long, gc_type string,"
+        " jvm_age_seconds double, pause_seconds double,"
+        " heap_after_bytes long",
+    )
+    assert fleet_scorecard(empty_gc).count() == 0
+
+    # iterative graph ops document a LOUD empty-edge-set guard
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="empty edge set"):
+        label_propagation(empty_edges)
+    with pytest.raises(ValueError, match="empty edge set"):
+        kcore(empty_edges)
+    with pytest.raises(ValueError, match="empty edge set"):
+        trustrank(empty_edges, seeds)
