@@ -2015,6 +2015,23 @@ def q_dedup_kcore(spark, sf_dir):
     )
 
 
+def q_dedup_coreness(spark, sf_dir):
+    """Full core decomposition of the MinHash pair graph (round-5):
+    every doc's coreness in one pass via the h-index iteration (Lü et
+    al. 2016) — the whole peeling ladder dedup_kcore samples at k=2,
+    for bucketing near-dup farms by tier without picking k up front.
+    Exact BIGINT H-index (count of ranks with value >= rank), O(1)
+    driver convergence on the monotone sum
+    (operators/graph.coreness)."""
+    from gclog_parser_spark.operators.dedup import minhash_band_pairs
+    from gclog_parser_spark.operators.graph import coreness
+
+    return coreness(
+        minhash_band_pairs(_docs(spark, sf_dir)),
+        src="doc_a", dst="doc_b",
+    )
+
+
 def q_dedup_verified_pairs(spark, sf_dir):
     from gclog_parser_spark.operators.dedup import minhash_verified_pairs
 
@@ -4268,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_kcore": q_dedup_kcore,
+        "dedup_coreness": q_dedup_coreness,
         "dedup_verified_pairs": q_dedup_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "corpus_split": q_corpus_split,
@@ -4664,6 +4682,7 @@ sessions AS (
     out["dedup_exact"] = ot.dedup_exact_sql()
     out["dedup_minhash_pairs"] = ot.dedup_minhash_sql()
     out["dedup_kcore"] = ot.dedup_kcore_sql()
+    out["dedup_coreness"] = ot.dedup_coreness_sql()
     out["dedup_verified_pairs"] = ot.minhash_verified_sql()
     out["dedup_clusters"] = ot.dedup_clusters_sql()
     out["corpus_split"] = ot.hash_split_sql()

@@ -2866,3 +2866,34 @@ def dedup_kcore_sql(k: int = 2, unroll: int = 8) -> str:
         + f" SELECT a AS node, count(*) AS core_deg"
         f" FROM e{unroll} GROUP BY 1"
     )
+
+
+def dedup_coreness_sql(unroll: int = 6) -> str:
+    """Independent DuckDB twin of graph.coreness over the MinHash
+    candidate-pair graph: the h-index iteration unrolled to ``unroll``
+    rounds (monotone and idempotent at the fixpoint — any unroll >=
+    the true convergence depth, 2 at the gate SFs, is exact), H-index
+    expressed as list_sort DESC + zip-with-rank filter count."""
+    ctes = [
+        f"pairs AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM"
+        f" ({_MINHASH_PAIRS_SELECT}))",
+        "e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        " WHERE doc_a <> doc_b"
+        " UNION SELECT doc_b, doc_a FROM pairs WHERE doc_a <> doc_b)",
+        "h0 AS MATERIALIZED (SELECT a AS node,"
+        " CAST(count(*) AS BIGINT) AS h FROM e0 GROUP BY 1)",
+    ]
+    for i in range(1, unroll + 1):
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT node,"
+            " CAST(len(list_filter(list_zip(hs,"
+            " generate_series(1, len(hs))),"
+            " p -> p[1] >= p[2])) AS BIGINT) AS h FROM"
+            " (SELECT e.a AS node, list_sort(list(v.h), 'DESC') AS hs"
+            f" FROM e0 e JOIN h{i-1} v ON v.node = e.b"
+            " GROUP BY e.a))"
+        )
+    return (
+        f"WITH {_minhash_ctes()}, " + ", ".join(ctes)
+        + f" SELECT node, h AS coreness FROM h{unroll}"
+    )

@@ -389,3 +389,66 @@ def test_kcore_guards(spark):
     loops = spark.createDataFrame([(1, 1)], "src bigint, dst bigint")
     with pytest.raises(ValueError, match="empty edge set"):
         kcore(loops)
+
+
+def _py_coreness(edges):
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    h = {v: len(ns) for v, ns in adj.items()}
+    while True:
+        nh = {}
+        for v, ns in adj.items():
+            vals = sorted((h[u] for u in ns), reverse=True)
+            nh[v] = sum(1 for i, x in enumerate(vals, 1) if x >= i)
+        if nh == h:
+            return h
+        h = nh
+
+
+def test_coreness_matches_python_and_kcore(spark):
+    from gclog_parser_spark.operators.graph import coreness, kcore
+
+    # clique(4) + pendant chain + pair: coreness 3 on the clique,
+    # 1 everywhere else; k-core membership must agree for every k
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (7, 8)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    stats = {}
+    got = {
+        r["node"]: r["coreness"]
+        for r in coreness(df, stats=stats).collect()
+    }
+    want = _py_coreness(edges)
+    assert got == want
+    assert got[1] == 3 and got[5] == 1 and got[7] == 1
+    assert stats["rounds"] >= 1
+    # cross-operator consistency: {v : coreness >= k} == k-core nodes
+    for k in (1, 2, 3):
+        core_nodes = {
+            r["node"] for r in kcore(df, k=k).collect()
+        }
+        assert {v for v, c in got.items() if c >= k} == core_nodes
+
+
+def test_coreness_path_graph_all_ones(spark):
+    from gclog_parser_spark.operators.graph import coreness
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["coreness"] for r in coreness(df).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 9
+
+
+def test_coreness_empty_guard(spark):
+    import pytest
+
+    from gclog_parser_spark.operators.graph import coreness
+
+    loops = spark.createDataFrame([(1, 1)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="empty edge set"):
+        coreness(loops)
