@@ -2358,6 +2358,17 @@ def q_text_readability(spark, sf_dir):
     return readability(_docs(spark, sf_dir))
 
 
+def q_text_cooccur(spark, sf_dir):
+    """Within-document co-occurrence mining (round-5, Apriori 2-itemset
+    level): pair document-frequency + lift over word pairs, with the
+    Apriori df-prune applied BEFORE the quadratic per-doc pair join —
+    the order-free collocation signal corpus_ngrams' adjacency misses
+    (operators/textstats.cooccur_pairs)."""
+    from gclog_parser_spark.operators.textstats import cooccur_pairs
+
+    return cooccur_pairs(_docs(spark, sf_dir))
+
+
 def q_lang_id(spark, sf_dir):
     from gclog_parser_spark.operators.textstats import lang_id
 
@@ -4306,6 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "text_quality": q_text_quality,
         "text_readability": q_text_readability,
+        "text_cooccur": q_text_cooccur,
         "text_classifier": q_text_classifier,
         "corpus_domain_mix": q_corpus_domain_mix,
         "dedup_survivors": q_dedup_survivors,
@@ -4706,6 +4718,7 @@ sessions AS (
     out["dedup_containment"] = ot.dedup_containment_sql()
     out["text_quality"] = ot.text_quality_sql()
     out["text_readability"] = ot.readability_sql()
+    out["text_cooccur"] = ot.cooccur_sql()
     out["text_classifier"] = ot.classifier_score_sql()
     out["corpus_domain_mix"] = ot.domain_mix_sql()
     out["dedup_survivors"] = ot.dedup_survivors_sql()

@@ -1524,3 +1524,66 @@ def readability(docs: DataFrame) -> DataFrame:
         grade.alias("fk_grade"),
         band.alias("band"),
     )
+
+
+def cooccur_pairs(docs: DataFrame, min_support: int = 5) -> DataFrame:
+    """Within-document unordered co-occurrence mining (the 2-itemset
+    level of Apriori, Agrawal & Srikant VLDB'94, over documents as
+    baskets): for every word pair, in how many documents do BOTH
+    appear, plus each word's own document frequency and the lift
+    ``P(a,b) / (P(a)·P(b))`` — the collocation/market-basket signal a
+    corpus audit reads next to :func:`corpus_ngrams` (ADJACENT k-grams;
+    this is order-free co-presence, which adjacency misses entirely —
+    "spark…shuffle" co-occurring ten words apart).
+
+    The scale story IS the Apriori property: a pair can reach
+    ``min_support`` only if BOTH words individually do, so words are
+    pruned by document frequency BEFORE the quadratic per-doc pair
+    join — the candidate explosion is bounded by frequent words per
+    doc, not vocabulary.  Exact BIGINT counts; lift is ONE IEEE
+    division of BIGINT products (``n_pair·N / (df_a·df_b)``), HALF_UP
+    6 dp.  Pair key is canonicalized ``w1 < w2`` (string order), so
+    the result is a pure function of the corpus.
+
+    Plan: distinct (doc, word) exchange → df filter (broadcast-sized
+    frequent vocab at any corpus scale: it's ∝ words above min_support,
+    not docs) → per-doc self-join of the pruned token sets → one
+    partial-agged (w1, w2) exchange.  At 10^12 docs raise
+    ``min_support`` with the corpus — support thresholds are relative
+    in practice — and the pruned join stays bounded."""
+    dw = (
+        docs.select(
+            "doc_id", F.explode(_words(F.col("text"))).alias("w")
+        )
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    n_docs = docs.select(F.countDistinct("doc_id")).first()[0]
+    df_w = dw.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    frequent = df_w.where(F.col("df") >= min_support)
+    pruned = dw.join(F.broadcast(frequent), "w")
+    a = pruned.select(
+        "doc_id", F.col("w").alias("w1"), F.col("df").alias("df1")
+    )
+    b = pruned.select(
+        "doc_id", F.col("w").alias("w2"), F.col("df").alias("df2")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2", "df1", "df2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= min_support)
+    )
+    return pairs.select(
+        "w1",
+        "w2",
+        "n_pair",
+        "df1",
+        "df2",
+        F.round(
+            (F.col("n_pair") * F.lit(int(n_docs)))
+            / (F.col("df1") * F.col("df2")),
+            6,
+        ).alias("lift"),
+    )

@@ -2897,3 +2897,33 @@ def dedup_coreness_sql(unroll: int = 6) -> str:
         f"WITH {_minhash_ctes()}, " + ", ".join(ctes)
         + f" SELECT node, h AS coreness FROM h{unroll}"
     )
+
+
+def cooccur_sql(min_support: int = 5) -> str:
+    """Independent DuckDB twin of textstats.cooccur_pairs: same
+    distinct (doc, word) → df prune → per-doc self-join → pair
+    support, lift as the same single division."""
+    return f"""WITH dw AS MATERIALIZED (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id,
+      unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+dfw AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY 1
+  HAVING count(*) >= {min_support}
+),
+pruned AS MATERIALIZED (
+  SELECT dw.doc_id, dw.w, dfw.df FROM dw JOIN dfw USING (w)
+)
+SELECT a.w AS w1, b.w AS w2,
+  CAST(count(*) AS BIGINT) AS n_pair,
+  a.df AS df1, b.df AS df2,
+  round(CAST(count(*) AS BIGINT) * (SELECT n_docs FROM n)
+        / (a.df * b.df), 6) AS lift
+FROM pruned a JOIN pruned b
+  ON a.doc_id = b.doc_id AND a.w < b.w
+GROUP BY 1, 2, 4, 5
+HAVING count(*) >= {min_support}"""

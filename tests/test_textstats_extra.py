@@ -582,3 +582,32 @@ def test_readability_wordless_is_null_not_crash(spark):
     # "..." is one word (a \S+ run) with zero syllables: scores defined
     assert rows[2]["n_words"] == 1 and rows[2]["n_syllables"] == 0
     assert rows[2]["band"] is not None
+
+
+def test_cooccur_pairs_support_prune_and_lift(spark):
+    from gclog_parser_spark.operators.textstats import cooccur_pairs
+
+    # 6 docs; "a b" co-occur in 4, "a c" in 2, "rare" appears once —
+    # with min_support=2: rare is Apriori-pruned before the pair join,
+    # (a,c) survives, and no pair ever repeats within a doc (distinct)
+    texts = [
+        "a b b a", "a b", "a b", "a b c", "a c rare", "b",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in cooccur_pairs(docs, min_support=2).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c")}
+    ab = got[("a", "b")]
+    # df(a)=5, df(b)=5, n_pair=4, N=6 -> lift = 4*6/25
+    assert (ab["n_pair"], ab["df1"], ab["df2"]) == (4, 5, 5)
+    assert ab["lift"] == 0.96
+    ac = got[("a", "c")]
+    assert (ac["n_pair"], ac["df1"], ac["df2"]) == (2, 5, 2)
+    assert ac["lift"] == 1.2
+    # support threshold: min_support=5 keeps nothing
+    assert cooccur_pairs(docs, min_support=5).count() == 0
