@@ -1583,6 +1583,18 @@ def q_rel_variant_extract(spark, sf_dir):
     )
 
 
+def q_emb_matryoshka(spark, sf_dir):
+    """Matryoshka truncation audit (round-5, Kusupati et al. 2022):
+    per (label, truncation dim), energy retained by the d-prefix —
+    the cosine between a full vector and its truncation — as
+    micro-tick-exact group means; the go/no-go before serving
+    truncated embeddings next to ann_quant_error's int8 audit
+    (operators/similarity.matryoshka_audit)."""
+    from gclog_parser_spark.operators.similarity import matryoshka_audit
+
+    return matryoshka_audit(_embs(spark, sf_dir))
+
+
 def q_emb_dq_checks(spark, sf_dir):
     """Embedding-corpus validation gate (NULL vectors, width drift,
     NULL / non-finite components, zero vectors) as uniform
@@ -2030,6 +2042,19 @@ def q_dedup_coreness(spark, sf_dir):
         minhash_band_pairs(_docs(spark, sf_dir)),
         src="doc_a", dst="doc_b",
     )
+
+
+def q_dedup_cross_source(spark, sf_dir):
+    """Cross-source near-dup leakage matrix (round-5): per canonical
+    (source_a <= source_b) pair, MinHash candidate pairs straddling it
+    + distinct docs implicated — diagonal = within-source template
+    reuse, off-diagonal = the same content arriving through two
+    pipelines (double-count / license-laundering smell per-source
+    dedup never sees).  LSH-banded pair join, then one tiny
+    (source,source) exchange (operators/dedup.cross_source_pairs)."""
+    from gclog_parser_spark.operators.dedup import cross_source_pairs
+
+    return cross_source_pairs(_docs(spark, sf_dir))
 
 
 def q_dedup_verified_pairs(spark, sf_dir):
@@ -4297,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_kcore": q_dedup_kcore,
         "dedup_coreness": q_dedup_coreness,
+        "dedup_cross_source": q_dedup_cross_source,
         "dedup_verified_pairs": q_dedup_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "corpus_split": q_corpus_split,
@@ -4509,6 +4535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "emb_label_stats": q_emb_label_stats,
         "emb_rproj": q_emb_rproj,
+        "emb_matryoshka": q_emb_matryoshka,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }
@@ -4695,6 +4722,7 @@ sessions AS (
     out["dedup_minhash_pairs"] = ot.dedup_minhash_sql()
     out["dedup_kcore"] = ot.dedup_kcore_sql()
     out["dedup_coreness"] = ot.dedup_coreness_sql()
+    out["dedup_cross_source"] = ot.cross_source_sql()
     out["dedup_verified_pairs"] = ot.minhash_verified_sql()
     out["dedup_clusters"] = ot.dedup_clusters_sql()
     out["corpus_split"] = ot.hash_split_sql()
@@ -4781,6 +4809,7 @@ sessions AS (
     out["ann_recall"] = ot.ann_recall_sql(RECALL_QUERY_IDS, k=RECALL_K)
     out["emb_label_stats"] = ot.label_centroids_sql()
     out["emb_rproj"] = ot.srp_project_sql(in_dim=64, out_dim=16)
+    out["emb_matryoshka"] = ot.matryoshka_sql()
     out["ann_pq_topk"] = ot.ann_pq_sql(k=10, iters=2)
     out["ann_ivfpq_topk"] = ot.ann_ivfpq_sql(k=10, iters=2, n_probe=2)
     # the SAME SQL GC parser, pointed at the raw files via read_text —

@@ -970,3 +970,67 @@ def lsh_recall(
             6,
         ).alias("efficiency"),
     )
+
+
+def cross_source_pairs(docs: DataFrame) -> DataFrame:
+    """Cross-source near-duplicate leakage matrix — the provenance
+    audit a corpus review runs before mixing sources: for every
+    (source_a <= source_b) pair, how many MinHash near-dup candidate
+    pairs straddle it, and how many distinct documents are implicated.
+    Diagonal entries are within-source duplication (template reuse);
+    off-diagonal entries are CROSS-source leakage — the same content
+    arriving through two pipelines, the classic double-count /
+    license-laundering smell that per-source dedup never sees.
+
+    The pair key is canonicalized with ``least/greatest`` (binary
+    string order), so the matrix is a pure function of the corpus.
+    Exact BIGINT counts; the distinct-doc count is over the union of
+    both endpoints.
+
+    Plan: the candidate pairs come from the banded LSH join
+    (:func:`minhash_band_pairs` — shuffle ∝ doc×band, the thing that
+    keeps this tractable at 10^12 docs); each endpoint then picks up
+    its source via a join on doc_id and the matrix is one
+    partial-agged exchange on the tiny (source_a, source_b) key.  The
+    doc_id→source side is column-pruned to two columns; at corpus
+    scale it broadcast-joins per AQE if small or shuffles on doc_id
+    (the pair relation is already ∝ candidate pairs, far below docs).
+    """
+    pairs = minhash_band_pairs(docs).select("doc_a", "doc_b").distinct()
+    src = docs.select("doc_id", "source")
+    ab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    docs_involved = (
+        ab.select("source_a", "source_b", F.col("doc_a").alias("d"))
+        .union(
+            ab.select("source_a", "source_b", F.col("doc_b").alias("d"))
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    return (
+        ab.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .join(docs_involved, ["source_a", "source_b"])
+        .withColumn("cross_source", F.col("source_a") != F.col("source_b"))
+    )

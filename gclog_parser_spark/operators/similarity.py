@@ -1613,3 +1613,54 @@ def knn_graph(
     return scored.withColumn(
         "rank", F.row_number().over(w)
     ).where(F.col("rank") <= k)
+
+
+def matryoshka_audit(embs: DataFrame, dims=(16, 32)) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al., NeurIPS 2022):
+    per (label, truncation dim d), how much of each vector's energy
+    the d-prefix retains — ``||x[:d]|| / ||x||``, which is exactly the
+    cosine between the full vector and its zero-padded truncation.
+    The go/no-go read before serving truncated embeddings (MRL-style
+    progressive dims) from the same table the full-dim ANN path scans:
+    high retention → truncate and quarter the serving bytes, low →
+    the tail dims carry real signal for that label.
+
+    Parity discipline: per-vector ratio = ONE sqrt of ONE division of
+    two deterministic left-to-right array folds (the `_dot` shape every
+    hash-green ANN oracle shares; sqrt is correctly-rounded IEEE,
+    unlike log), then HALF_UP-scaled to BIGINT micro-ticks so the
+    GROUP sums are exact integers — group aggregation order can never
+    perturb the mean.  Zero-norm vectors yield NULL and drop from the
+    stats (same guard as ``_cos_sim``).
+
+    Plan: scan-side per-vector folds (no Python), one explode ×
+    |dims|, one partial-agged exchange on the tiny (label, d) key;
+    output ∝ labels × dims."""
+    emb = F.col("embedding")
+    base = embs.select(
+        "label", "embedding", _dot(emb, emb).alias("full_sq")
+    )
+    ex = base.select(
+        "label",
+        "embedding",
+        "full_sq",
+        F.explode(F.array(*[F.lit(int(d)) for d in dims])).alias("d"),
+    )
+    pre = F.slice(emb, F.lit(1), F.col("d"))
+    ratio = F.when(
+        F.col("full_sq") > 0, F.sqrt(_dot(pre, pre) / F.col("full_sq"))
+    )
+    ticks = F.round(ratio * 1000000).cast("long")
+    return (
+        ex.select("label", "d", ticks.alias("ticks"))
+        .groupBy("label", "d")
+        .agg(
+            F.count("ticks").cast("long").alias("n_vecs"),
+            F.round(
+                F.sum("ticks") / (F.count("ticks") * F.lit(1000000)), 6
+            ).alias("mean_energy"),
+            F.round(F.min("ticks") / F.lit(1000000), 6).alias(
+                "min_energy"
+            ),
+        )
+    )

@@ -2927,3 +2927,62 @@ FROM pruned a JOIN pruned b
   ON a.doc_id = b.doc_id AND a.w < b.w
 GROUP BY 1, 2, 4, 5
 HAVING count(*) >= {min_support}"""
+
+
+def cross_source_sql() -> str:
+    """Independent DuckDB twin of dedup.cross_source_pairs: the shared
+    minhash pair CTEs + source joins + least/greatest canonical key."""
+    return f"""WITH {_minhash_ctes()},
+pairs AS MATERIALIZED (
+  SELECT DISTINCT doc_a, doc_b FROM ({_MINHASH_PAIRS_SELECT})
+),
+ab AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b,
+    least(da.source, db.source) AS source_a,
+    greatest(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+),
+np AS (
+  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM ab GROUP BY 1, 2
+),
+nd AS (
+  SELECT source_a, source_b,
+    CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (
+    SELECT source_a, source_b, doc_a AS d FROM ab
+    UNION ALL
+    SELECT source_a, source_b, doc_b FROM ab
+  ) GROUP BY 1, 2
+)
+SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs,
+  np.source_a <> np.source_b AS cross_source
+FROM np JOIN nd USING (source_a, source_b)"""
+
+
+def matryoshka_sql(dims=(16, 32)) -> str:
+    """Independent DuckDB twin of similarity.matryoshka_audit: same
+    list_dot_product folds, sqrt, micro-tick HALF_UP scaling and
+    exact-integer group sums."""
+    dlist = ", ".join(str(int(d)) for d in dims)
+    return f"""WITH base AS (
+  SELECT label, embedding,
+    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+      AS full_sq
+  FROM embeddings
+),
+ex AS (
+  SELECT label, dd.d,
+    CAST(round(CASE WHEN full_sq > 0 THEN sqrt(
+      list_dot_product(embedding[1:dd.d]::DOUBLE[],
+                       embedding[1:dd.d]::DOUBLE[]) / full_sq)
+    END * 1000000) AS BIGINT) AS ticks
+  FROM base, (SELECT unnest([{dlist}]) AS d) dd
+)
+SELECT label, d,
+  CAST(count(ticks) AS BIGINT) AS n_vecs,
+  round(sum(ticks) / (count(ticks) * 1000000), 6) AS mean_energy,
+  round(min(ticks) / 1000000, 6) AS min_energy
+FROM ex GROUP BY 1, 2"""

@@ -194,3 +194,34 @@ def test_simhash_pairs_plan_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cross_source_leakage_matrix(spark):
+    """Identical texts force MinHash candidate pairs with certainty;
+    the matrix canonicalizes (least, greatest) and separates diagonal
+    (within-source reuse) from cross-source leakage."""
+    from gclog_parser_spark.operators.dedup import cross_source_pairs
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    u = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (0, t, "en", "zz_src", len(t)),   # dup of 1 across sources
+            (1, t, "en", "aa_src", len(t)),
+            (2, u, "en", "aa_src", len(u)),   # dup of 3 within source
+            (3, u, "en", "aa_src", len(u)),
+            (4, "totally unrelated words here", "en", "bb_src", 29),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_pairs(docs).collect()
+    }
+    assert set(got) == {("aa_src", "zz_src"), ("aa_src", "aa_src")}
+    cross = got[("aa_src", "zz_src")]
+    assert cross["cross_source"] is True
+    assert cross["n_pairs"] == 1 and cross["n_docs"] == 2
+    diag = got[("aa_src", "aa_src")]
+    assert diag["cross_source"] is False
+    assert diag["n_pairs"] == 1 and diag["n_docs"] == 2

@@ -531,3 +531,35 @@ def test_blas_scorer_tolerance_parity_and_same_topk(spark, sf_dir):
     assert p_blas.keys() == p_fold.keys() and p_fold
     for k in p_fold:
         assert abs(p_blas[k] - p_fold[k]) < 1e-9, k
+
+
+def test_matryoshka_energy_ratios_exact(spark):
+    """Handcrafted vectors with closed-form prefix-energy ratios: all
+    energy in the prefix -> 1.0; split evenly across prefix/tail ->
+    sqrt(0.5); all energy in the tail -> 0.0; a zero vector drops."""
+    import math
+
+    from gclog_parser_spark.operators.similarity import matryoshka_audit
+
+    def vec(front, back):
+        return [float(front)] * 4 + [float(back)] * 4
+
+    rows = [
+        (0, vec(1, 0), 0),   # prefix-only -> ratio 1
+        (1, vec(1, 1), 1),   # even split  -> sqrt(1/2)
+        (2, vec(0, 1), 2),   # tail-only   -> 0
+        (3, vec(0, 0), 3),   # zero vector -> NULL, dropped
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["label"], r["d"]): r
+        for r in matryoshka_audit(embs, dims=(4,)).collect()
+    }
+    assert got[(0, 4)]["mean_energy"] == 1.0
+    want = round(round(math.sqrt(0.5) * 1e6) / 1e6, 6)
+    assert got[(1, 4)]["mean_energy"] == want
+    assert got[(2, 4)]["mean_energy"] == 0.0
+    assert (3, 4) not in got or got[(3, 4)]["n_vecs"] == 0
+    assert got[(0, 4)]["min_energy"] == 1.0
