@@ -2400,6 +2400,18 @@ def q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_corpus_effective_tokens(spark, sf_dir):
+    """Effective-token accounting after near-dup dedup (round-5): per
+    source, raw vs keeper-surviving tokens and the dup share clawed
+    back — the corrected capacity number that decides mix weights
+    (raw token_counts overstates templated sources).  Exact BIGINT
+    sums both branches, one share division; scan-side token regexp +
+    the dedup keeper join (operators/textstats.effective_tokens)."""
+    from gclog_parser_spark.operators.textstats import effective_tokens
+
+    return effective_tokens(_docs(spark, sf_dir))
+
+
 def q_token_counts(spark, sf_dir):
     from gclog_parser_spark.operators.textstats import token_counts
 
@@ -4356,6 +4368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_scd2": q_rel_scd2,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
+        "corpus_effective_tokens": q_corpus_effective_tokens,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -4758,6 +4771,7 @@ sessions AS (
     out["corpus_drift"] = ot.word_drift_sql()
     out["lang_id"] = ot.lang_id_sql()
     out["token_counts"] = ot.token_counts_sql()
+    out["corpus_effective_tokens"] = ot.effective_tokens_sql()
     out["doc_fingerprint"] = ot.doc_fingerprint_sql()
     out["ann_cosine_topk"] = ot.ann_cosine_sql()
     out["ann_lsh_topk"] = ot.ann_lsh_sql()

@@ -1587,3 +1587,55 @@ def cooccur_pairs(docs: DataFrame, min_support: int = 5) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+def effective_tokens(docs: DataFrame) -> DataFrame:
+    """Effective-token accounting after near-dup dedup — the capacity
+    number a training plan actually budgets: per source, raw tokens
+    vs tokens surviving on the MinHash-cluster keepers
+    (``dedup.dedup_clusters``), and the dup share that dedup claws
+    back.  Raw `token_counts` overstates a templated source's
+    contribution; this is the corrected row ("source X brings 9M
+    tokens, but only 7.1M after dedup") that decides mix weights.
+
+    Exact BIGINT token sums on both branches, ONE IEEE division for
+    the share (NULL when a source has zero raw tokens).  Plan: the
+    per-doc token count is scan-side regexp codegen; the keeper flag
+    joins on doc_id (docs-sized but two-column, shuffle ∝ corpus rows
+    once — at 10^12 docs this is the same join the dedup survivor
+    write already does); then one partial-agged exchange on source."""
+    from gclog_parser_spark.operators.dedup import dedup_clusters
+
+    toks = docs.select(
+        "doc_id",
+        "source",
+        _count_re(F.col("text"), TOKEN_RE).cast("long").alias("t"),
+    )
+    keep = dedup_clusters(docs).select("doc_id", "is_keeper")
+    j = toks.join(keep, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.sum(F.when(F.col("is_keeper"), 0).otherwise(1))
+            .cast("long")
+            .alias("docs_dropped"),
+            F.sum("t").alias("tokens_raw"),
+            F.sum(F.when(F.col("is_keeper"), F.col("t")).otherwise(0))
+            .alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "docs",
+            "docs_dropped",
+            "tokens_raw",
+            "tokens_kept",
+            F.when(
+                F.col("tokens_raw") > 0,
+                F.round(
+                    F.lit(1) - F.col("tokens_kept") / F.col("tokens_raw"),
+                    6,
+                ),
+            ).alias("dup_token_share"),
+        )
+    )

@@ -2986,3 +2986,28 @@ SELECT label, d,
   round(sum(ticks) / (count(ticks) * 1000000), 6) AS mean_energy,
   round(min(ticks) / 1000000, 6) AS min_energy
 FROM ex GROUP BY 1, 2"""
+
+
+def effective_tokens_sql() -> str:
+    """Independent DuckDB twin of textstats.effective_tokens: the
+    recursive-CTE cluster oracle nested as a subquery + the same
+    exact-BIGINT token sums and single share division."""
+    t = _count_re("text", TOKEN_RE)
+    return f"""WITH k AS MATERIALIZED (
+  SELECT doc_id, is_keeper FROM ({dedup_clusters_sql()})
+),
+t AS (
+  SELECT doc_id, source, CAST({t} AS BIGINT) AS t FROM documents
+)
+SELECT t.source,
+  CAST(count(*) AS BIGINT) AS docs,
+  CAST(sum(CASE WHEN k.is_keeper THEN 0 ELSE 1 END) AS BIGINT)
+    AS docs_dropped,
+  CAST(sum(t.t) AS BIGINT) AS tokens_raw,
+  CAST(sum(CASE WHEN k.is_keeper THEN t.t ELSE 0 END) AS BIGINT)
+    AS tokens_kept,
+  CASE WHEN sum(t.t) > 0 THEN
+    round(1 - sum(CASE WHEN k.is_keeper THEN t.t ELSE 0 END)
+              / sum(t.t), 6) END AS dup_token_share
+FROM t JOIN k USING (doc_id)
+GROUP BY 1"""

@@ -611,3 +611,26 @@ def test_cooccur_pairs_support_prune_and_lift(spark):
     assert ac["lift"] == 1.2
     # support threshold: min_support=5 keeps nothing
     assert cooccur_pairs(docs, min_support=5).count() == 0
+
+
+def test_effective_tokens_claws_back_duplicates(spark):
+    from gclog_parser_spark.operators.textstats import effective_tokens
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, t, "en", "farm", len(t)),       # keeper (min doc_id)
+            (1, t, "en", "farm", len(t)),       # dropped dup
+            (2, t, "en", "farm", len(t)),       # dropped dup
+            (3, "unique words only", "en", "clean", 17),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r["source"]: r for r in effective_tokens(docs).collect()}
+    farm = got["farm"]
+    assert (farm["docs"], farm["docs_dropped"]) == (3, 2)
+    assert farm["tokens_raw"] == 24 and farm["tokens_kept"] == 8
+    assert farm["dup_token_share"] == round(1 - 8 / 24, 6)
+    clean = got["clean"]
+    assert clean["docs_dropped"] == 0
+    assert clean["dup_token_share"] == 0.0
