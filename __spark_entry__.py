@@ -520,6 +520,17 @@ def q_gc_slo_burn(spark, sf_dir):
     return slo_burn(_events(spark, sf_dir))
 
 
+def q_gc_pause_jitter(spark, sf_dir):
+    """Per-JVM pause jitter (round-5): mean/variance/stddev of the
+    pause series from exact 0.1 µs BIGINT Σx/Σx² (the heap_trend OLS
+    discipline) — latency REGULARITY next to the level (gc_overhead),
+    tail (histogram/percentiles) and trend (cusum); one url exchange
+    (operators/rates.pause_jitter)."""
+    from gclog_parser_spark.operators.rates import pause_jitter
+
+    return pause_jitter(_events(spark, sf_dir))
+
+
 def q_gc_fleet_scorecard(spark, sf_dir):
     """Per-JVM fleet health scorecard (round-5): gc_overhead +
     fullgc_pressure + heap_trend + pause_cusum alarms + slo_burn pages
@@ -3408,6 +3419,20 @@ def q_web_hits(spark, sf_dir):
     return hits(events_link_graph(ev))
 
 
+def q_web_degree_dist(spark, sf_dir):
+    """Log2-bucketed in/out degree distribution of the link graph
+    (round-5): the power-law-tail audit chart, bucketed WITHOUT floats
+    via length(bin(deg))-1 with BIGINT-shift bounds — parity needs no
+    rounding rule at all (operators/graph.degree_distribution)."""
+    from gclog_parser_spark.operators.graph import (
+        degree_distribution,
+        events_link_graph,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return degree_distribution(events_link_graph(ev))
+
+
 def q_web_communities(spark, sf_dir):
     """Synchronous label-propagation communities on the deterministic
     events link graph (round-5) — 3 fixed iterations, label update =
@@ -4429,6 +4454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_pause_cusum": q_gc_pause_cusum,
         "gc_slo_burn": q_gc_slo_burn,
         "gc_fleet_scorecard": q_gc_fleet_scorecard,
+        "gc_pause_jitter": q_gc_pause_jitter,
         "gc_stream_slo_burn": q_gc_stream_slo_burn,
         "gc_stream_cusum": q_gc_stream_cusum,
         "gc_tsv_export": q_gc_tsv_export,
@@ -4504,6 +4530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_hits": q_web_hits,
         "web_triangles": q_web_triangles,
         "web_communities": q_web_communities,
+        "web_degree_dist": q_web_degree_dist,
         "web_trustrank": q_web_trustrank,
         "snap_time_travel": q_snap_time_travel,
         "rel_dpp_scan": q_rel_dpp_scan,
@@ -4616,6 +4643,7 @@ def oracle_sql() -> dict[str, str]:
     out["gc_pause_cusum"] = oracle.pause_cusum_sql()
     out["gc_slo_burn"] = oracle.slo_burn_sql()
     out["gc_fleet_scorecard"] = oracle.fleet_scorecard_sql()
+    out["gc_pause_jitter"] = oracle.pause_jitter_sql()
     out["gc_stream_slo_burn"] = oracle.slo_burn_sql()
     # the stream must equal the batch operator, so it shares its oracle
     out["gc_stream_cusum"] = oracle.pause_cusum_sql()
@@ -5473,6 +5501,7 @@ WHERE a.event_id IS NULL OR b.event_id IS NULL
     out["web_hits"] = _hits_oracle_sql()
     out["web_triangles"] = ot.triangle_counts_sql()
     out["web_communities"] = _lpa_oracle_sql()
+    out["web_degree_dist"] = ot.degree_dist_sql()
     out["web_trustrank"] = _trustrank_oracle_sql()
     out["snap_wap_publish"] = (
         "SELECT event_id, ts, user_id, event_type, props FROM events"

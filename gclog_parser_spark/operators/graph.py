@@ -659,3 +659,51 @@ def coreness(
     if stats is not None:
         stats["rounds"] = rounds
     return h.select("node", F.col("h").alias("coreness"))
+
+
+def degree_distribution(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Log2-bucketed in/out degree distribution — the first chart a
+    web-graph audit draws (a crawl frontier is healthy when the tail
+    is power-law-ish; a sudden fat bucket is a link farm or a crawler
+    trap).  One row per (direction, log2 bucket) with the node count
+    and the exact min/max degree inside the bucket.
+
+    The bucket is ``floor(log2(degree))`` computed WITHOUT floats:
+    ``length(bin(degree)) - 1`` (the binary-string length trick) —
+    pure integer/string ops in both engines, so parity needs no
+    rounding rule at all; bucket bounds come back via BIGINT shifts.
+
+    Plan: two partial-agged exchanges (one per direction — out-degree
+    groups on src, in-degree on dst), then a union and one tiny
+    (direction, bucket) aggregate; shuffle ∝ edges pre-combine, output
+    ∝ log2(max degree).  Multi-edges are counted as distinct links
+    (the graph is simplified first, same as every operator here)."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).where(F.col("s") != F.col("d")).distinct()
+    out_deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    ).withColumn("direction", F.lit("out"))
+    in_deg = e.groupBy(F.col("d").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    ).withColumn("direction", F.lit("in"))
+    both = out_deg.union(in_deg)
+    bucket = (F.length(F.bin(F.col("deg"))) - 1).cast("int")
+    return (
+        both.withColumn("bucket", bucket)
+        .groupBy("direction", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .withColumn(
+            "deg_lo", F.expr("shiftleft(CAST(1 AS BIGINT), bucket)")
+        )
+        .withColumn(
+            "deg_hi",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1"),
+        )
+    )

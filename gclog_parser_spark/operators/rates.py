@@ -479,3 +479,55 @@ def fleet_scorecard(events: DataFrame) -> DataFrame:
         .otherwise(F.lit("healthy"))
     )
     return j.withColumn("verdict", verdict)
+
+
+def pause_jitter(events: DataFrame) -> DataFrame:
+    """Per-JVM pause-time jitter — mean, variance and stddev of the
+    pause series in exact-tick arithmetic: latency REGULARITY is its
+    own signal next to the level (:func:`gc_overhead`), the tail
+    (``gc_pause_histogram`` / percentiles) and the trend
+    (:func:`pause_cusum`) — a collector can hold a fine average while
+    its variance explodes, which is what an SLO's p99 actually feels.
+
+    Exact cross-engine math (the heap_trend OLS discipline): pauses
+    become 0.1 µs BIGINT ticks; Σx and Σx² are associative BIGINT sums
+    (map-side partials collapse before the ONE url exchange), and the
+    sample variance is the exact rational ``(n·Σx² − (Σx)²) /
+    (n·(n−1))`` — ONE IEEE division of identical integers, then ONE
+    correctly-rounded ``sqrt`` for the stddev, both HALF_UP 6 dp.
+    BIGINT headroom: ticks ≤ ~4·10⁷ per pause → Σx² ≤ ~1.6·10¹⁵ per
+    1000-pause log, far under the 9.2·10¹⁸ ceiling.  Single-pause and
+    pause-free logs yield NULL variance/stddev, never a
+    divide-by-zero.
+
+    Plan: filter + project scan-side → partial agg → one url
+    exchange; output ∝ JVMs."""
+    p = events.where(F.col("pause_seconds").isNotNull()).select(
+        "url",
+        F.round(F.col("pause_seconds") * 10_000_000)
+        .cast("long")
+        .alias("t"),
+    )
+    agg = p.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_pauses"),
+        F.sum("t").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+    )
+    var_ms2 = (
+        (F.col("n_pauses") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (F.col("n_pauses") * (F.col("n_pauses") - 1))
+        / F.lit(100000000)  # ticks² -> ms²
+    )
+    return agg.select(
+        "url",
+        "n_pauses",
+        F.round(F.col("sx") / (F.col("n_pauses") * F.lit(10000)), 6).alias(
+            "mean_pause_ms"
+        ),
+        F.when(F.col("n_pauses") > 1, F.round(var_ms2, 6)).alias(
+            "var_pause_ms2"
+        ),
+        F.when(F.col("n_pauses") > 1, F.round(F.sqrt(var_ms2), 6)).alias(
+            "stddev_pause_ms"
+        ),
+    )

@@ -1784,3 +1784,29 @@ SELECT *,
        WHEN overhead_pct >= 1.0 THEN 'watch'
        ELSE 'healthy' END AS verdict
 FROM j"""
+
+
+def pause_jitter_sql() -> str:
+    """Oracle for rates.pause_jitter: same exact-tick Σx/Σx² rational
+    variance, same two-division order and single sqrt."""
+    return gcline_prefix("""jx AS (
+  SELECT url, CAST(round(pause_seconds * 10000000) AS BIGINT) AS t
+  FROM gc_events WHERE pause_seconds IS NOT NULL
+),
+ja AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_pauses,
+    CAST(sum(t) AS BIGINT) AS sx,
+    CAST(sum(t * t) AS BIGINT) AS sxx
+  FROM jx GROUP BY url
+)""") + """
+SELECT url, n_pauses,
+  round(sx / (n_pauses * 10000), 6) AS mean_pause_ms,
+  CASE WHEN n_pauses > 1 THEN
+    round((n_pauses * sxx - sx * sx) / (n_pauses * (n_pauses - 1))
+          / 100000000, 6) END AS var_pause_ms2,
+  CASE WHEN n_pauses > 1 THEN
+    round(sqrt((n_pauses * sxx - sx * sx)
+               / (n_pauses * (n_pauses - 1)) / 100000000), 6)
+  END AS stddev_pause_ms
+FROM ja
+"""

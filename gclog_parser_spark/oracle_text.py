@@ -3011,3 +3011,31 @@ SELECT t.source,
               / sum(t.t), 6) END AS dup_token_share
 FROM t JOIN k USING (doc_id)
 GROUP BY 1"""
+
+
+def degree_dist_sql() -> str:
+    """Independent DuckDB twin of graph.degree_distribution over the
+    events link graph: same float-free length(bin(deg))-1 bucketing,
+    bounds via BIGINT shifts."""
+    nv = "(SELECT count(DISTINCT user_id) FROM events)"
+    return f"""WITH e AS (
+  SELECT DISTINCT user_id AS s, event_id % {nv} AS d FROM events
+),
+ee AS (SELECT s, d FROM e WHERE s <> d),
+degs AS (
+  SELECT 'out' AS direction, s AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM ee GROUP BY 2
+  UNION ALL
+  SELECT 'in', d, CAST(count(*) AS BIGINT) FROM ee GROUP BY 2
+),
+b AS (
+  SELECT direction, CAST(length(bin(deg)) - 1 AS INTEGER) AS bucket,
+         deg
+  FROM degs
+)
+SELECT direction, bucket,
+  CAST(count(*) AS BIGINT) AS n_nodes,
+  min(deg) AS min_deg, max(deg) AS max_deg,
+  CAST(1::BIGINT << bucket AS BIGINT) AS deg_lo,
+  CAST((1::BIGINT << (bucket + 1)) - 1 AS BIGINT) AS deg_hi
+FROM b GROUP BY 1, 2"""

@@ -452,3 +452,40 @@ def test_coreness_empty_guard(spark):
     loops = spark.createDataFrame([(1, 1)], "src bigint, dst bigint")
     with pytest.raises(ValueError, match="empty edge set"):
         coreness(loops)
+
+
+def test_degree_distribution_buckets_exact(spark):
+    """Star hub: out-degree 9 lands in bucket 3 = [8, 15]; each leaf
+    has in-degree 1 in bucket 0 = [1, 1] — float-free bucketing."""
+    from gclog_parser_spark.operators.graph import degree_distribution
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 10)], "src bigint, dst bigint"
+    )
+    got = {
+        (r["direction"], r["bucket"]): r
+        for r in degree_distribution(star).collect()
+    }
+    hub = got[("out", 3)]
+    assert (hub["n_nodes"], hub["min_deg"], hub["max_deg"]) == (1, 9, 9)
+    assert (hub["deg_lo"], hub["deg_hi"]) == (8, 15)
+    leaves = got[("in", 0)]
+    assert (leaves["n_nodes"], leaves["min_deg"], leaves["max_deg"]) == (
+        9, 1, 1,
+    )
+    assert (leaves["deg_lo"], leaves["deg_hi"]) == (1, 1)
+    assert set(got) == {("out", 3), ("in", 0)}
+
+
+def test_degree_distribution_drops_loops_and_dups(spark):
+    from gclog_parser_spark.operators.graph import degree_distribution
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 1), (2, 1)], "src bigint, dst bigint"
+    )
+    got = {
+        (r["direction"], r["bucket"]): r["n_nodes"]
+        for r in degree_distribution(e).collect()
+    }
+    # simplified graph is 1->2, 2->1: every degree is 1
+    assert got == {("out", 0): 2, ("in", 0): 2}

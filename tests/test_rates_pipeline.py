@@ -434,3 +434,29 @@ def test_fleet_scorecard_verdict_ladder(spark):
     # heap slope only where heap rows exist
     assert got["p"]["slope_kb_per_s"] is not None
     assert got["h"]["slope_kb_per_s"] is None
+
+
+def test_pause_jitter_exact_moments(spark):
+    """Hand-checked Σx/Σx² rational variance on ms-round pauses, plus
+    the single-pause and pause-free NULL guards."""
+    from gclog_parser_spark.operators.rates import pause_jitter
+
+    rows = [
+        ("a", 0.010), ("a", 0.020), ("a", 0.030),   # 10/20/30 ms
+        ("b", 0.500),                                # single pause
+        ("c", None),                                 # no timed pause
+    ]
+    ev = spark.createDataFrame(
+        rows, "url string, pause_seconds double"
+    )
+    got = {r["url"]: r for r in pause_jitter(ev).collect()}
+    a = got["a"]
+    assert a["n_pauses"] == 3
+    assert a["mean_pause_ms"] == 20.0
+    # sample variance of {10,20,30} ms = 100 ms²; stddev = 10 ms
+    assert a["var_pause_ms2"] == 100.0
+    assert a["stddev_pause_ms"] == 10.0
+    b = got["b"]
+    assert b["n_pauses"] == 1 and b["mean_pause_ms"] == 500.0
+    assert b["var_pause_ms2"] is None and b["stddev_pause_ms"] is None
+    assert "c" not in got  # filtered before the rollup
