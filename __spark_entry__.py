@@ -508,6 +508,48 @@ def q_gc_stream_cusum(spark, sf_dir):
     )
 
 
+def q_gc_stream_jitter(spark, sf_dir):
+    """Streaming pause-jitter dashboard row (round-5): pages stream →
+    parse → applyInPandasWithState with THREE BIGINT words of state
+    (n, Σx, Σx² — exact tick sums, no float state) emitting one
+    cumulative snapshot per JVM per batch
+    (streaming/stateful.stateful_jitter) — whole-log-per-page batches
+    make that exactly one row per url, value-checked against the SAME
+    DuckDB oracle as the batch operator (gc_pause_jitter)."""
+    import shutil
+    import tempfile
+
+    from gclog_parser_spark.streaming.stateful import stateful_jitter
+    from gclog_parser_spark.streaming.stream import stream_pages
+
+    base = tempfile.mkdtemp(prefix="gps_stream_")
+    inp = f"{base}/pages"
+    pages_from_documents(spark, sf_dir).repartition(3).write.parquet(inp)
+    _STREAM_SEQ[0] += 1
+    qname = f"gps_stream_jitter_{_STREAM_SEQ[0]}"
+    stream = parse_events(
+        stream_pages(spark, inp, max_files_per_trigger=2),
+        stitch="narrow",
+    )
+    q = (
+        stateful_jitter(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("gc_stream_jitter: stream timed out (600 s)")
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.table(qname).select(
+        "url", "n_pauses", "mean_pause_ms", "var_pause_ms2",
+        "stddev_pause_ms",
+    )
+
+
 def q_gc_slo_burn(spark, sf_dir):
     """Multi-window SLO burn-rate alert (round-5): short/long fixed
     age-bucket windows over 0.1 us pause ticks, restart-run split,
@@ -4455,6 +4497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_slo_burn": q_gc_slo_burn,
         "gc_fleet_scorecard": q_gc_fleet_scorecard,
         "gc_pause_jitter": q_gc_pause_jitter,
+        "gc_stream_jitter": q_gc_stream_jitter,
         "gc_stream_slo_burn": q_gc_stream_slo_burn,
         "gc_stream_cusum": q_gc_stream_cusum,
         "gc_tsv_export": q_gc_tsv_export,
@@ -4644,6 +4687,8 @@ def oracle_sql() -> dict[str, str]:
     out["gc_slo_burn"] = oracle.slo_burn_sql()
     out["gc_fleet_scorecard"] = oracle.fleet_scorecard_sql()
     out["gc_pause_jitter"] = oracle.pause_jitter_sql()
+    # stream twin shares the batch oracle (stream ≡ batch, like cusum)
+    out["gc_stream_jitter"] = oracle.pause_jitter_sql()
     out["gc_stream_slo_burn"] = oracle.slo_burn_sql()
     # the stream must equal the batch operator, so it shares its oracle
     out["gc_stream_cusum"] = oracle.pause_cusum_sql()

@@ -405,3 +405,108 @@ def stateful_slo_burn(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+JITTER_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sx", LongType()),
+        StructField("sxx", LongType()),
+    ]
+)
+
+JITTER_SCHEMA = StructType(
+    [
+        StructField("url", EVENTS_SCHEMA["url"].dataType),
+        StructField("n_pauses", LongType()),
+        StructField("mean_pause_ms", DoubleType()),
+        StructField("var_pause_ms2", DoubleType()),
+        StructField("stddev_pause_ms", DoubleType()),
+    ]
+)
+
+
+def stateful_jitter(
+    events: DataFrame, end_marker_col: str | None = None
+) -> DataFrame:
+    """Streaming twin of ``rates.pause_jitter`` — the live latency-
+    regularity row: per-JVM (n, Σx, Σx²) carried across micro-batches
+    as THREE BIGINT words (the Welford/Chan merge needs nothing else
+    because the tick sums are exact integers — no float state, no
+    catastrophic cancellation).  Each batch that brings a JVM timed
+    pauses emits ONE cumulative snapshot row; with whole-log-per-page
+    batches (the contract stream) that is exactly one row per url,
+    value-identical to the batch operator — same oracle, same
+    nightly-scan ⇄ live-dashboard swap guarantee as the CUSUM/SLO
+    twins.  Split logs emit intermediate snapshots whose FINAL row
+    equals the batch result (pinned in tests).
+
+    Division parity: Spark's long/long divide casts each EXACT BIGINT
+    operand to double first — the twin mirrors ``float(num) /
+    float(den)`` (NOT Python's exact big-int division, which differs
+    past 2⁵³) and rounds with the BigDecimal-equivalent
+    ``_half_up6``.  Eviction: the ``stateful_rates`` end-marker
+    contract."""
+    import math
+
+    cols = ["url", "event_idx", "pause_seconds"] + (
+        [end_marker_col] if end_marker_col else []
+    )
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            n, sx, sxx = state.get
+        else:
+            n, sx, sxx = 0, 0, 0
+        log_ended = False
+        saw = False
+        for pdf in pdf_iter:
+            if end_marker_col is not None and bool(
+                pdf[end_marker_col].fillna(False).any()
+            ):
+                log_ended = True
+            for rec in pdf.to_dict("records"):
+                if pd.isna(rec["pause_seconds"]):
+                    continue
+                t = int(round(rec["pause_seconds"] * 10_000_000))
+                n += 1
+                sx += t
+                sxx += t * t
+                saw = True
+        out = []
+        if saw and n > 0:
+            mean = _half_up6(float(sx) / float(n * 10000))
+            if n > 1:
+                v = (
+                    float(n * sxx - sx * sx)
+                    / float(n * (n - 1))
+                    / 100000000.0
+                )
+                var = _half_up6(v)
+                std = _half_up6(math.sqrt(v))
+            else:
+                var = None
+                std = None
+            out.append(
+                {
+                    "url": key[0],
+                    "n_pauses": n,
+                    "mean_pause_ms": mean,
+                    "var_pause_ms2": var,
+                    "stddev_pause_ms": std,
+                }
+            )
+        if log_ended:
+            state.remove()
+        else:
+            state.update((n, sx, sxx))
+        cols_out = [f.name for f in JITTER_SCHEMA.fields]
+        yield pd.DataFrame.from_records(out, columns=cols_out)
+
+    return events.select(*cols).groupBy("url").applyInPandasWithState(
+        fn,
+        outputStructType=JITTER_SCHEMA,
+        stateStructType=JITTER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -285,3 +285,118 @@ def test_stateful_slo_burn_matches_batch_across_batches(spark, tmp_path):
     # windows from BOTH batches appear, and the big fixture pauses
     # page at the default 1.0x threshold somewhere
     assert any(a for *_, a in got)
+
+
+def test_stateful_jitter_final_snapshot_matches_batch(spark, tmp_path):
+    """A log split across two micro-batches emits a cumulative snapshot
+    per batch; the FINAL snapshot must be value-identical to the batch
+    pause_jitter over the whole log (the nightly-scan ⇄ dashboard swap
+    guarantee for second moments)."""
+    from gclog_parser_spark.operators.parse import parse_events
+    from gclog_parser_spark.operators.rates import pause_jitter
+    from gclog_parser_spark.streaming.stateful import stateful_jitter
+
+    text = fixture_text("basic8")
+    lines = text.strip().split("\n")
+    url = "tail://app-j/gc.log"
+    ts = datetime(2016, 11, 10, 4, 0, 0)
+    inp = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+
+    def page(chunk):
+        return spark.createDataFrame(
+            [(url, ts, None, chunk, "en")], PAGES_SCHEMA
+        )
+
+    # split at line 8: the head yields 2 timed pauses, the tail 5 —
+    # both micro-batches then emit a snapshot
+    page("\n".join(lines[:8])).write.mode("append").parquet(inp)
+    time.sleep(1.1)
+    page("\n".join(lines[8:])).write.mode("append").parquet(inp)
+
+    stream = parse_events(
+        stream_pages(spark, inp, max_files_per_trigger=1),
+        require_marker=False,
+    )
+    q = (
+        stateful_jitter(stream)
+        .writeStream.format("memory")
+        .queryName("t_jitter")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    snaps = spark.sql("select * from t_jitter").collect()
+    # one snapshot per batch that carried timed pauses, cumulative n
+    assert len(snaps) >= 2
+    final = max(snaps, key=lambda r: r["n_pauses"])
+
+    whole = parse_events(
+        page(text), stitch="narrow", require_marker=False
+    )
+    want = pause_jitter(whole).collect()
+    assert len(want) == 1
+    w = want[0]
+    assert final["n_pauses"] == w["n_pauses"]
+    assert final["mean_pause_ms"] == w["mean_pause_ms"]
+    assert final["var_pause_ms2"] == w["var_pause_ms2"]
+    assert final["stddev_pause_ms"] == w["stddev_pause_ms"]
+    # intermediate snapshot is a strict prefix (fewer pauses)
+    assert min(r["n_pauses"] for r in snaps) < w["n_pauses"]
+
+
+def test_stateful_jitter_end_marker_evicts(spark, tmp_path):
+    """A log-end marker removes the JVM's three-word state: a rotated
+    log reusing the url restarts jitter accounting from scratch (the
+    second run's snapshot counts ONLY its own pauses), exactly like a
+    fresh log — while without eviction the counts would accumulate."""
+    import pyspark.sql.functions as F
+
+    from gclog_parser_spark.operators.parse import parse_events
+    from gclog_parser_spark.streaming.stateful import stateful_jitter
+
+    text = fixture_text("basic8")
+    url = "tail://app-j2/gc.log"
+    inp = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+
+    def page(ts):
+        return spark.createDataFrame(
+            [(url, ts, None, text, "en")], PAGES_SCHEMA
+        )
+
+    page(datetime(2016, 11, 10, 4, 0, 0)).write.mode("append").parquet(inp)
+    time.sleep(1.1)
+    page(datetime(2016, 11, 10, 5, 0, 0)).write.mode("append").parquet(inp)
+
+    parsed = parse_events(
+        stream_pages(spark, inp, max_files_per_trigger=1),
+        require_marker=False,
+    )
+    last_age = (
+        parse_events(page(datetime(2016, 11, 10, 4)), stitch="narrow",
+                     require_marker=False)
+        .agg(F.max("jvm_age_seconds")).first()[0]
+    )
+    stream = parsed.withColumn(
+        "log_end", F.col("jvm_age_seconds") == last_age
+    )
+    q = (
+        stateful_jitter(stream, end_marker_col="log_end")
+        .writeStream.format("memory")
+        .queryName("t_jitter_evict")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    snaps = spark.sql("select * from t_jitter_evict").collect()
+    # two batches, one snapshot each; eviction means the second run
+    # re-counts from zero -> both snapshots identical
+    assert len(snaps) == 2
+    assert snaps[0]["n_pauses"] == snaps[1]["n_pauses"]
+    assert snaps[0]["mean_pause_ms"] == snaps[1]["mean_pause_ms"]
+    assert snaps[0]["var_pause_ms2"] == snaps[1]["var_pause_ms2"]
