@@ -291,7 +291,7 @@ def crawl_budget(
     if budget < 0:
         raise ValueError("crawl_budget requires budget >= 0")
     host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
-    counts = (
+    hosts_rel = (
         df.select(host.alias("host"))
         # unparseable URLs must NOT pool into one NULL-host group and
         # claim quota (try_parse_url -> NULL; plain parse_url THROWS
@@ -299,10 +299,14 @@ def crawl_budget(
         # both sides — fail-empty parity, the same rule as the LSH
         # NULL-bucket guard in similarity.py
         .where(F.col("host").isNotNull())
-        .groupBy("host")
-        .agg(F.count("*").alias("n_pages"))
     )
-    totals = counts.agg(F.sum("n_pages").alias("total"))
+    counts = hosts_rel.groupBy("host").agg(
+        F.count("*").alias("n_pages")
+    )
+    # Σ n_pages over hosts == the page count, so the grand total is a
+    # plain global count of the host relation — no second host
+    # exchange, no recompute of the groupBy (plan-pinned)
+    totals = hosts_rel.agg(F.count("*").cast("long").alias("total"))
     based = (
         counts.crossJoin(F.broadcast(totals))
         .withColumn(
@@ -312,13 +316,17 @@ def crawl_budget(
             "rem", F.expr(f"CAST({budget} AS BIGINT) * n_pages % total")
         )
     )
-    leftover = based.agg(
-        (F.lit(budget) - F.sum("base")).cast("long").alias("leftover")
-    )
+    # leftover = budget - Σbase, but Σ rem_i = Σ(B·n_i − N·base_i)
+    #          = B·N − N·Σbase = N·leftover  (exact BIGINT identity),
+    # so leftover = Σrem DIV N rides the SAME single-partition window
+    # the remainder rank needs — no second aggregate over hosts, no
+    # second pass over the counts relation in the plan
     w = Window.orderBy(F.col("rem").desc(), F.col("host").asc())
     return (
         based.withColumn("rk", F.row_number().over(w))
-        .crossJoin(F.broadcast(leftover))
+        .withColumn(
+            "leftover", F.expr("sum(rem) OVER () DIV total")
+        )
         .select(
             "host",
             "n_pages",

@@ -421,3 +421,50 @@ def test_knn_bucket_scorer_single_corpus_exchange(spark, sf_dir):
     assert n_shuffles(plan) == 2
     # no pair-join of embedding arrays anywhere in the default plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_fleet_scorecard_joins_reuse_url_partitioning(pages):
+    """The scorecard composes five per-url rollups with four left
+    joins; every join must REUSE hashpartitioning(url) from the branch
+    aggregates — exactly five url exchanges in the plan (one per
+    signal branch), zero added by the composition, and all four joins
+    sort-merge on the co-partitioned key."""
+    from gclog_parser_spark.operators.rates import fleet_scorecard
+
+    ev = parse_events(pages, stitch="narrow")
+    plan = plan_of(fleet_scorecard(ev))
+    url_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(url", plan)
+    )
+    assert url_exchanges == 5, plan[:2000]
+    # small stats may broadcast the per-JVM rollups (fine — they're
+    # ∝ JVMs); what matters is 4 url joins and no 6th url exchange
+    assert len(
+        re.findall(r"(SortMergeJoin|BroadcastHashJoin) \[url", plan)
+    ) == 4
+
+
+def test_crawl_budget_host_rank_is_host_sized(pages):
+    """Hamilton apportionment: the counts aggregate exchanges on host,
+    the totals/leftover are 1-row broadcast-joined (no shuffled join
+    for them), and the remainder ranking is the only single-partition
+    window — over HOSTS, never pages."""
+    from gclog_parser_spark.operators.webstats import (
+        crawl_budget,
+        synth_urls,
+    )
+
+    docs = pages.selectExpr(
+        "monotonically_increasing_id() AS doc_id",
+        "'src' AS source", "'en' AS lang",
+    )
+    plan = plan_of(crawl_budget(synth_urls(docs)))
+    # ONE host exchange: the Σrem = N·leftover identity rides the rank
+    # window instead of a second aggregate over the counts relation
+    assert len(re.findall(r"Exchange hashpartitioning\(host", plan)) == 1
+    # the 1-row totals arrive via broadcast, not a shuffle join
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) == 1
+    # two single-partition exchanges: the 1-row global total count
+    # and the host-sized rank+leftover window — both ∝ hosts/scalars,
+    # never pages
+    assert len(re.findall(r"Exchange SinglePartition", plan)) == 2
